@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Allocation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 parity operators expressed over the driver's synthetic
+  * star schema (TESTDATA.md), each paired with a DuckDB oracle in
+  * [[CoreQueries.oracles]]. Query names carry the §2 operator ids they
+  * exercise. Aggregated money columns are `r2(_)` on BOTH sides so
+  * the driver's hash compare is insensitive to float summation order.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic 2dp money rounding for oracle comparison: Spark's
+    * `round` rounds the double's shortest DECIMAL representation while
+    * DuckDB rounds the BINARY value, so they disagree systematically at
+    * .xx5 boundaries. `floor(x*100 + 0.50001)/100` is pure IEEE arithmetic
+    * — bit-identical in both engines — and the 1e-5 epsilon absorbs
+    * summation-order ulp noise for sums that land exactly on half-cent
+    * boundaries (which this synthetic data hits systematically). The SQL
+    * oracles use the same formula.
+    */
+  private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + lit(0.50001)) / 100
+
+
+  /** A1/A2/A3-style hash aggregation (TPC-H Q1 shape). */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** P2/P3/P4: null/comparison filters + projection/rename. */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity").isNotNull && col("l_quantity") >= 45 &&
+        col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_partkey").as("product_id"),
+        col("l_quantity").as("quantity"),
+        r2(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("net_price"))
+
+  /** J1/J4: broadcast equi-join to a dimension, then rollup. */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(
+        broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"),
+        "inner")
+      .groupBy(col("p_brand"))
+      .agg(
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("num_lines"))
+
+  /** J3/J5/J6-style multi-join chain across dimensions. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        r2(sum(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("num_orders"))
+
+  /** D1 keyed dedup with a DETERMINISTIC survivor (first order per
+    * customer by orderkey) — `dropDuplicates`' arbitrary survivor can't be
+    * oracle-compared, so survivor choice is pinned with a window.
+    */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("first_orderkey"),
+        r2(col("o_totalprice")).as("first_totalprice"))
+  }
+
+  /** U1 bag union (UNION ALL semantics, like PySpark `.union`). */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.filter(col("o_totalprice") < 500)
+      .union(o.filter(col("o_orderstatus") === "F"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        r2(sum(col("o_totalprice"))).as("total"))
+  }
+
+  /** O1/O2/L1: multi-key sort + limit (top-k with deterministic ties). */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        r2(col("o_totalprice")).as("o_totalprice"))
+
+  /** P5/P6/P7: cast, when/otherwise conditional, derived arithmetic. */
+  private def q08(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn(
+        "disc_band",
+        when(col("l_discount") > 0.05, lit("HI")).otherwise(lit("LO")))
+      .withColumn("line_no", col("l_linenumber").cast("string"))
+      .groupBy(col("disc_band"), col("line_no"))
+      .agg(
+        r2(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("l_quantity") * lit(10.0))).as("margin"),
+        count(lit(1)).as("n"))
+
+  /** Scalar date functions: month bucketing via date_format (A2 shape). */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        count(lit(1)).as("num_orders"),
+        r2(sum(col("o_totalprice"))).as("revenue"))
+
+  /** A1 order-summary shape: per-order totals + line counts. */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("order_id"))
+      .agg(
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_amount"),
+        count(lit(1)).as("num_items"))
+
+  /** EP3 daily-summary shape: fact⋈fact join + per-day rollup. */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(
+        Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(to_date(col("o_orderdate")).as("date"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("num_orders"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_sales"))
+
+  /** Window ranking: top-3 orders per customer (deterministic ties). */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        r2(col("o_totalprice")).as("totalprice"),
+        col("rk"))
+  }
+
+  /** Deterministic total order for allocation: (l_orderkey, l_linenumber)
+    * is NOT unique in the synthetic data, so ship date + every remaining
+    * identifying column serve as tiebreakers (verified unique per partkey).
+    */
+  private val allocOrder = Seq(
+    "l_shipdate", "l_orderkey", "l_linenumber", "l_suppkey",
+    "l_extendedprice", "l_quantity")
+
+  private def allocInput(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_suppkey",
+        "l_extendedprice", "l_quantity", "l_shipdate")
+      .join(
+        broadcast(Tables.part(s, d).select(
+          col("p_partkey").as("l_partkey"),
+          (col("p_size") * 20).cast("double").as("cap"))),
+        Seq("l_partkey"),
+        "inner")
+
+  /** §2.8 flagship: greedy sequential allocation (fill-or-cancel per part,
+    * shipdate order, capacity = p_size*20). Not SQL-expressible (greedy
+    * releases a cancelled line's quantity to later lines) → no oracle;
+    * correctness is pinned by AllocationSpec + the candy golden e2e test.
+    */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    Allocation
+      .greedy(
+        allocInput(s, d),
+        keyCol = "l_partkey",
+        qtyCol = "l_quantity",
+        capCol = "cap",
+        orderCols = allocOrder)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "alloc_qty")
+
+  /** Cumulative-threshold allocation — the relational (window) variant,
+    * fully oracle-checkable.
+    */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    Allocation
+      .cumulativeThreshold(
+        allocInput(s, d),
+        keyCol = "l_partkey",
+        qtyCol = "l_quantity",
+        capCol = "cap",
+        orderCols = allocOrder)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "alloc_qty")
+
+  /** J2/P6 stock writeback: capacity − Σ allocated, left join + coalesce
+    * (over the window-variant allocation so the whole chain is SQL).
+    */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val alloc = Allocation
+      .cumulativeThreshold(
+        allocInput(s, d),
+        keyCol = "l_partkey",
+        qtyCol = "l_quantity",
+        capCol = "cap",
+        orderCols = allocOrder)
+      .select(col("l_partkey").as("partkey"), col("alloc_qty"))
+    val caps = Tables.part(s, d).select(
+      col("p_partkey").as("partkey"),
+      (col("p_size") * 20).cast("double").as("cap"))
+    Allocation
+      .remainingCapacity(caps, alloc, keyCol = "partkey", capCol = "cap")
+      .select("partkey", "remaining_cap")
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q01_agg_rollup" -> q01,
+    "q02_filter_project" -> q02,
+    "q03_join_dim" -> q03,
+    "q04_join_chain" -> q04,
+    "q05_dedup_keyed" -> q05,
+    "q06_union_bag" -> q06,
+    "q07_sort_topk" -> q07,
+    "q08_case_arith" -> q08,
+    "q09_date_rollup" -> q09,
+    "q10_order_summary" -> q10,
+    "q11_daily_summary" -> q11,
+    "q12_window_rank" -> q12,
+    "q13_alloc_greedy" -> q13,
+    "q14_alloc_cumsum" -> q14,
+    "q15_stock_writeback" -> q15
+  )
+
+  private val cumsumAllocSql =
+    """SELECT l.l_orderkey, l.l_partkey, l.l_linenumber,
+      |CASE WHEN sum(l.l_quantity) OVER (PARTITION BY l.l_partkey
+      |  ORDER BY l.l_shipdate, l.l_orderkey, l.l_linenumber, l.l_suppkey,
+      |           l.l_extendedprice, l.l_quantity
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= p.p_size * 20
+      |  THEN l.l_quantity ELSE 0 END AS alloc_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |floor((sum(l_quantity)) * 100 + 0.50001) / 100 AS sum_qty,
+        |floor((sum(l_extendedprice)) * 100 + 0.50001) / 100 AS sum_base_price,
+        |floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.50001) / 100 AS sum_disc_price,
+        |count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |l_partkey AS product_id, l_quantity AS quantity,
+        |floor((l_extendedprice * (1 - l_discount)) * 100 + 0.50001) / 100 AS net_price
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_quantity >= 45 AND l_returnflag = 'R'""".stripMargin,
+    "q03_join_dim" ->
+      """SELECT p_brand,
+        |floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.50001) / 100 AS revenue,
+        |count(*) AS num_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q04_join_chain" ->
+      """SELECT r_name, floor((sum(o_totalprice)) * 100 + 0.50001) / 100 AS revenue,
+        |count(*) AS num_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q05_dedup_keyed" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+        |floor((o_totalprice) * 100 + 0.50001) / 100 AS first_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderkey) AS rn FROM orders) t
+        |WHERE rn = 1""".stripMargin,
+    "q06_union_bag" ->
+      """SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.50001) / 100 AS total
+        |FROM (SELECT * FROM orders WHERE o_totalprice < 500
+        |      UNION ALL
+        |      SELECT * FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q07_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 100 + 0.50001) / 100 AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q08_case_arith" ->
+      """SELECT CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band,
+        |CAST(l_linenumber AS VARCHAR) AS line_no,
+        |floor((sum(l_extendedprice * (1 - l_discount) - l_quantity * 10.0)) * 100 + 0.50001) / 100 AS margin,
+        |count(*) AS n
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q09_date_rollup" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |count(*) AS num_orders, floor((sum(o_totalprice)) * 100 + 0.50001) / 100 AS revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q10_order_summary" ->
+      """SELECT l_orderkey AS order_id,
+        |floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.50001) / 100 AS total_amount,
+        |count(*) AS num_items
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "q11_daily_summary" ->
+      """SELECT CAST(o_orderdate AS DATE) AS date,
+        |count(DISTINCT o.o_orderkey) AS num_orders,
+        |floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.50001) / 100 AS total_sales
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q12_window_rank" ->
+      """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+        |floor((o_totalprice) * 100 + 0.50001) / 100 AS totalprice, rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+    "q14_alloc_cumsum" -> cumsumAllocSql,
+    "q15_stock_writeback" ->
+      s"""WITH alloc AS ($cumsumAllocSql),
+         |used AS (SELECT l_partkey AS partkey, sum(alloc_qty) AS used
+         |         FROM alloc GROUP BY 1)
+         |SELECT p.p_partkey AS partkey,
+         |CAST(p.p_size * 20 AS DOUBLE) - coalesce(u.used, 0) AS remaining_cap
+         |FROM part p LEFT JOIN used u ON p.p_partkey = u.partkey""".stripMargin
+  )
+}

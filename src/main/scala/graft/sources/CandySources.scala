@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.model.CandyModel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+/** Sources for the candy-store pipeline (SURVEY.md §2.1 S1–S3).
+  *
+  * The reference reads one MongoDB collection per business day
+  * (reference data_processor.py:103-120, collection `transactions_yyyyMMdd`)
+  * and its dimensions over JDBC (data_processor.py:87-101). This harness has
+  * neither server, so the same *semantics* — "scan a day-partitioned nested
+  * record source" / "scan a dimension table" — are provided over the
+  * file-backed fixtures. In production the day source would be
+  * `spark.read.format("mongodb")` and the dimensions
+  * `spark.read.format("jdbc")` behind these same methods; schemas here are
+  * explicit rather than inferred, which is both faster (no sampling pass)
+  * and safer at scale.
+  */
+object CandySources {
+
+  private val dayFmt = DateTimeFormatter.ofPattern("yyyyMMdd")
+
+  def dateRange(start: LocalDate, endInclusive: LocalDate): Seq[LocalDate] =
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(endInclusive)).toSeq
+
+  /** One day's transactions with a deterministic physical order.
+    *
+    * Each fixture file is a single JSON *array* (multiLine); a single file
+    * read lands in one input partition, so `monotonically_increasing_id`
+    * numbers rows 0..n-1 in array order. That `tx_seq` + the items' array
+    * position (via `posexplode` downstream) reconstruct the reference's
+    * processing order — which its golden outputs depend on (the greedy
+    * allocator is order-sensitive, SURVEY.md §2.8).
+    *
+    * Scale note: per-day order is only needed for bit-parity with the
+    * reference's goldens. At 100 TB the order column would be a real field
+    * (event time / sequence number) and this source becomes a plain
+    * parallel scan of `.../date=yyyyMMdd/` with partition pruning.
+    */
+  def transactionsDay(spark: SparkSession, dataDir: String, day: LocalDate): DataFrame =
+    spark.read
+      .schema(CandyModel.transactionSchema)
+      .option("multiLine", "true")
+      .json(s"$dataDir/transactions_${day.format(dayFmt)}.json")
+      .withColumn("tx_seq", monotonically_increasing_id())
+      .withColumn("day_idx", lit(day.toEpochDay))
+
+  /** All days in [start, end], unioned with their day index (U1). */
+  def transactions(
+      spark: SparkSession,
+      dataDir: String,
+      start: LocalDate,
+      endInclusive: LocalDate): DataFrame =
+    dateRange(start, endInclusive)
+      .map(transactionsDay(spark, dataDir, _))
+      .reduce(_ union _)
+
+  /** products dimension from CSV fixture (prod: JDBC). */
+  def products(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read
+      .schema(CandyModel.productSchema)
+      .option("header", "true")
+      .csv(s"$dataDir/products.csv")
+
+  /** customers dimension from CSV fixture (prod: JDBC). Dead input in the
+    * reference (loaded, never used in outputs) — exposed for API parity.
+    */
+  def customers(spark: SparkSession, dataDir: String): DataFrame =
+    spark.read
+      .schema(CandyModel.customerSchema)
+      .option("header", "true")
+      .csv(s"$dataDir/customers.csv")
+}
