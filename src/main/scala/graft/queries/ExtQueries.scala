@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension operators (BASELINE.json north-star: LLM-data-pipeline ops —
+  * dedup, similarity search, multimodal columns, text analysis — plus the
+  * streaming-shaped event rollups), expressed over `documents`,
+  * `embeddings`, and `events`. DuckDB oracles wherever the semantics are
+  * SQL-expressible; custom-hash operators (MinHash/SimHash/features) are
+  * rows-only here and pinned instead by ScalaTest specs against
+  * independent reference implementations.
+  */
+object ExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r2(c: Column): Column = floor(c * 100 + lit(0.50001)) / 100
+  private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
+
+  /** P1 generator on real text: explode the token array. */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** Text quality features (token count, word len, punct/space ratios). */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nTok = TextAnalysis.tokenCount(t)
+    val nChars = length(t)
+    val nSpaces = nChars - length(regexp_replace(t, "\\s", ""))
+    val nPunct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      nChars.as("n_chars_measured"),
+      nSpaces.as("n_spaces"),
+      nPunct.as("n_punct"),
+      r2(when(nTok === 0, lit(0.0))
+        .otherwise((nChars - nSpaces).cast("double") / nTok)).as("mean_word_len"))
+  }
+
+  /** Language-ID by marker-word argmax (ties → lexicographically last). */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+
+  /** Document fingerprints: portable 128-bit digest. */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.digestHex(col("text")).as("digest"),
+        length(col("text")).as("n_chars_measured"))
+
+  /** Exact dedup groups by content digest. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  /** MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.4.
+    * Custom hashing ⇒ no SQL oracle; DedupSpec pins semantics.
+    */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cands = Dedup.minHashCandidates(
+      docs, "doc_id", "text", numHashes = 64, bands = 16, shingleSize = 5)
+    Dedup.jaccardVerify(docs, cands, "doc_id", "text", shingleSize = 5, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+  }
+
+  /** SimHash fingerprints via the custom Catalyst expression. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashFingerprints(Tables.documents(s, d), "doc_id", "text")
+
+  /** Exact n-gram Jaccard on adjacent-id pairs (SQL-expressible slice of
+    * the near-dup surface → oracle-checked).
+    */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d).select(
+      col("doc_id"), Dedup.shingles("text", 3).as("sh"))
+    sh.alias("a")
+      .join(sh.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        r6(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+  }
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 30. */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity
+      .bruteForceCosineTopK(
+        emb, emb.filter(col("vec_id") < 30), "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), r6(col("cosine")).as("cosine"), col("rank"))
+  }
+
+  /** Streaming-shaped hourly rollup (same transform runs on a stream). */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    EventStreams.hourlyRollup(Tables.events(s, d))
+      .select(
+        col("hour_start"),
+        col("event_type"),
+        col("n_events"),
+        r2(col("total_value")).as("total_value"))
+
+  /** Sessionization: per-user session counts at a 30-min gap. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    EventStreams.sessionCounts(Tables.events(s, d), gapSeconds = 1800L)
+
+  /** Multimodal payload plumbing: binary content + typed metadata. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    Multimodal.synthesizePayload(Tables.documents(s, d), "text", "image")
+      .select(
+        col("doc_id"),
+        octet_length(col("content")).as("n_bytes"),
+        col("media_meta.kind").as("kind"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.duration_ms").as("duration_ms"))
+
+  /** Multimodal frame sampling + STUB feature extraction (rows-only:
+    * custom decode stub; MultimodalSpec pins determinism).
+    */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Multimodal.synthesizePayload(
+      Tables.documents(s, d), "text", "video")
+    Multimodal.extractFeatures(withPayload, "content", dim = 8)
+      .select(
+        col("doc_id"),
+        size(col("features")).as("n_features"),
+        r6(element_at(col("features"), 1).cast("double")).as("f0"))
+  }
+
+  /** LSH-bucketed approximate cosine top-k (scale path; rows-only —
+    * recall vs brute force is asserted in SimilaritySpec).
+    */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshCosineTopK(
+      emb, emb.filter(col("vec_id") < 30), "vec_id", "embedding",
+      k = 5, bits = 4, dim = 64, numTables = 8)
+      .select(col("query_id"), col("neighbor_id"), r6(col("cosine")).as("cosine"), col("rank"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q16_explode_tokens" -> q16,
+    "q17_text_stats" -> q17,
+    "q18_lang_id" -> q18,
+    "q19_fingerprint" -> q19,
+    "q20_dedup_exact" -> q20,
+    "q21_minhash_pairs" -> q21,
+    "q22_simhash" -> q22,
+    "q23_ngram_jaccard" -> q23,
+    "q24_cosine_topk" -> q24,
+    "q25_event_hourly" -> q25,
+    "q26_sessionize" -> q26,
+    "q27_multimodal_meta" -> q27,
+    "q28_multimodal_features" -> q28,
+    "q29_cosine_topk_lsh" -> q29
+  )
+
+  private val langCase = {
+    def score(markers: Seq[String]) =
+      s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        s"w -> w IN (${markers.map(m => s"'$m'").mkString(",")})))"
+    val en = score(Seq("the", "and", "of", "to", "is", "in", "that", "it"))
+    val es = score(Seq("el", "la", "de", "que", "y", "en", "los", "del"))
+    val fr = score(Seq("le", "la", "les", "de", "et", "un", "est", "que"))
+    val de = score(Seq("der", "die", "das", "und", "ist", "von", "ein", "nicht"))
+    s"""SELECT doc_id,
+       |CASE WHEN greatest($en, $es, $fr, $de) = 0 THEN 'unknown'
+       |     WHEN $fr >= $en AND $fr >= $es AND $fr >= $de THEN 'fr'
+       |     WHEN $es >= $en AND $es >= $de THEN 'es'
+       |     WHEN $en >= $de THEN 'en'
+       |     ELSE 'de' END AS lang_pred
+       |FROM documents""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q16_explode_tokens" ->
+      """SELECT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |WHERE length(token) > 0""".stripMargin,
+    "q17_text_stats" ->
+      """SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |length(text) AS n_chars_measured,
+        |length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_spaces,
+        |length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+        |floor((CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |  / len(string_split_regex(trim(text), '\s+')) END) * 100 + 0.50001) / 100
+        |  AS mean_word_len
+        |FROM documents""".stripMargin,
+    "q18_lang_id" -> langCase,
+    "q19_fingerprint" ->
+      "SELECT doc_id, md5(text) AS digest, length(text) AS n_chars_measured FROM documents",
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q23_ngram_jaccard" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 1, 2)),
+        |    i -> substring(text, CAST(i AS INT), 3))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.50001) / 1000000
+        |  AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "q24_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 30),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_cosine_similarity(c.v, q.v) AS cos
+        |      FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id ASC) AS rn FROM s)
+        |SELECT query_id, neighbor_id,
+        |floor(cos * 1000000 + 0.50001) / 1000000 AS cosine, rn AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "q25_event_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |count(*) AS n_events,
+        |floor(sum(value) * 100 + 0.50001) / 100 AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q26_sessionize" ->
+      """WITH t AS (SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |sum(CASE WHEN prev IS NULL
+        |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) >= 1800
+        |    THEN 1 ELSE 0 END) AS n_sessions,
+        |count(*) AS n_events
+        |FROM t GROUP BY user_id""".stripMargin,
+    "q27_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 'image' AS kind,
+        |CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+        |CAST(octet_length(encode(text)) AS BIGINT) * 10 AS duration_ms
+        |FROM documents""".stripMargin
+  )
+}

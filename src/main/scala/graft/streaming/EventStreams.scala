@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming uplift (SURVEY.md §7.4.6): the reference is batch
+  * only (its "incremental" flavor is an Airflow DAG scheduling one day per
+  * run); here the same transforms run identically over a batch DataFrame
+  * or a stream, and the stateful pieces use the streaming state store.
+  *
+  * Scale design: windowed aggregation state is bounded by the watermark;
+  * session state by the per-key struct (two longs). Both shuffle once on
+  * the grouping key, exactly like their batch counterparts.
+  */
+object EventStreams {
+
+  /** Hourly event rollup — works on a batch OR streaming events frame
+    * (same code path; Spark plans it as a streaming agg when the source
+    * streams). Watermark bounds state for late data.
+    */
+  def hourlyRollup(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    src
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value"))
+  }
+
+  /** Batch sessionization: a session break is a ≥`gapSeconds` silence per
+    * user (lag window). Returns per-user session counts.
+    */
+  def sessionCounts(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"))
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "__new_session",
+        when(
+          col("__prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) >= gapSeconds,
+          1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("__new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+  }
+
+  final case class SessionState(lastTsMicros: Long, sessions: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Streaming sessionization via `flatMapGroupsWithState`, keyed by
+    * user — the same greedy fold as [[sessionCounts]] but with state in
+    * the state store (remaining analogue of SURVEY §2.8's allocation
+    * state). Emits a running per-user session count each trigger.
+    */
+  def sessionCountsStreaming(
+      events: DataFrame,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "CAST(ts AS LONG) * 1000000 AS ts_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          var n = 0L
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            val isNew = st.lastTsMicros == Long.MinValue ||
+              ts - st.lastTsMicros >= gapSeconds * 1000000L
+            st = SessionState(ts, st.sessions + (if (isNew) 1L else 0L))
+            n += 1
+          }
+          state.update(st)
+          Iterator(UserSessions(userId, st.sessions, n))
+      }
+      .toDF()
+  }
+
+  /** Run a transform over a parquet path as a file stream with
+    * `Trigger.AvailableNow`, writing to an in-memory table; returns the
+    * result. Used to prove batch/stream parity in tests.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      sourcePath: String,
+      schema: StructType,
+      transform: DataFrame => DataFrame,
+      queryName: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(sourcePath)
+    val q = transform(stream).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** [[runAvailableNow]] in Update mode (for stateful operators like
+    * `flatMapGroupsWithState` that cannot run under Complete).
+    */
+  def runAvailableNowUpdate(
+      spark: SparkSession,
+      sourcePath: String,
+      schema: StructType,
+      transform: DataFrame => DataFrame,
+      queryName: String): DataFrame =
+    runAvailableNow(spark, sourcePath, schema, transform, queryName, OutputMode.Update())
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch/stream parity: the same transforms must produce identical
+  * results when run over the events table as a batch frame and as a
+  * file stream with Trigger.AvailableNow.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The file stream source wants a DIRECTORY; stage the single events
+    * parquet into one.
+    */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toIndexedSeq
+      .map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted
+
+  test("hourlyRollup: streaming (AvailableNow) == batch") {
+    val batchEvents = Tables.events(spark, sf)
+    val batch = EventStreams.hourlyRollup(batchEvents)
+    // File-stream the same parquet; nanos ts needs the same legacy conf +
+    // conversion the batch loader applies.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      streamDir,
+      rawSchema,
+      df => EventStreams.hourlyRollup(
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))),
+      "hourly_test")
+    assert(canon(streamed) == canon(batch))
+    assert(batch.count() > 0)
+  }
+
+  test("sessionCountsStreaming (flatMapGroupsWithState) == batch sessionCounts") {
+    val events = Tables.events(spark, sf)
+    val batch = canon(EventStreams.sessionCounts(events))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamed = EventStreams.runAvailableNowUpdate(
+      spark,
+      streamDir,
+      rawSchema,
+      df => EventStreams.sessionCountsStreaming(
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))),
+      "sessions_test")
+    assert(canon(streamed) == batch)
+  }
+}
