@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.SimHash64
+import graft.functions.{LangId, MinHashSig, NGramJaccard, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Spark session extensions for the graft engine: registers custom
   * Catalyst expressions so SQL and `expr(...)` can use them.
@@ -16,7 +16,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression): Int =
+          e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+        MinHashSig(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_jaccard"),
+      new ExpressionInfo(classOf[NGramJaccard].getName, "ngram_jaccard"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(2).asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+        NGramJaccard(exprs.head, exprs(1), n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (exprs: Seq[Expression]) => LangId(exprs.head)))
   }
 }

@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `ngram_jaccard(a, b, n)` — exact Jaccard similarity of the character
+  * n-gram shingle SETS of two strings, as one native expression.
+  *
+  * Shingles are hashed (FNV-1a 64) and deduplicated via sort+unique; the
+  * intersection count comes from a linear merge of the two sorted arrays.
+  * O(len·n + s log s) per row, no array materialization in the plan — so
+  * when Catalyst inlines a `jaccard >= t` filter into a join condition
+  * (which it does), each probe costs microseconds instead of two
+  * interpreted higher-order shingle constructions (the HOF formulation
+  * cost ~165 s over 176k candidate pairs at sf0.1; this evaluates the
+  * same workload in ~1 s).
+  *
+  * Hash collisions (2⁻⁶⁴ per shingle pair) can in principle perturb the
+  * value; for corpus-dedup semantics this is far below any meaningful
+  * threshold granularity.
+  */
+case class NGramJaccard(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+
+  require(n > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_jaccard requires string arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NGramJaccard.compute(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NGramJaccard.compute($a.toString(), $b.toString(), $n)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NGramJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
+object NGramJaccard {
+
+  /** Sorted distinct FNV-1a hashes of all n-gram shingles (degenerate
+    * short/empty text ⇒ the single truncated shingle, mirroring the SQL
+    * `sequence(1, greatest(len-n+1, 1))` formulation).
+    */
+  private[functions] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val len = text.length
+    val last = math.max(len - n, 0)
+    val hs = new Array[Long](last + 1)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + n, len)
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < end) {
+        h ^= text.charAt(j)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // in-place unique
+    var w = 0
+    i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def compute(a: String, b: String, n: Int): Double = {
+    val ha = shingleHashes(a, n)
+    val hb = shingleHashes(b, n)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < ha.length && j < hb.length) {
+      val c = java.lang.Long.compare(ha(i), hb(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = ha.length + hb.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Register `ngram_jaccard` on an existing session (tests / REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_jaccard",
+      exprs => {
+        require(exprs.length == 3, "ngram_jaccard(a, b, n)")
+        val n = exprs(2).asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          .value.asInstanceOf[Number].intValue()
+        NGramJaccard(exprs.head, exprs(1), n)
+      },
+      "scala_udf")
+}

@@ -34,18 +34,14 @@ object Dedup {
       s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${n - 1}, 1)), " +
         s"i -> substring($textCol, i, $n)))")
 
-  /** Deterministic MinHash signature: the i-th "permutation" is xxhash64
-    * of the shingle salted with i (salted-hash MinHash — avoids 64-bit
-    * modular arithmetic, which ANSI mode rejects on overflow, and is the
-    * standard trick when a true permutation family isn't required).
-    * Reproducible across runs and cluster sizes.
+  /** Deterministic MinHash signature via the native Catalyst expression
+    * [[graft.functions.MinHashSig]] (one codegen'd pass per document; the
+    * HOF formulation this replaced was ~150× slower — see MinHashSig
+    * scaladoc). Requires `MinHashSig.register(spark)` — done by
+    * [[minHashCandidates]] and [[graft.GraftExtensions]].
     */
-  def minHashSignature(textCol: String, numHashes: Int, shingleSize: Int): Column = {
-    val shs = shingles(textCol, shingleSize).toString
-    expr(
-      s"transform(sequence(0, ${numHashes - 1}), i -> " +
-        s"aggregate($shs, 9223372036854775807L, (acc, s) -> least(acc, xxhash64(s, i))))")
-  }
+  def minHashSignature(textCol: String, numHashes: Int, shingleSize: Int): Column =
+    expr(s"minhash_sig($textCol, $numHashes, $shingleSize)")
 
   /** LSH candidate pairs: split the signature into `bands` bands, hash
     * each band, and emit each id into its (band_idx, band_hash) bucket;
@@ -63,6 +59,7 @@ object Dedup {
       shingleSize: Int = 5,
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    graft.functions.MinHashSig.register(df.sparkSession)
     val rows = numHashes / bands
     val sig = minHashSignature(textCol, numHashes, shingleSize)
     val banded = df
@@ -91,6 +88,16 @@ object Dedup {
     * `df` — two broadcast-or-shuffle hash joins on the id, then a
     * per-row set intersection (codegen'd array built-ins).
     */
+  /** Cost shape (measured at sf0.1, 5k docs → 176k candidate pairs):
+    * Catalyst inlines the `jaccard >= threshold` filter into the join
+    * condition, so the similarity computation runs once per CANDIDATE
+    * pair during the hash-join probe. With higher-order-function shingle
+    * expressions that cost ~165 s (2×176k interpreted array builds);
+    * with the native [[graft.functions.NGramJaccard]] expression each
+    * probe is a fused O(len) JVM pass — the whole verify is ~1 s. Texts
+    * join to the pairs by id (raw strings move, never shingle arrays),
+    * and the `pairs` lineage appears exactly once in the plan.
+    */
   def jaccardVerify(
       df: DataFrame,
       pairs: DataFrame,
@@ -98,19 +105,36 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    val sh = df.select(
-      col(idCol).as("__jid"),
-      shingles(textCol, shingleSize).as("__sh"))
+    graft.functions.NGramJaccard.register(df.sparkSession)
+    val docsSel = df.select(col(idCol), col(textCol))
     pairs
-      .join(sh.select(col("__jid").as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("__jid").as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .join(
+        docsSel.select(col(idCol).as("id_a"), col(textCol).as("__text_a")),
+        Seq("id_a"))
+      .join(
+        docsSel.select(col(idCol).as("id_b"), col(textCol).as("__text_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", expr(s"ngram_jaccard(__text_a, __text_b, $shingleSize)"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** End-to-end near-duplicate detection: MinHash+LSH candidates →
+    * exact-Jaccard verification.
+    */
+  def nearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.4,
+      maxBucket: Int = 1000): DataFrame =
+    jaccardVerify(
+      df,
+      minHashCandidates(df, idCol, textCol, numHashes, bands, shingleSize, maxBucket),
+      idCol, textCol, shingleSize, threshold)
 
   /** SimHash fingerprints via the custom Catalyst expression
     * [[graft.functions.SimHash64]]; near-dups are fingerprints within

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must agree exactly with the (slower) column/HOF
+  * formulations they replace — cross-checked on real corpus data.
+  */
+class NativeExprSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = graft.Tables.documents(spark, sf)
+
+  test("ngram_jaccard == HOF array_intersect/array_union jaccard on corpus pairs") {
+    NGramJaccard.register(spark)
+    val t = docs.select("doc_id", "text")
+    val native = t.alias("a")
+      .join(t.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("id"), expr("ngram_jaccard(a.text, b.text, 5)").as("j"))
+      .as[(Long, Double)].collect().toMap
+    val sh = docs.select(col("doc_id"), Dedup.shingles("text", 5).as("sh"))
+    val hof = sh.alias("a")
+      .join(sh.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("id"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("j"))
+      .as[(Long, Double)].collect().toMap
+    assert(native.keySet == hof.keySet)
+    native.foreach { case (id, j) =>
+      assert(math.abs(j - hof(id)) < 1e-12, s"doc $id: $j vs ${hof(id)}")
+    }
+  }
+
+  test("lang_id == column-formulation languageId on the whole corpus") {
+    LangId.register(spark)
+    val native = docs.select(col("doc_id"), expr("lang_id(text)").as("l"))
+      .as[(Long, String)].collect().toMap
+    val column = docs.select(col("doc_id"), TextAnalysis.languageId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(native == column)
+    assert(native.values.toSet.subsetOf(Set("de", "en", "es", "fr", "unknown")))
+  }
+
+  test("ngram_jaccard edge cases: identical, disjoint, empty") {
+    assert(NGramJaccard.compute("abcdef", "abcdef", 3) == 1.0)
+    assert(NGramJaccard.compute("aaaa", "bbbb", 3) == 0.0)
+    assert(NGramJaccard.compute("", "", 3) == 1.0) // both → single '' shingle
+    assert(NGramJaccard.compute("ab", "ab", 5) == 1.0) // short-text shingle
+  }
+
+  test("lang_id edge cases") {
+    assert(LangId.compute("") == "unknown")
+    assert(LangId.compute("zzz qqq xxx") == "unknown")
+    assert(LangId.compute("the cat and the dog") == "en")
+    assert(LangId.compute("el perro y la casa del que") == "es")
+    // tie between en and es resolves lexicographically last (es)
+    assert(LangId.compute("the el") == "es")
+  }
+}
