@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: not "does it run" but "is it the plan you'd
+  * want at 100 TB" — filters reach the parquet scan, column pruning
+  * reaches the reader, aggregation is partial+final, small dimensions
+  * broadcast, and the custom allocation operator costs exactly one
+  * shuffle.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def simple(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02 filters are pushed down to the parquet scan") {
+    val p = formatted("q02_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
+  test("q02 scan prunes to the needed columns (no l_shipdate / l_tax)") {
+    val read = formatted("q02_filter_project")
+      .linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_discount"), read)
+    assert(!read.contains("l_shipdate") && !read.contains("l_tax"), read)
+  }
+
+  test("q01 is a partial+final hash agg over a 5-column vectorized scan") {
+    val p = formatted("q01_agg_rollup")
+    assert(p.contains("partial_sum"), p)                 // map-side combine
+    assert(p.contains("Batched: true"), p)               // vectorized reader
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
+    assert(!read.contains("l_orderkey"), read)           // grouping needs 5 of 11 cols
+  }
+
+  test("dimension joins broadcast, no cartesian products (q03, q04)") {
+    assert(simple("q03_join_dim").contains("BroadcastHashJoin"))
+    val p4 = simple("q04_join_chain")
+    assert(p4.contains("BroadcastHashJoin"), p4)
+    assert(!p4.contains("CartesianProduct"), p4)
+  }
+
+  test("greedy allocation costs exactly one shuffle (hash on the key) + local sort") {
+    val p = simple("q13_alloc_greedy")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"$shuffles shuffles:\n$p")
+    assert(p.contains("REPARTITION_BY_COL"), p)
+    assert(p.contains("Sort [l_partkey"), p)             // partition-local sort
+    assert(p.contains("BroadcastHashJoin"), p)           // capacity dim broadcast
+  }
+
+  test("brute-force cosine top-k broadcasts the query side") {
+    val p = simple("q24_cosine_topk")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
