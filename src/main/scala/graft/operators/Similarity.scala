@@ -84,6 +84,76 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate cosine top-k: a deterministic
+    * k-means coarse quantizer assigns every corpus vector to its nearest
+    * centroid cell; a query scores only the cells of its `nprobe`
+    * nearest centroids. The standard ANN scale path (cf. FAISS IVF):
+    * candidate volume ≈ nprobe/k of the corpus, and at 100 TB the corpus
+    * can be PARTITIONED BY cell id so a query touches nprobe partitions.
+    * Centroids are fit with spark.ml KMeans (fixed seed ⇒ reproducible).
+    */
+  def ivfCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val corpusVec = corpus.select(
+      col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("__cv"),
+      array_to_vector(col(vecCol)).as("__features"))
+    val model = new KMeans()
+      .setK(numCells).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("__features")
+      .fit(corpusVec.select("__features"))
+    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    val c = model
+      .transform(corpusVec)
+      .withColumnRenamed("prediction", "__cell")
+      .select("neighbor_id", "__cv", "__cell")
+
+    // query probes: its nprobe nearest centroids by cosine
+    val centroidLits = centroids.zipWithIndex.map { case (ctr, i) =>
+      struct(
+        lit(i).as("cell"),
+        (dot(toDouble(col(vecCol)), array(ctr.map(lit): _*)) /
+          (norm(toDouble(col(vecCol))) *
+            lit(math.sqrt(ctr.map(x => x * x).sum)))).as("sim"))
+    }
+    val q = queries
+      .select(
+        col(idCol).as("query_id"),
+        toDouble(col(vecCol)).as("__qv"),
+        slice(array_sort(array(centroidLits: _*),
+          (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
+            .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
+          1, nprobe).as("__probes"))
+      .withColumn("__cell", explode(col("__probes").getField("cell")))
+      .select("query_id", "__qv", "__cell")
+
+    val scored = c
+      .join(broadcast(q), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine",
+        dot(col("__cv"), col("__qv")) / (norm(col("__cv")) * norm(col("__qv"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Multi-table LSH approximate cosine top-k: `numTables` independent
     * sign-pattern hash tables (each `bits` hyperplanes); a candidate is
     * any corpus vector sharing a bucket with the query in ANY table —

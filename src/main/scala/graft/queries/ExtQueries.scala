@@ -147,6 +147,42 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), r6(col("cosine")).as("cosine"), col("rank"))
   }
 
+  /** Dedup application via LEFT SEMI join: keep one canonical doc per
+    * (lang, source) group — the "apply the survivor set" shape every
+    * dedup pipeline ends with. (Exact-content groups are all singletons
+    * in this corpus, so grouping by coarser keys keeps the check
+    * non-trivial: the keeper set is a proper subset.)
+    */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepers = docs.groupBy("lang", "source")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  /** Dedup removal via LEFT ANTI join: every non-canonical row. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keepers = docs.groupBy("lang", "source")
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "source")
+  }
+
+  /** IVF approximate cosine top-k (k-means cells, rows-only — recall vs
+    * brute force asserted in SimilaritySpec).
+    */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfCosineTopK(
+      emb, emb.filter(col("vec_id") < 30), "vec_id", "embedding",
+      k = 5, numCells = 16, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"), r6(col("cosine")).as("cosine"), col("rank"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q16_explode_tokens" -> q16,
     "q17_text_stats" -> q17,
@@ -161,7 +197,10 @@ object ExtQueries {
     "q26_sessionize" -> q26,
     "q27_multimodal_meta" -> q27,
     "q28_multimodal_features" -> q28,
-    "q29_cosine_topk_lsh" -> q29
+    "q29_cosine_topk_lsh" -> q29,
+    "q30_dedup_apply_semi" -> q30,
+    "q31_dedup_drop_anti" -> q31,
+    "q32_cosine_topk_ivf" -> q32
   )
 
   private val langCase = {
@@ -242,6 +281,12 @@ object ExtQueries {
         |    THEN 1 ELSE 0 END) AS n_sessions,
         |count(*) AS n_events
         |FROM t GROUP BY user_id""".stripMargin,
+    "q30_dedup_apply_semi" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)""".stripMargin,
+    "q31_dedup_drop_anti" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)""".stripMargin,
     "q27_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 'image' AS kind,
         |CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,

@@ -44,6 +44,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(approx.size <= exact.size)
   }
 
+  test("IVF top-k achieves usable recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity
+      .bruteForceCosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity
+      .ivfCosineTopK(emb, queries, "vec_id", "embedding", k = 5,
+        numCells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // probing half the cells on near-random vectors: candidate volume ~50%
+    assert(recall >= 0.4, s"IVF recall $recall")
+    // deterministic: same seed, same result
+    val approx2 = Similarity
+      .ivfCosineTopK(emb, queries, "vec_id", "embedding", k = 5,
+        numCells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx == approx2)
+  }
+
   test("lshBucket is deterministic and splits the corpus") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))
