@@ -15,14 +15,16 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
-  /** BPE-ish subword count upper bound: word-piece regex splits on
-    * letter/digit/punct class changes — approximates tokenizer load
-    * without shipping a vocab.
+  /** BPE-ish subword piece count: collapse each maximal run of letters,
+    * digits, or punctuation into one sentinel char and count them —
+    * approximates tokenizer load (a word-piece per class run) without
+    * shipping a vocab, using only RE2-safe regex (portable to DuckDB
+    * oracles; lookbehind is not).
     */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z\\s])|(?<=[0-9])(?=[^0-9\\s])|\\s+"),
-      t => length(t) > 0))
+    length(regexp_replace(
+      regexp_replace(text, "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+", ""),
+      "\\s", ""))
 
   /** Quality heuristics: length, token count, mean word length,
     * punctuation ratio, stopword ratio — the usual Gopher/C4-style

@@ -183,6 +183,35 @@ object ExtQueries {
       .select(col("query_id"), col("neighbor_id"), r6(col("cosine")).as("cosine"), col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-flavored use of the
+    * embedding space): all pairs above a cosine threshold, deterministic
+    * (id_a < id_b). Brute self-join here (oracle-friendly); the LSH/IVF
+    * bucketed paths bound candidates at scale.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    val na = expr("sqrt(aggregate(transform(a.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    val nb = expr("sqrt(aggregate(transform(b.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
+    e.alias("a")
+      .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", dot / (na * nb))
+      .filter(col("cosine") >= 0.3)
+      .select(
+        col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"),
+        r6(col("cosine")).as("cosine"))
+  }
+
+  /** BPE-ish subword piece counts (tokenizer-load estimate). */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.subwordCount(col("text")).as("n_pieces"))
+
   val defs: Map[String, Q] = Map(
     "q16_explode_tokens" -> q16,
     "q17_text_stats" -> q17,
@@ -200,7 +229,9 @@ object ExtQueries {
     "q29_cosine_topk_lsh" -> q29,
     "q30_dedup_apply_semi" -> q30,
     "q31_dedup_drop_anti" -> q31,
-    "q32_cosine_topk_ivf" -> q32
+    "q32_cosine_topk_ivf" -> q32,
+    "q33_embedding_neardup" -> q33,
+    "q34_subword_count" -> q34
   )
 
   private val langCase = {
@@ -281,6 +312,20 @@ object ExtQueries {
         |    THEN 1 ELSE 0 END) AS n_sessions,
         |count(*) AS n_events
         |FROM t GROUP BY user_id""".stripMargin,
+    "q33_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.50001) / 1000000 AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.3""".stripMargin,
+    "q34_subword_count" ->
+      """SELECT doc_id,
+        |CASE WHEN length(trim(text)) = 0 THEN 0
+        |     ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+        |length(regexp_replace(regexp_replace(text,
+        |  '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+', chr(1), 'g'), '\s', '', 'g')) AS n_pieces
+        |FROM documents""".stripMargin,
     "q30_dedup_apply_semi" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY lang, source)""".stripMargin,
