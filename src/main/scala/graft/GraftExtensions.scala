@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LangId, MinHashSig, NGramJaccard, SimHash64}
+import graft.functions.{CosineSim, LangId, MinHashSig, NGramJaccard, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -36,5 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("lang_id"),
       new ExpressionInfo(classOf[LangId].getName, "lang_id"),
       (exprs: Seq[Expression]) => LangId(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
   }
 }

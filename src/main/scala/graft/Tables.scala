@@ -26,16 +26,20 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
     * default; read nanos as long and convert to a microsecond timestamp
-    * (Spark's native precision — floor division, matching DuckDB's
-    * nanosecond value truncated to the same microsecond).
+    * with INTEGER division (`div`) — `/1000` would go through double,
+    * whose 53-bit mantissa loses 1µs on ~1.5% of ~1.7e18ns values.
+    *
+    * NOTE: setting `nanosAsLong` is session-wide and sticky — any later
+    * read of a TIMESTAMP(NANOS) column in the same session sees a Long
+    * column instead of an error. All events consumers must come through
+    * this loader.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000)
-            .cast(org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

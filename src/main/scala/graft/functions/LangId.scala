@@ -41,12 +41,16 @@ case class LangId(child: Expression) extends UnaryExpression {
 
 object LangId {
 
-  /** Languages in lexicographic order; ties resolve to the LAST hit. */
-  val markers: Seq[(String, Set[String])] = Seq(
-    "de" -> Set("der", "die", "das", "und", "ist", "von", "ein", "nicht"),
-    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it"),
-    "es" -> Set("el", "la", "de", "que", "y", "en", "los", "del"),
-    "fr" -> Set("le", "la", "les", "de", "et", "un", "est", "que"))
+  /** Languages in lexicographic order; ties resolve to the LAST hit.
+    * SINGLE source of truth for the marker tables — the column
+    * formulation ([[graft.operators.TextAnalysis.languageId]]) and the
+    * q18 DuckDB oracle are both derived from this value.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"))
 
   private val markerMap: java.util.HashMap[String, Array[Int]] = {
     val m = new java.util.HashMap[String, Array[Int]]()

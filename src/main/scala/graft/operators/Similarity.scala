@@ -42,6 +42,7 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     val c = corpus.select(
       col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("__cv"))
@@ -50,7 +51,7 @@ object Similarity {
       toDouble(col(vecCol)).as("__qv"))
     val scored = c
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dot(col("__cv"), col("__qv")) / (norm(col("__cv")) * norm(col("__qv"))))
+      .withColumn("cosine", expr("cosine_sim(__cv, __qv)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -101,6 +102,7 @@ object Similarity {
       numCells: Int = 16,
       nprobe: Int = 4,
       seed: Long = 7L): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
@@ -120,13 +122,16 @@ object Similarity {
       .withColumnRenamed("prediction", "__cell")
       .select("neighbor_id", "__cv", "__cell")
 
-    // query probes: its nprobe nearest centroids by cosine
+    // Query probes: its nprobe nearest centroids under the SAME metric
+    // the quantizer assigned with (Euclidean): argmin ‖q−c‖² =
+    // argmax (q·c − ‖c‖²/2). Ranking probes by cosine instead would use
+    // a different ordering (centroids are not unit-norm) and could skip
+    // the very cell a query's neighbors were assigned to.
     val centroidLits = centroids.zipWithIndex.map { case (ctr, i) =>
       struct(
         lit(i).as("cell"),
-        (dot(toDouble(col(vecCol)), array(ctr.map(lit): _*)) /
-          (norm(toDouble(col(vecCol))) *
-            lit(math.sqrt(ctr.map(x => x * x).sum)))).as("sim"))
+        (dot(toDouble(col(vecCol)), array(ctr.map(lit): _*)) -
+          lit(ctr.map(x => x * x).sum / 2)).as("sim"))
     }
     val q = queries
       .select(
@@ -143,8 +148,7 @@ object Similarity {
       .join(broadcast(q), Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine",
-        dot(col("__cv"), col("__qv")) / (norm(col("__cv")) * norm(col("__qv"))))
+      .withColumn("cosine", expr("cosine_sim(__cv, __qv)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -174,6 +178,7 @@ object Similarity {
       dim: Int,
       numTables: Int = 8,
       seed: Long = 7L): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
     def withBuckets(df: DataFrame, id: String): DataFrame = {
       val tables = (0 until numTables).map { t =>
         struct(
@@ -192,10 +197,8 @@ object Similarity {
       .join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn(
-        "cosine",
-        dot(col("__v_neighbor_id"), col("__v_query_id")) /
-          (norm(col("__v_neighbor_id")) * norm(col("__v_query_id"))))
+      .withColumn("cosine",
+        expr("cosine_sim(__v_neighbor_id, __v_query_id)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -23,7 +23,7 @@ object TextAnalysis {
     */
   def subwordCount(text: Column): Column =
     length(regexp_replace(
-      regexp_replace(text, "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+", ""),
+      regexp_replace(text, "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+", "\u0001"),
       "\\s", ""))
 
   /** Quality heuristics: length, token count, mean word length,
@@ -54,12 +54,11 @@ object TextAnalysis {
           .otherwise(0.0))
   }
 
-  /** Marker words per language for the n-gram/stopword heuristic. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
-    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "un", "est", "que"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von", "ein", "nicht"))
+  /** Marker words per language — shared single source of truth with the
+    * native expression and the q18 oracle (see [[graft.functions.LangId]]).
+    */
+  private def langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.LangId.markers
 
   /** Language-ID: count marker-word hits per language over the lowercased
     * token bag; emit the argmax (ties → lexicographically LAST language,

@@ -189,14 +189,12 @@ object ExtQueries {
     * bucketed paths bound candidates at scale.
     */
   private def q33(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-    val na = expr("sqrt(aggregate(transform(a.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
-    val nb = expr("sqrt(aggregate(transform(b.v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))")
     e.alias("a")
       .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", dot / (na * nb))
+      .withColumn("cosine", expr("cosine_sim(a.v, b.v)"))
       .filter(col("cosine") >= 0.3)
       .select(
         col("a.vec_id").as("id_a"),
@@ -235,13 +233,15 @@ object ExtQueries {
   )
 
   private val langCase = {
+    // word lists derive from the single source of truth in LangId.markers
+    val m = graft.functions.LangId.markers.toMap
     def score(markers: Seq[String]) =
       s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
-        s"w -> w IN (${markers.map(m => s"'$m'").mkString(",")})))"
-    val en = score(Seq("the", "and", "of", "to", "is", "in", "that", "it"))
-    val es = score(Seq("el", "la", "de", "que", "y", "en", "los", "del"))
-    val fr = score(Seq("le", "la", "les", "de", "et", "un", "est", "que"))
-    val de = score(Seq("der", "die", "das", "und", "ist", "von", "ein", "nicht"))
+        s"w -> w IN (${markers.map(w => s"'$w'").mkString(",")})))"
+    val en = score(m("en"))
+    val es = score(m("es"))
+    val fr = score(m("fr"))
+    val de = score(m("de"))
     s"""SELECT doc_id,
        |CASE WHEN greatest($en, $es, $fr, $de) = 0 THEN 'unknown'
        |     WHEN $fr >= $en AND $fr >= $es AND $fr >= $de THEN 'fr'
