@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's recommended session configuration — the
+  * settings that matter at the 100 TB design point, documented inline so
+  * a deployment can override knowingly.
+  */
+object GraftSession {
+
+  def builder(
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+      shufflePartitions: Int =
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      // one shuffle partition per core locally; on a cluster size this to
+      // ~2-3× total cores and let AQE coalesce down
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE: runtime re-planning, skew-join splitting, partition coalescing
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // dimensions up to 64 MB broadcast instead of shuffling the fact side
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // input split size: 128 MB keeps scan tasks large enough to amortize
+      // open costs but small enough to spread across executors
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
+      .config("spark.sql.session.timeZone", "UTC")
+      // custom expressions (simhash64, minhash_sig, ngram_jaccard,
+      // lang_id, cosine_sim) available in SQL everywhere
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+}

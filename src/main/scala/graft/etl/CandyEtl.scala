@@ -61,12 +61,24 @@ object CandyEtl {
   /** Greedy inventory allocation (§2.8): fill-or-cancel per product in
     * (day, transaction, item) order; cancelled lines keep quantity 0 and
     * line_total 0.00 and stay in every downstream aggregate.
+    *
+    * `reloadDaily = true` implements the reference's parsed-but-ignored
+    * `RELOAD_INVENTORY_DAILY` flag (reference data_processor.py:54-60 —
+    * dead config there): each day allocates against the FULL dimension
+    * stock instead of carrying remaining stock across days, expressed as
+    * a composite (product, day) allocation key — still one shuffle.
     */
-  def allocate(priced: DataFrame): DataFrame =
+  def allocate(priced: DataFrame, reloadDaily: Boolean = false): DataFrame = {
+    val (input, key) =
+      if (reloadDaily)
+        (priced.withColumn(
+          "__alloc_key", concat_ws("#", col("product_id"), col("day_idx"))),
+          "__alloc_key")
+      else (priced, "product_id")
     Allocation
       .greedy(
-        priced,
-        keyCol = "product_id",
+        input,
+        keyCol = key,
         qtyCol = "qty",
         capCol = "stock",
         orderCols = Seq("day_idx", "tx_seq", "item_pos"))
@@ -74,7 +86,8 @@ object CandyEtl {
       .withColumn(
         "line_total",
         round(col("quantity") * col("sales_price"), 2).cast(Money))
-      .drop("alloc_qty")
+      .drop("alloc_qty", "__alloc_key")
+  }
 
   /** `order_line_items` report frame (golden shape, sorted — O1). */
   def orderLineItems(allocated: DataFrame): DataFrame =

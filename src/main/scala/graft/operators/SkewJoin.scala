@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys — the manual escape hatch when AQE's
+  * skew-join splitting isn't available or isn't enough (e.g. a single
+  * key holding >1 task's worth of rows on the BIG side of a non-broadcast
+  * join, which at 100 TB means one straggler task pinning the stage).
+  *
+  * The big side gets a random-but-deterministic salt in [0, saltFactor);
+  * the small side is exploded ×saltFactor so every (key, salt) combination
+  * exists. The join key becomes (key, salt) — the hot key's rows now
+  * spread over `saltFactor` reducers. Cost: small side replicated
+  * ×saltFactor (fine — if it weren't small you'd broadcast or bucket
+  * instead).
+  *
+  * Prefer, in order: broadcast (dim small) → AQE skew join (on by
+  * default) → salting (this) → bucketing both sides at write time.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `big` and `small` on `key`, salted `saltFactor`
+    * ways. The salt is `xxhash64` of the big side's whole row position —
+    * deterministic for a given input, uniform across reducers.
+    */
+  def saltedInnerJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 1)
+    val saltedBig = big.withColumn(
+      "__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    saltedBig
+      .join(saltedSmall, Seq(key, "__salt"), "inner")
+      .drop("__salt")
+  }
+}

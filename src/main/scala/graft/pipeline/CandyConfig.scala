@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+/** Environment-driven configuration mirroring the reference's `.env`
+  * surface (reference .env.example:1-21, parsed in main.py:76-107) so a
+  * user of the reference can switch without changing their deployment
+  * config. File-backed fixtures only need `CANDY_DATA_DIR`; the
+  * MongoDB/MySQL variables are carried for the production source
+  * implementations (`format("mongodb")` / `format("jdbc")`).
+  *
+  * `RELOAD_INVENTORY_DAILY` is parsed by the reference but never acted on
+  * (data_processor.py:54-60 — dead config); here it is IMPLEMENTED:
+  * when true, each day's allocation starts from the full dimension stock
+  * instead of carrying remaining stock across days.
+  */
+final case class CandyConfig(
+    dataDir: String,
+    outputPath: String,
+    startDate: LocalDate,
+    endDate: LocalDate,
+    mongoUri: String,
+    mongoDb: String,
+    mongoCollectionPrefix: String,
+    mysqlUrl: String,
+    mysqlUser: String,
+    mysqlPassword: String,
+    customersTable: String,
+    productsTable: String,
+    reloadInventoryDaily: Boolean)
+
+object CandyConfig {
+  private val fmt = DateTimeFormatter.ofPattern("yyyyMMdd")
+
+  def fromEnv(env: Map[String, String] = sys.env): CandyConfig = {
+    def get(k: String, default: String): String =
+      env.get(k).filter(_.nonEmpty).getOrElse(default)
+    CandyConfig(
+      dataDir = get("CANDY_DATA_DIR", "data"),
+      outputPath = get("OUTPUT_PATH", "data/output"),
+      startDate = LocalDate.parse(get("MONGO_START_DATE", "20240201"), fmt),
+      endDate = LocalDate.parse(get("MONGO_END_DATE", "20240210"), fmt),
+      mongoUri = get("MONGODB_URI", "mongodb://localhost:27017"),
+      mongoDb = get("MONGO_DB", "candy_store"),
+      mongoCollectionPrefix = get("MONGO_COLLECTION_PREFIX", "transactions_"),
+      mysqlUrl = get("MYSQL_URL", ""),
+      mysqlUser = get("MYSQL_USER", ""),
+      mysqlPassword = get("MYSQL_PASSWORD", ""),
+      customersTable = get("CUSTOMERS_TABLE", "customers"),
+      productsTable = get("PRODUCTS_TABLE", "products"),
+      reloadInventoryDaily =
+        get("RELOAD_INVENTORY_DAILY", "false").toLowerCase == "true")
+  }
+}

@@ -27,7 +27,8 @@ class CandyPipeline(
     outputDir: String,
     start: LocalDate,
     endInclusive: LocalDate,
-    forecastDays: Int = 1) {
+    forecastDays: Int = 1,
+    reloadInventoryDaily: Boolean = false) {
 
   final case class Result(
       orderLineItems: DataFrame,
@@ -45,11 +46,17 @@ class CandyPipeline(
     val products = CandySources.products(spark, dataDir)
 
     val allocated = CandyEtl
-      .allocate(CandyEtl.pricedLines(transactions, products))
+      .allocate(CandyEtl.pricedLines(transactions, products), reloadInventoryDaily)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val lineItems = CandyEtl.orderLineItems(allocated)
-    val stock = CandyEtl.productsUpdated(products, allocated)
+    // Under daily inventory reload, "current stock" means stock after the
+    // LAST business day (each day started from full stock).
+    val stockSource =
+      if (reloadInventoryDaily)
+        allocated.filter(col("day_idx") === lit(endInclusive.toEpochDay))
+      else allocated
+    val stock = CandyEtl.productsUpdated(products, stockSource)
     val orders = CandyEtl.orders(transactions, allocated)
     val daily = CandyEtl.dailySummary(orders, allocated)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -99,4 +106,14 @@ class CandyPipeline(
       spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
     }
   }
+}
+
+object CandyPipeline {
+  /** Build from the reference-shaped environment config. */
+  def fromConfig(
+      spark: org.apache.spark.sql.SparkSession,
+      cfg: CandyConfig): CandyPipeline =
+    new CandyPipeline(
+      spark, cfg.dataDir, cfg.outputPath, cfg.startDate, cfg.endDate,
+      reloadInventoryDaily = cfg.reloadInventoryDaily)
 }

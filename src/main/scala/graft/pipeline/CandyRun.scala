@@ -9,16 +9,29 @@ import java.time.format.DateTimeFormatter
   * reference's `main.py` entry point (reference main.py:141-205).
   *
   * Usage: CandyRun <dataDir> <outputDir> <startDate yyyyMMdd> <endDate yyyyMMdd>
+  *
+  * With NO arguments, configuration comes from the reference-shaped
+  * environment variables instead (see [[CandyConfig]] / reference
+  * .env.example) — a reference deployment's env carries over unchanged.
   */
 object CandyRun {
   def main(args: Array[String]): Unit = {
     require(
-      args.length == 4,
-      "usage: CandyRun <dataDir> <outputDir> <startDate yyyyMMdd> <endDate yyyyMMdd>")
-    val Array(dataDir, outputDir, startS, endS) = args
-    val fmt = DateTimeFormatter.ofPattern("yyyyMMdd")
-    val start = LocalDate.parse(startS, fmt)
-    val end = LocalDate.parse(endS, fmt)
+      args.isEmpty || args.length == 4,
+      "usage: CandyRun [<dataDir> <outputDir> <startDate yyyyMMdd> <endDate yyyyMMdd>] " +
+        "(no args: configure from environment)")
+    val cfg =
+      if (args.isEmpty) CandyConfig.fromEnv()
+      else {
+        val fmt = DateTimeFormatter.ofPattern("yyyyMMdd")
+        CandyConfig.fromEnv(Map.empty).copy(
+          dataDir = args(0),
+          outputPath = args(1),
+          startDate = LocalDate.parse(args(2), fmt),
+          endDate = LocalDate.parse(args(3), fmt))
+      }
+    val (dataDir, outputDir, start, end) =
+      (cfg.dataDir, cfg.outputPath, cfg.startDate, cfg.endDate)
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
@@ -29,7 +42,9 @@ object CandyRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val result = new CandyPipeline(spark, dataDir, outputDir, start, end).run()
+    val result = new CandyPipeline(
+      spark, dataDir, outputDir, start, end,
+      reloadInventoryDaily = cfg.reloadInventoryDaily).run()
     println(s"order_line_items: ${result.orderLineItems.count()} rows")
     println(s"products_updated: ${result.productsUpdated.count()} rows")
     println(s"orders:           ${result.orders.count()} rows")
