@@ -210,6 +210,29 @@ object ExtQueries {
         TextAnalysis.tokenCount(col("text")).as("n_words"),
         TextAnalysis.subwordCount(col("text")).as("n_pieces"))
 
+  /** Data profiling: per-group column statistics (exact distinct counts,
+    * min/max/avg) — the "analyze before you train on it" sweep.
+    */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        r2(min(col("l_extendedprice"))).as("min_price"),
+        r2(max(col("l_extendedprice"))).as("max_price"),
+        r6(avg(col("l_discount"))).as("avg_discount"),
+        sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("null_qty"))
+
+  /** Exact interpolated quantiles per group (p50/p95/p99). */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
+        r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+
   val defs: Map[String, Q] = Map(
     "q16_explode_tokens" -> q16,
     "q17_text_stats" -> q17,
@@ -229,7 +252,9 @@ object ExtQueries {
     "q31_dedup_drop_anti" -> q31,
     "q32_cosine_topk_ivf" -> q32,
     "q33_embedding_neardup" -> q33,
-    "q34_subword_count" -> q34
+    "q34_subword_count" -> q34,
+    "q35_profile" -> q35,
+    "q36_quantiles" -> q36
   )
 
   private val langCase = {
@@ -312,6 +337,20 @@ object ExtQueries {
         |    THEN 1 ELSE 0 END) AS n_sessions,
         |count(*) AS n_events
         |FROM t GROUP BY user_id""".stripMargin,
+    "q35_profile" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |count(DISTINCT l_partkey) AS n_parts,
+        |floor((min(l_extendedprice)) * 100 + 0.50001) / 100 AS min_price,
+        |floor((max(l_extendedprice)) * 100 + 0.50001) / 100 AS max_price,
+        |floor((avg(l_discount)) * 1000000 + 0.50001) / 1000000 AS avg_discount,
+        |sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q36_quantiles" ->
+      """SELECT l_returnflag,
+        |floor((quantile_cont(l_extendedprice, 0.5)) * 100 + 0.50001) / 100 AS p50,
+        |floor((quantile_cont(l_extendedprice, 0.95)) * 100 + 0.50001) / 100 AS p95,
+        |floor((quantile_cont(l_extendedprice, 0.99)) * 100 + 0.50001) / 100 AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q33_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
