@@ -52,6 +52,38 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(NGramJaccard.compute("ab", "ab", 5) == 1.0) // short-text shingle
   }
 
+  test("fuzz: ngram_jaccard matches a scala Set-based reference on random strings") {
+    val rnd = new scala.util.Random(7)
+    def randText(): String =
+      (0 until rnd.nextInt(60)).map(_ => "ab c".charAt(rnd.nextInt(4))).mkString
+    def refJaccard(a: String, b: String, n: Int): Double = {
+      def sh(t: String) = (0 to math.max(t.length - n, 0))
+        .map(i => t.substring(i, math.min(i + n, t.length))).toSet
+      val (sa, sb) = (sh(a), sh(b))
+      val u = (sa | sb).size
+      if (u == 0) 0.0 else (sa & sb).size.toDouble / u
+    }
+    for (_ <- 1 to 500) {
+      val (a, b) = (randText(), randText())
+      val n = 1 + rnd.nextInt(5)
+      val got = NGramJaccard.compute(a, b, n)
+      val want = refJaccard(a, b, n)
+      assert(math.abs(got - want) < 1e-12, s"n=$n a='$a' b='$b': $got vs $want")
+    }
+  }
+
+  test("fuzz: simhash compute is stable and whitespace-variant-insensitive on token bags") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val tokens = (0 until 1 + rnd.nextInt(10))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar.toString * (1 + rnd.nextInt(3)))
+      // same token bag, different whitespace → same simhash
+      val h1 = SimHash64.compute(tokens.mkString(" "))
+      val h2 = SimHash64.compute(tokens.mkString("  ") + " ")
+      assert(h1 == h2, tokens.mkString(","))
+    }
+  }
+
   test("lang_id edge cases") {
     assert(LangId.compute("") == "unknown")
     assert(LangId.compute("zzz qqq xxx") == "unknown")
