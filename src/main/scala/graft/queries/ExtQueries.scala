@@ -233,6 +233,32 @@ object ExtQueries {
         r2(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
         r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
 
+  /** Corpus-overlap estimation: per-source union MinHash signatures via
+    * the typed Aggregator (map-side combinable, k longs of state per
+    * group), then pairwise source-vs-source Jaccard estimates. Custom
+    * sketch ⇒ rows-only; MinHashAggSpec pins the algebra.
+    */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MinHashSig.register(s)
+    import s.implicits._
+    val sigs = Tables.documents(s, d)
+      .select(col("source"), Dedup.minHashSignature("text", 64, 5).as("sig"))
+      .as[(String, Array[Long])]
+    val grouped = sigs
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.MinHashAgg.unionSignature(64).name("usig"))
+      .toDF("source", "usig")
+    grouped.alias("a")
+      .join(grouped.alias("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        r6(expr(
+          "size(filter(zip_with(a.usig, b.usig, (x, y) -> x = y), m -> m)) / 64.0"))
+          .as("est_jaccard"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q16_explode_tokens" -> q16,
     "q17_text_stats" -> q17,
@@ -254,7 +280,8 @@ object ExtQueries {
     "q33_embedding_neardup" -> q33,
     "q34_subword_count" -> q34,
     "q35_profile" -> q35,
-    "q36_quantiles" -> q36
+    "q36_quantiles" -> q36,
+    "q37_corpus_overlap" -> q37
   )
 
   private val langCase = {
