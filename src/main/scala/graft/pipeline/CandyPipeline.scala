@@ -96,6 +96,11 @@ class CandyPipeline(
       }
       val sales = Forecaster.fit(series.map(x => (x._1, x._2)).toSeq)
       val profit = Forecaster.fit(series.map(x => (x._1, x._3)).toSeq)
+      // in-sample fit metrics, printed like the reference does
+      // (reference time_series.py:45-67 — reported, never saved)
+      val (sm, pm) = (sales.metrics, profit.metrics)
+      println(f"Forecast fit — sales MAE=${sm.mae}%.2f MSE=${sm.mse}%.2f; " +
+        f"profit MAE=${pm.mae}%.2f MSE=${pm.mse}%.2f")
       val out = sales.predict(forecastDays).zip(profit.predict(forecastDays)).map {
         case ((d, s), (_, p)) =>
           Row(
