@@ -237,6 +237,42 @@ object CoreQueries {
       .select("partkey", "remaining_cap")
   }
 
+  /** Set operations: INTERSECT / EXCEPT (distinct semantics), beyond the
+    * reference's bag-union-only surface.
+    */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val highValue = o.filter(col("o_totalprice") > 400000).select("o_custkey")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val both = highValue.intersect(urgent)
+      .withColumn("relation", lit("both"))
+    val onlyHigh = highValue.except(urgent)
+      .withColumn("relation", lit("high_only"))
+    both.union(onlyHigh)
+  }
+
+  /** ROLLUP: hierarchical subtotals in one aggregation pass. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        r2(sum(col("l_extendedprice"))).as("total"))
+
+  /** Pivot: one column per order priority, revenue per status row.
+    * Pivot values pinned explicitly so the output schema is static (at
+    * scale an unpinned pivot needs an extra distinct-values job).
+    */
+  private def q40(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(r2(sum(col("o_totalprice"))))
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
+        "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+
   val defs: Map[String, Q] = Map(
     "q01_agg_rollup" -> q01,
     "q02_filter_project" -> q02,
@@ -252,7 +288,10 @@ object CoreQueries {
     "q12_window_rank" -> q12,
     "q13_alloc_greedy" -> q13,
     "q14_alloc_cumsum" -> q14,
-    "q15_stock_writeback" -> q15
+    "q15_stock_writeback" -> q15,
+    "q38_set_ops" -> q38,
+    "q39_rollup" -> q39,
+    "q40_pivot" -> q40
   )
 
   private val cumsumAllocSql =
@@ -334,6 +373,24 @@ object CoreQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) t
         |WHERE rk <= 3""".stripMargin,
+    "q38_set_ops" ->
+      """WITH hv AS (SELECT o_custkey FROM orders WHERE o_totalprice > 400000),
+        |u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, 'both' AS relation FROM (SELECT * FROM hv INTERSECT SELECT * FROM u) t
+        |UNION ALL
+        |SELECT o_custkey, 'high_only' AS relation FROM (SELECT * FROM hv EXCEPT SELECT * FROM u) t""".stripMargin,
+    "q39_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |floor((sum(l_extendedprice)) * 100 + 0.50001) / 100 AS total
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q40_pivot" ->
+      """SELECT o_orderstatus,
+        |floor((sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p1,
+        |floor((sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p2,
+        |floor((sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p3,
+        |floor((sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p4,
+        |floor((sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p5
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q14_alloc_cumsum" -> cumsumAllocSql,
     "q15_stock_writeback" ->
       s"""WITH alloc AS ($cumsumAllocSql),
