@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  private def envCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
+
   def builder(
-      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-      shufflePartitions: Int =
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
+      master: String = s"local[$envCpus]",
+      shufflePartitions: Int = envCpus): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")
@@ -28,6 +30,11 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.session.timeZone", "UTC")
       // custom expressions (simhash64, minhash_sig, ngram_jaccard,
-      // lang_id, cosine_sim) available in SQL everywhere
+      // lang_id, cosine_sim) available in SQL everywhere. BOTH forms:
+      // the static conf serves spark-submit-created contexts, while
+      // withExtensions applies even when this builder reuses an already
+      // -running SparkContext (the static conf is read only at context
+      // creation and would otherwise be silently ignored).
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
 }

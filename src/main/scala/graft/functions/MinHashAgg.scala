@@ -21,6 +21,12 @@ class MinHashAgg(numHashes: Int)
   override def zero: Array[Long] = Array.fill(numHashes)(Long.MaxValue)
 
   override def reduce(acc: Array[Long], sig: Array[Long]): Array[Long] = {
+    // null signature (e.g. from minhash_sig over a NULL text) contributes
+    // nothing; a short signature is a caller error worth a clear message
+    if (sig == null) return acc
+    require(
+      sig.length >= numHashes,
+      s"signature has ${sig.length} slots, aggregator expects $numHashes")
     var i = 0
     while (i < numHashes) {
       if (sig(i) < acc(i)) acc(i) = sig(i)

@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join of `big` and `small` on `key`, salted `saltFactor`
-    * ways. The salt is `xxhash64` of the big side's whole row position —
-    * deterministic for a given input, uniform across reducers.
+    * ways. The salt is `xxhash64` over the big side's WHOLE ROW — a pure
+    * function of row content, so a task retry re-salts each row
+    * identically (a positional salt like `monotonically_increasing_id`
+    * can change across recomputations of a shuffled input and
+    * duplicate/drop rows — the SPARK-23207 failure class). Exact
+    * duplicate rows share a salt; that only re-skews if the hot key's
+    * rows are near-all identical, in which case dedup first.
     */
   def saltedInnerJoin(
       big: DataFrame,
@@ -32,7 +37,7 @@ object SkewJoin {
     require(saltFactor > 1)
     val saltedBig = big.withColumn(
       "__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val saltedSmall = small
       .withColumn("__salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
     saltedBig

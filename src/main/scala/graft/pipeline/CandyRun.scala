@@ -1,7 +1,5 @@
 package graft.pipeline
 
-import org.apache.spark.sql.SparkSession
-
 import java.time.LocalDate
 import java.time.format.DateTimeFormatter
 
@@ -10,41 +8,38 @@ import java.time.format.DateTimeFormatter
   *
   * Usage: CandyRun <dataDir> <outputDir> <startDate yyyyMMdd> <endDate yyyyMMdd>
   *
-  * With NO arguments, configuration comes from the reference-shaped
-  * environment variables instead (see [[CandyConfig]] / reference
-  * .env.example) — a reference deployment's env carries over unchanged.
+  * Configuration always starts from the reference-shaped environment
+  * variables (see [[CandyConfig]] / reference .env.example); positional
+  * arguments, when given, override ONLY the paths and date range —
+  * behavioural env flags like `RELOAD_INVENTORY_DAILY` stay effective
+  * either way.
   */
 object CandyRun {
   def main(args: Array[String]): Unit = {
     require(
       args.isEmpty || args.length == 4,
       "usage: CandyRun [<dataDir> <outputDir> <startDate yyyyMMdd> <endDate yyyyMMdd>] " +
-        "(no args: configure from environment)")
+        "(no args: configure fully from environment)")
+    val base = CandyConfig.fromEnv()
     val cfg =
-      if (args.isEmpty) CandyConfig.fromEnv()
+      if (args.isEmpty) base
       else {
         val fmt = DateTimeFormatter.ofPattern("yyyyMMdd")
-        CandyConfig.fromEnv(Map.empty).copy(
+        base.copy(
           dataDir = args(0),
           outputPath = args(1),
           startDate = LocalDate.parse(args(2), fmt),
           endDate = LocalDate.parse(args(3), fmt))
       }
-    val (dataDir, outputDir, start, end) =
-      (cfg.dataDir, cfg.outputPath, cfg.startDate, cfg.endDate)
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
+    val spark = graft.GraftSession.builder(
+      master = sys.env.getOrElse(
+        "SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]"))
       .appName("candy-store-etl")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val result = new CandyPipeline(
-      spark, dataDir, outputDir, start, end,
-      reloadInventoryDaily = cfg.reloadInventoryDaily).run()
+    val result = CandyPipeline.fromConfig(spark, cfg).run()
     println(s"order_line_items: ${result.orderLineItems.count()} rows")
     println(s"products_updated: ${result.productsUpdated.count()} rows")
     println(s"orders:           ${result.orders.count()} rows")

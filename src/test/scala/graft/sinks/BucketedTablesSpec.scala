@@ -11,6 +11,7 @@ class BucketedTablesSpec extends AnyFunSuite with SparkTestBase {
 
   test("join of two tables bucketed on the key is shuffle-free and correct") {
     val sf = "/root/testdata/sf0.001"
+    val priorThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
     try {
       BucketedTables.writeBucketed(
@@ -34,7 +35,7 @@ class BucketedTablesSpec extends AnyFunSuite with SparkTestBase {
       // correctness
       assert(joined.count() == unbucketed.count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
