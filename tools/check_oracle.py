@@ -1,0 +1,45 @@
+import duckdb, glob, json, sys, math
+import pandas as pd
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
+out = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
+
+con = duckdb.connect()
+for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+oracle = json.load(open(f'{out}/oracle_sql.json'))
+def canon(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+fails = []
+for name in sorted(oracle):
+    files = glob.glob(f'{out}/{name}/*.parquet')
+    if not files:
+        print(f'{name}: NO SPARK OUTPUT'); fails.append(name); continue
+    sdf = pd.concat([pd.read_parquet(f) for f in files])
+    ddf = con.execute(oracle[name]).df()
+    s, d = canon(sdf), canon(ddf)
+    if list(s.columns) != list(d.columns):
+        print(f'{name}: COLUMN MISMATCH spark={list(s.columns)} duck={list(d.columns)}'); fails.append(name); continue
+    if len(s) != len(d):
+        print(f'{name}: ROWCOUNT spark={len(s)} duck={len(d)}'); fails.append(name); continue
+    ok = True
+    for c in s.columns:
+        a, b = s[c], d[c]
+        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+            if not ((a.fillna(-9e9).values == b.fillna(-9e9).values) | (abs(a.values-b.values) < 1e-9)).all():
+                print(f'{name}: VALUE MISMATCH col {c}'); ok=False
+        else:
+            if not (a.astype(str).values == b.astype(str).values).all():
+                print(f'{name}: VALUE MISMATCH col {c}')
+                mism = (a.astype(str).values != b.astype(str).values)
+                print('  spark:', a[mism].head(3).tolist(), ' duck:', b[mism].head(3).tolist())
+                ok=False
+    if not ok: fails.append(name)
+    else: print(f'{name}: OK ({len(s)} rows)')
+print('FAILS:', fails if fails else 'none')
