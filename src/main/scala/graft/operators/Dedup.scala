@@ -113,7 +113,13 @@ object Dedup {
       threshold: Double): DataFrame = {
     graft.functions.NGramJaccard.register(df.sparkSession)
     val docsSel = df.select(col(idCol), col(textCol))
-    pairs
+    // AQE coalesces the candidate-pair shuffle to ~1 partition (it sizes
+    // by BYTES — a few MB of id pairs — and cannot see that the join
+    // condition below does O(text length) work per pair), serializing
+    // the whole verify onto one core. An explicit repartition pins the
+    // parallelism: measured 8.8 s → 2.0 s at sf0.1 (176k pairs).
+    val spread = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    spread
       .join(
         docsSel.select(col(idCol).as("id_a"), col(textCol).as("__text_a")),
         Seq("id_a"))
