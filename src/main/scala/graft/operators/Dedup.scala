@@ -149,13 +149,62 @@ object Dedup {
       idCol, textCol, shingleSize, threshold)
 
   /** SimHash fingerprints via the custom Catalyst expression
-    * [[graft.functions.SimHash64]]; near-dups are fingerprints within
-    * Hamming distance k — candidate generation by exact-prefix banding on
-    * the fingerprint (rotate-and-mask, Manku et al. WWW'07) composes on
-    * top with plain groupBys.
+    * [[graft.functions.SimHash64]].
     */
   def simHashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.SimHash64.register(df.sparkSession)
     df.select(col(idCol), expr(s"simhash64($textCol)").as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
+    * by exact-band candidate generation (Manku et al., WWW'07 "Detecting
+    * near-duplicates for web crawling"): split the 64-bit fingerprint
+    * into `bands` equal bands — two fingerprints within Hamming k < bands
+    * must agree EXACTLY on at least one band (pigeonhole), so a per-band
+    * equi-self-join finds every such pair with zero recall loss; the
+    * cheap popcount verification then filters false positives. Shuffles
+    * only (band_idx, band_value, id) triples — same scale shape as the
+    * MinHash path.
+    *
+    * Requires `maxHamming < bands` for the pigeonhole guarantee
+    * (default: k ≤ 3 with 4 bands of 16 bits).
+    */
+  def simHashNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    require(64 % bands == 0)
+    val width = 64 / bands
+    val fp = simHashFingerprints(df, idCol, textCol)
+      .select(col(idCol).as("__id"), col("simhash"))
+    val banded = fp.select(
+      col("__id"),
+      col("simhash"),
+      posexplode(expr(
+        // bitwise slice (NOT div/mod, which misbehave on negative longs)
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"shiftright(simhash, b * $width) & ${(1L << width) - 1})"))
+        .as(Seq("band_idx", "band_val")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")
+    val gated = banded
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt").between(2, maxBucket))
+      .drop("__cnt")
+    gated.alias("x")
+      .join(
+        gated.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.__id") < col("y.__id"))
+      .select(
+        col("x.__id").as("id_a"),
+        col("y.__id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

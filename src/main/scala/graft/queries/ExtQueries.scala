@@ -259,6 +259,40 @@ object ExtQueries {
           .as("est_jaccard"))
   }
 
+  /** SimHash near-dup pairs with the Manku banding recall guarantee
+    * (custom fingerprint ⇒ rows-only; DedupSpec exhaustively cross-checks
+    * recall against brute-force Hamming).
+    */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashNearDuplicates(
+      Tables.documents(s, d), "doc_id", "text", maxHamming = 3, bands = 4)
+
+  /** TF-IDF: top-scoring term per document. Scores are rounded BEFORE
+    * ranking on both sides — `ln` is not IEEE-exact across engines, so
+    * ranking raw scores could flip on cross-engine ulp differences.
+    */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val tokens = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val scored = tf
+      .join(dfreq, Seq("token"))
+      .withColumn("score",
+        r6(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("token").as("top_term"), col("score"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q16_explode_tokens" -> q16,
     "q17_text_stats" -> q17,
@@ -281,7 +315,9 @@ object ExtQueries {
     "q34_subword_count" -> q34,
     "q35_profile" -> q35,
     "q36_quantiles" -> q36,
-    "q37_corpus_overlap" -> q37
+    "q37_corpus_overlap" -> q37,
+    "q41_simhash_pairs" -> q41,
+    "q42_tfidf_top_term" -> q42
   )
 
   private val langCase = {
@@ -364,6 +400,23 @@ object ExtQueries {
         |    THEN 1 ELSE 0 END) AS n_sessions,
         |count(*) AS n_events
         |FROM t GROUP BY user_id""".stripMargin,
+    "q42_tfidf_top_term" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tokens GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    floor((tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0))) * 1000000 + 0.50001)
+        |      / 1000000 AS score
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |SELECT doc_id, token AS top_term, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token ASC) AS rn FROM scored) r
+        |WHERE rn = 1""".stripMargin,
     "q35_profile" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |count(DISTINCT l_partkey) AS n_parts,

@@ -53,6 +53,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(s1.forall(_.length == 16))
   }
 
+  test("simhash near-dup pairs: exact dup hamming 0; near dup small; recall guarantee") {
+    // loose pass (k=16 needs >16 bands for the pigeonhole guarantee)
+    val pairs = Dedup.simHashNearDuplicates(docs, "doc_id", "text",
+        maxHamming = 16, bands = 32)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0) // identical texts
+    assert(pairs.get((1L, 3L)).exists(_ <= 16)) // near dup found
+    // exhaustive cross-check: every pair within hamming 3 MUST be found
+    // (pigeonhole on 4 bands guarantees recall for k < 4)
+    val fps = Dedup.simHashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val truth = for {
+      a <- fps.keys.toSeq; b <- fps.keys.toSeq if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b)
+    val found3 = Dedup.simHashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(truth.toSet == found3, s"truth=$truth found=$found3")
+  }
+
   test("maxBucket drops oversized buckets instead of exploding quadratically") {
     val many = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
     val capped = Dedup.minHashCandidates(
