@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, LangId, MinHashSig, NGramJaccard, SimHash64}
+import graft.functions.{CosineSim, LangId, MinHashSig, NGramJaccard, RollingChunks, SimHash64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -40,5 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_chunks"),
+      new ExpressionInfo(classOf[RollingChunks].getName, "rolling_chunks"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+        RollingChunks(exprs.head, n)
+      }))
   }
 }

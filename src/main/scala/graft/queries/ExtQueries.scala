@@ -293,6 +293,32 @@ object ExtQueries {
       .select(col("doc_id"), col("token").as("top_term"), col("score"))
   }
 
+  /** Sub-document overlap via content-defined chunking (rolling hash):
+    * Jaccard over chunk-digest sets for adjacent doc pairs — detects
+    * partial duplication that whole-document fingerprints miss.
+    * Custom chunking ⇒ rows-only; RollingChunksSpec pins the semantics.
+    */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    graft.functions.RollingChunks.register(s)
+    val docs = Tables.documents(s, d)
+    // score the near-dup CANDIDATES (adjacent-id pairs in this corpus
+    // share vocabulary but no exact chunk-length substrings — overlap 0
+    // everywhere; the minhash candidates are where chunk evidence lives)
+    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+    val t = docs.select(col("doc_id"), expr("rolling_chunks(text, 64)").as("ch"))
+    pairs
+      .join(t.select(col("doc_id").as("id_a"), col("ch").as("ch_a")), Seq("id_a"))
+      .join(t.select(col("doc_id").as("id_b"), col("ch").as("ch_b")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        r6(size(array_intersect(col("ch_a"), col("ch_b"))).cast("double") /
+          greatest(size(array_union(col("ch_a"), col("ch_b"))), lit(1)))
+          .as("chunk_overlap"))
+      .filter(col("chunk_overlap") > 0)
+  }
+
   val defs: Map[String, Q] = Map(
     "q16_explode_tokens" -> q16,
     "q17_text_stats" -> q17,
@@ -317,7 +343,8 @@ object ExtQueries {
     "q36_quantiles" -> q36,
     "q37_corpus_overlap" -> q37,
     "q41_simhash_pairs" -> q41,
-    "q42_tfidf_top_term" -> q42
+    "q42_tfidf_top_term" -> q42,
+    "q43_chunk_overlap" -> q43
   )
 
   private val langCase = {
