@@ -43,6 +43,31 @@ object Dedup {
   def minHashSignature(textCol: String, numHashes: Int, shingleSize: Int): Column =
     expr(s"minhash_sig($textCol, $numHashes, $shingleSize)")
 
+  /** Bucket-size gate + within-bucket pair expansion, shared by the
+    * MinHash and SimHash candidate generators: window-count the
+    * (band_idx, band key) buckets, drop singletons and buckets over
+    * `maxBucket` (a giant bucket is a boilerplate cluster; expanding it
+    * quadratically is slow and pointless — NOTE this caps recall for
+    * groups larger than maxBucket), then a codegen'd equi-self-join
+    * emits each bucket's pairs (a collect_list + nested-HOF expansion
+    * produced identical pairs 2.4× slower — HOF lambdas are interpreted).
+    * ReuseExchange shares the one shuffle between the two join sides.
+    * Expects columns (__id, band_idx, band_key).
+    */
+  private def bandedPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
+    val gated = banded
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("__cnt").between(2, maxBucket))
+      .drop("__cnt")
+    gated.alias("x")
+      .join(
+        gated.alias("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.__id") < col("y.__id"))
+  }
+
   /** LSH candidate pairs: split the signature into `bands` bands, hash
     * each band, and emit each id into its (band_idx, band_hash) bucket;
     * ids sharing a bucket become candidate pairs (id_a < id_b, distinct).
@@ -68,23 +93,8 @@ object Dedup {
         col("__id"),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> hash(slice(__sig, b * $rows + 1, $rows)))"))
-          .as(Seq("band_idx", "band_hash")))
-    // Bucket-size gate via a window count, then a codegen'd equi-self-join
-    // on the band key for the within-bucket pair expansion (a collect_list
-    // + nested-HOF expansion produced identical pairs 2.4× slower — HOF
-    // lambdas are interpreted). ReuseExchange shares the one shuffle
-    // between the two join sides.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_hash")
-    val gated = banded
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .filter(col("__cnt").between(2, maxBucket))
-      .drop("__cnt")
-    gated.alias("x")
-      .join(
-        gated.alias("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.__id") < col("y.__id"))
+          .as(Seq("band_idx", "band_key")))
+    bandedPairs(banded, maxBucket)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
   }
@@ -161,13 +171,17 @@ object Dedup {
     * near-duplicates for web crawling"): split the 64-bit fingerprint
     * into `bands` equal bands — two fingerprints within Hamming k < bands
     * must agree EXACTLY on at least one band (pigeonhole), so a per-band
-    * equi-self-join finds every such pair with zero recall loss; the
-    * cheap popcount verification then filters false positives. Shuffles
-    * only (band_idx, band_value, id) triples — same scale shape as the
+    * equi-self-join finds every such pair; the cheap popcount
+    * verification then filters false positives. Shuffles only
+    * (band_idx, band_value, id) triples — same scale shape as the
     * MinHash path.
     *
-    * Requires `maxHamming < bands` for the pigeonhole guarantee
-    * (default: k ≤ 3 with 4 bands of 16 bits).
+    * Requires `2 ≤ bands` and `maxHamming < bands` for the pigeonhole
+    * guarantee (default: k ≤ 3 with 4 bands of 16 bits). CAVEAT: like
+    * [[minHashCandidates]], buckets larger than `maxBucket` are dropped —
+    * a duplicate group bigger than the cap loses its pairs; raise the
+    * cap (memory/time permitting) when completeness over giant
+    * boilerplate clusters matters.
     */
   def simHashNearDuplicates(
       df: DataFrame,
@@ -177,7 +191,7 @@ object Dedup {
       bands: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
-    require(64 % bands == 0)
+    require(bands >= 2 && 64 % bands == 0, "bands must be in {2,4,8,16,32,64}")
     val width = 64 / bands
     val fp = simHashFingerprints(df, idCol, textCol)
       .select(col(idCol).as("__id"), col("simhash"))
@@ -188,18 +202,8 @@ object Dedup {
         // bitwise slice (NOT div/mod, which misbehave on negative longs)
         s"transform(sequence(0, ${bands - 1}), b -> " +
           s"shiftright(simhash, b * $width) & ${(1L << width) - 1})"))
-        .as(Seq("band_idx", "band_val")))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_val")
-    val gated = banded
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .filter(col("__cnt").between(2, maxBucket))
-      .drop("__cnt")
-    gated.alias("x")
-      .join(
-        gated.alias("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.__id") < col("y.__id"))
+        .as(Seq("band_idx", "band_key")))
+    bandedPairs(banded, maxBucket)
       .select(
         col("x.__id").as("id_a"),
         col("y.__id").as("id_b"),

@@ -278,8 +278,9 @@ object ExtQueries {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tokens.groupBy("token")
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // document frequency from tf (one row per doc/token already) — not
+    // from `tokens`, which would re-scan and re-tokenize the corpus
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf
       .join(dfreq, Seq("token"))
       .withColumn("score",

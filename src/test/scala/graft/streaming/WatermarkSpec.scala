@@ -38,6 +38,13 @@ class WatermarkSpec extends AnyFunSuite with SparkTestBase {
     // batch 2: 12:30 on-time → watermark 10:30
     Seq((3L, ts("2024-01-01 12:30:00"), 100L, "click", 1.0, ""))
       .toDF(cols: _*).coalesce(1).write.parquet(dir.resolve("b2").toString)
+    // FileStreamSource orders by modification time; force a strict gap so
+    // b1 always precedes b2 even on coarse-mtime filesystems
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(dir.resolve(sub)).forEach(p => p.toFile.setLastModified(t))
+    val base = System.currentTimeMillis()
+    touch("b1", base - 60000)
+    touch("b2", base)
 
     val schema = spark.read.parquet(dir.resolve("b1").toString).schema
     val stream = spark.readStream.schema(schema)

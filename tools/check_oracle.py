@@ -30,6 +30,7 @@ for name in sorted(oracle):
         print(f'{name}: ROWCOUNT spark={len(s)} duck={len(d)}'); fails.append(name); continue
     ok = True
     for c in s.columns:
+      try:
         a, b = s[c], d[c]
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
             if not ((a.fillna(-9e9).values == b.fillna(-9e9).values) | (abs(a.values-b.values) < 1e-9)).all():
@@ -40,6 +41,10 @@ for name in sorted(oracle):
                 mism = (a.astype(str).values != b.astype(str).values)
                 print('  spark:', a[mism].head(3).tolist(), ' duck:', b[mism].head(3).tolist())
                 ok=False
+      except Exception as e:
+        # dtype mismatch (e.g. object vs float) must flag THIS query, not
+        # abort the whole oracle sweep
+        print(f'{name}: COMPARE ERROR col {c}: {e}'); ok = False
     if not ok: fails.append(name)
     else: print(f'{name}: OK ({len(s)} rows)')
 print('FAILS:', fails if fails else 'none')
