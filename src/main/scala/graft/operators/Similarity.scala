@@ -107,10 +107,14 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
 
+    // cache: KMeans re-scans its input once per iteration (20×), and the
+    // assignment transform reads it once more — without this the parquet
+    // scan + array conversion reruns 21 times
     val corpusVec = corpus.select(
       col(idCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("__cv"),
       array_to_vector(col(vecCol)).as("__features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans()
       .setK(numCells).setSeed(seed).setMaxIter(20)
       .setFeaturesCol("__features")
