@@ -56,9 +56,18 @@ object CosineSim {
   /** Static entry point shared by interpreted eval and generated code.
     * Sums run left-to-right in array order (same as the sequential HOF
     * fold and DuckDB's list_cosine_similarity — bit-compatible).
+    *
+    * Mismatched dimensions ERROR (DuckDB's list_cosine_similarity does
+    * too; silently truncating would produce a plausible-but-wrong score).
+    * Zero-norm input yields NaN by definition here: 0/0 — callers that
+    * filter `>= threshold` drop such rows because NaN comparisons are
+    * false.
     */
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: array length mismatch (${a.numElements()} vs ${b.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -98,7 +98,11 @@ object Allocation {
       capCol: String,
       orderCols: Seq[String],
       allocCol: String = "alloc_qty"): DataFrame = {
+    // ROWS frame, not the default RANGE: with ties in orderCols RANGE would
+    // give all tie-peers the same cumulative sum, diverging from the
+    // sequential semantics (and from the oracle's explicit ROWS frame).
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lines
       .withColumn("__cum", sum(col(qtyCol)).over(w))
       .withColumn(

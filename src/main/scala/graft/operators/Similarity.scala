@@ -126,6 +126,12 @@ object Similarity {
       .withColumnRenamed("prediction", "__cell")
       .select("neighbor_id", "__cv", "__cell")
 
+    // The cache exists for the fit's 20 re-scans, which just completed
+    // (fit is eager). Dropping it now means the returned lazy plan
+    // re-reads the source once — the same single scan it would do
+    // anyway — instead of leaking cached blocks for the session's life.
+    corpusVec.unpersist(blocking = false)
+
     // Query probes: its nprobe nearest centroids under the SAME metric
     // the quantizer assigned with (Euclidean): argmin ‖q−c‖² =
     // argmax (q·c − ‖c‖²/2). Ranking probes by cosine instead would use

@@ -423,9 +423,9 @@ object ExtQueries {
         |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |  FROM events)
         |SELECT user_id,
-        |sum(CASE WHEN prev IS NULL
+        |CAST(sum(CASE WHEN prev IS NULL
         |         OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) >= 1800
-        |    THEN 1 ELSE 0 END) AS n_sessions,
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |count(*) AS n_events
         |FROM t GROUP BY user_id""".stripMargin,
     "q42_tfidf_top_term" ->
@@ -451,7 +451,7 @@ object ExtQueries {
         |floor((min(l_extendedprice)) * 100 + 0.50001) / 100 AS min_price,
         |floor((max(l_extendedprice)) * 100 + 0.50001) / 100 AS max_price,
         |floor((avg(l_discount)) * 1000000 + 0.50001) / 1000000 AS avg_discount,
-        |sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty
+        |CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q36_quantiles" ->
       """SELECT l_returnflag,

@@ -40,7 +40,11 @@ object SingleFileCsvSink {
 
     val target = new Path(outDir, filename)
     if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
+    // rename returns false (no exception) on failure, e.g. a cross-
+    // filesystem outputDir; deleting tmp after that would destroy the
+    // only copy of the report.
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"rename $part -> $target failed")
     fs.delete(tmp, true)
     target.toString
   }

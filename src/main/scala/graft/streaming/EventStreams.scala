@@ -60,28 +60,63 @@ object EventStreams {
     * user — the same greedy fold as [[sessionCounts]] but with state in
     * the state store (remaining analogue of SURVEY §2.8's allocation
     * state). Emits a running per-user session count each trigger.
+    *
+    * State is BOUNDED: a watermark (`watermarkDelay`) plus an event-time
+    * timeout evict a user's state once it has been idle past the
+    * watermark for `stateIdleTimeoutSec`. An evicted user who returns
+    * restarts counting from zero — the standard bounded-state trade-off;
+    * size `stateIdleTimeoutSec` ≫ `gapSeconds` so any evicted session
+    * would have been closed anyway. Out-of-order *within* a micro-batch
+    * is handled by sorting the key's batch slice (memory is bounded by
+    * one key's events in one trigger, not all history); an event arriving
+    * *behind* the state's high-water mark (late across triggers, inside
+    * the watermark) is counted but never regresses the session clock.
     */
   def sessionCountsStreaming(
       events: DataFrame,
-      gapSeconds: Long = 1800L): DataFrame = {
+      gapSeconds: Long = 1800L,
+      watermarkDelay: String = "2 hours",
+      stateIdleTimeoutSec: Long = 24L * 3600): DataFrame = {
     import events.sparkSession.implicits._
-    events
-      .selectExpr("user_id", "CAST(ts AS LONG) * 1000000 AS ts_us")
-      .as[(Long, Long)]
+    val isStreamingSrc = events.isStreaming // hoisted: the closure must not capture the DataFrame
+    // The watermark must be on a column that SURVIVES into the stateful
+    // operator's child (its eventTime tag rides the attribute; projecting
+    // the column away fails the unsupported-operation check) — so keep
+    // `ts` itself and convert to micros inside the fold.
+    val src = events.selectExpr("user_id", "ts")
+    val wm = if (isStreamingSrc) src.withWatermark("ts", watermarkDelay) else src
+    wm
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, UserSessions](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          var n = 0L
-          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
-            val isNew = st.lastTsMicros == Long.MinValue ||
-              ts - st.lastTsMicros >= gapSeconds * 1000000L
-            st = SessionState(ts, st.sessions + (if (isNew) 1L else 0L))
-            n += 1
+          if (state.hasTimedOut) {
+            // idle past watermark + horizon: evict (count restarts if the
+            // user ever returns; any open session is long closed by now)
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            var n = 0L
+            // floor to seconds × 1e6: same granularity as batch unix_timestamp()
+            rows.map(r => r._2.getTime / 1000L * 1000000L).toSeq.sorted.foreach { ts =>
+              if (ts < st.lastTsMicros) {
+                n += 1 // late event inside an already-seen span: count it,
+                       // keep the session clock monotonic
+              } else {
+                val isNew = st.lastTsMicros == Long.MinValue ||
+                  ts - st.lastTsMicros >= gapSeconds * 1000000L
+                st = SessionState(ts, st.sessions + (if (isNew) 1L else 0L))
+                n += 1
+              }
+            }
+            state.update(st)
+            if (isStreamingSrc && st.lastTsMicros != Long.MinValue)
+              state.setTimeoutTimestamp(
+                st.lastTsMicros / 1000L + stateIdleTimeoutSec * 1000L)
+            Iterator(UserSessions(userId, st.sessions, n))
           }
-          state.update(st)
-          Iterator(UserSessions(userId, st.sessions, n))
       }
       .toDF()
   }

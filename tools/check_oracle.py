@@ -32,15 +32,21 @@ for name in sorted(oracle):
     for c in s.columns:
       try:
         a, b = s[c], d[c]
-        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-            if not ((a.fillna(-9e9).values == b.fillna(-9e9).values) | (abs(a.values-b.values) < 1e-9)).all():
-                print(f'{name}: VALUE MISMATCH col {c}'); ok=False
-        else:
-            if not (a.astype(str).values == b.astype(str).values).all():
-                print(f'{name}: VALUE MISMATCH col {c}')
-                mism = (a.astype(str).values != b.astype(str).values)
-                print('  spark:', a[mism].head(3).tolist(), ' duck:', b[mism].head(3).tolist())
-                ok=False
+        # STRICT: mimic the driver's exact hash compare — stringified
+        # values must match bit-for-bit. A DuckDB HUGEINT (sum of ints)
+        # comes back as float ("1.0" vs spark's "1") and MUST flag here.
+        astr = a.astype(str).values
+        bstr = b.astype(str).values
+        if not (astr == bstr).all():
+            mism = (astr != bstr)
+            near = ''
+            if a.dtype.kind == 'f' and b.dtype.kind == 'f':
+                if (abs(a.fillna(-9e9).values - b.fillna(-9e9).values) < 1e-9).all():
+                    near = ' (within 1e-9 — ulp/format drift, still a driver FAIL)'
+            print(f'{name}: VALUE MISMATCH col {c}{near}')
+            print('  spark:', a[mism].head(3).tolist(), ' duck:', b[mism].head(3).tolist())
+            print('  dtypes: spark', a.dtype, 'duck', b.dtype)
+            ok = False
       except Exception as e:
         # dtype mismatch (e.g. object vs float) must flag THIS query, not
         # abort the whole oracle sweep
