@@ -99,6 +99,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs for SUB-document dedup: every id pair sharing at
+    * least one chunk digest in `chunksCol` (an array column, e.g. from
+    * [[graft.functions.RollingChunks]]). For any "chunk overlap > 0"
+    * predicate this generator is EXACT — overlap > 0 ⟺ the pair shares a
+    * digest — unlike MinHash banding, which is probabilistic. Shares the
+    * bucket-gated pair expansion with the MinHash/SimHash generators
+    * (a digest common to > `maxBucket` docs is boilerplate; expanding it
+    * quadratically is slow and pointless).
+    */
+  def sharedChunkPairs(
+      df: DataFrame,
+      idCol: String,
+      chunksCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("__id"), explode(col(chunksCol)).as("band_key"))
+      .distinct() // a digest repeated within one doc must count once
+      .withColumn("band_idx", lit(0))
+    bandedPairs(banded, maxBucket)
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs.
     * `pairs` must have columns (id_a, id_b); texts are joined back from
     * `df` — two broadcast-or-shuffle hash joins on the id, then a

@@ -76,14 +76,67 @@ object Similarity {
     Array.fill(bits, dim)(next().toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Sign-pattern LSH bucket id for a vector column. */
-  def lshBucket(vecCol: Column, bits: Int, dim: Int, seed: Long = 7L): Column = {
-    val planes = hyperplanes(bits, dim, seed)
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit): _*)
-      when(dot(toDouble(vecCol), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Deterministic Lloyd's k-means over an in-memory sample (the IVF
+    * coarse quantizer — trained on a bounded sample exactly as FAISS
+    * does). Seeded-shuffle init; an emptied cluster keeps its previous
+    * centroid. Cost: O(iters · |sample| · k · dim) driver flops — ~10⁸
+    * for the defaults, microscopic next to one Spark job's scheduling.
+    */
+  private[operators] def fitCentroids(
+      sample: Array[Array[Double]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "cannot fit a quantizer on an empty sample")
+    val dim = sample.head.length
+    val kk = math.min(k, sample.length)
+    val init = new scala.util.Random(seed).shuffle(sample.indices.toVector).take(kk)
+    val centroids = init.map(i => sample(i).clone()).toArray
+    val counts = new Array[Long](kk)
+    val sums = Array.ofDim[Double](kk, dim)
+    var it = 0
+    while (it < iters) {
+      java.util.Arrays.fill(counts, 0L)
+      sums.foreach(java.util.Arrays.fill(_, 0.0))
+      sample.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0
+          val ctr = centroids(c)
+          var j = 0
+          while (j < dim) { val t = p(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += p(j); j += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
   }
+
+  /** Sign-pattern LSH bucket id for a vector column — one fused native
+    * pass over the vector (see [[graft.functions.LshBuckets]]); bit-
+    * identical to the per-plane HOF formulation it replaced.
+    */
+  def lshBucket(vecCol: Column, bits: Int, dim: Int, seed: Long = 7L): Column =
+    element_at(
+      graft.functions.LshBuckets.toCol(
+        vecCol, hyperplanes(bits, dim, seed), dim, numTables = 1, bits = bits),
+      1)
 
   /** IVF (inverted-file) approximate cosine top-k: a deterministic
     * k-means coarse quantizer assigns every corpus vector to its nearest
@@ -101,57 +154,42 @@ object Similarity {
       k: Int,
       numCells: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 7L): DataFrame = {
+      seed: Long = 7L,
+      trainSample: Int = 16384): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
 
-    // cache: KMeans re-scans its input once per iteration (20×), and the
-    // assignment transform reads it once more — without this the parquet
-    // scan + array conversion reruns 21 times
-    val corpusVec = corpus.select(
-      col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("__cv"),
-      array_to_vector(col(vecCol)).as("__features"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val model = new KMeans()
-      .setK(numCells).setSeed(seed).setMaxIter(20)
-      .setFeaturesCol("__features")
-      .fit(corpusVec.select("__features"))
-    val centroids: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    // Quantizer training: Lloyd's on a bounded, seeded sample collected to
+    // the driver — the FAISS-standard IVF recipe (the coarse quantizer is
+    // always trained on a memory-bounded sample, not the corpus; at 100 TB
+    // the sample is still `trainSample` rows). This replaces a spark.ml
+    // KMeans fit whose 20 iterations each launched a distributed job —
+    // pure scheduling overhead at any scale, since the reduction work fits
+    // in microseconds of driver CPU.
+    val nRows = corpus.count()
+    val fraction = math.min(1.0, trainSample * 1.2 / math.max(nRows, 1L).toDouble)
+    val sample: Array[Array[Double]] = corpus
+      .select(toDouble(col(vecCol)).as("__v"))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(trainSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centroids = fitCentroids(sample, numCells, iters = 20, seed)
 
-    val c = model
-      .transform(corpusVec)
-      .withColumnRenamed("prediction", "__cell")
-      .select("neighbor_id", "__cv", "__cell")
-
-    // The cache exists for the fit's 20 re-scans, which just completed
-    // (fit is eager). Dropping it now means the returned lazy plan
-    // re-reads the source once — the same single scan it would do
-    // anyway — instead of leaking cached blocks for the session's life.
-    corpusVec.unpersist(blocking = false)
+    // Corpus assignment: nearest centroid, one fused native pass/row.
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cell",
+        element_at(graft.functions.NearestCells.toCol(col("__cv"), centroids, 1), 1))
 
     // Query probes: its nprobe nearest centroids under the SAME metric
     // the quantizer assigned with (Euclidean): argmin ‖q−c‖² =
     // argmax (q·c − ‖c‖²/2). Ranking probes by cosine instead would use
     // a different ordering (centroids are not unit-norm) and could skip
     // the very cell a query's neighbors were assigned to.
-    val centroidLits = centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(
-        lit(i).as("cell"),
-        (dot(toDouble(col(vecCol)), array(ctr.map(lit): _*)) -
-          lit(ctr.map(x => x * x).sum / 2)).as("sim"))
-    }
     val q = queries
-      .select(
-        col(idCol).as("query_id"),
-        toDouble(col(vecCol)).as("__qv"),
-        slice(array_sort(array(centroidLits: _*),
-          (a, b) => when(a.getField("sim") > b.getField("sim"), -1)
-            .when(a.getField("sim") < b.getField("sim"), 1).otherwise(0)),
-          1, nprobe).as("__probes"))
-      .withColumn("__cell", explode(col("__probes").getField("cell")))
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
+      .withColumn("__cell",
+        explode(graft.functions.NearestCells.toCol(col("__qv"), centroids, nprobe)))
       .select("query_id", "__qv", "__cell")
 
     val scored = c
@@ -189,18 +227,18 @@ object Similarity {
       numTables: Int = 8,
       seed: Long = 7L): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
-    def withBuckets(df: DataFrame, id: String): DataFrame = {
-      val tables = (0 until numTables).map { t =>
-        struct(
-          lit(t).as("tbl"),
-          lshBucket(col(vecCol), bits, dim, seed + t).as("bucket"))
-      }
+    // All numTables×bits hyperplane dots run in ONE fused native pass per
+    // row (table t's planes seeded seed+t — buckets identical to the
+    // one-expression-per-table formulation this replaced).
+    val planes = Array.tabulate(numTables)(t => hyperplanes(bits, dim, seed + t))
+      .flatten
+    def withBuckets(df: DataFrame, id: String): DataFrame =
       df.select(
         col(idCol).as(id),
         toDouble(col(vecCol)).as(s"__v_$id"),
-        explode(array(tables: _*)).as("__cell"))
-        .select(col(id), col(s"__v_$id"), col("__cell.tbl"), col("__cell.bucket"))
-    }
+        posexplode(
+          graft.functions.LshBuckets.toCol(col(vecCol), planes, dim, numTables, bits))
+          .as(Seq("tbl", "bucket")))
     val c = withBuckets(corpus, "neighbor_id")
     val q = withBuckets(queries, "query_id")
     val scored = c

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quantiles, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -224,14 +224,19 @@ object ExtQueries {
         r6(avg(col("l_discount"))).as("avg_discount"),
         sum(when(col("l_quantity").isNull, 1).otherwise(0)).as("null_qty"))
 
-  /** Exact interpolated quantiles per group (p50/p95/p99). */
+  /** Exact interpolated quantiles per group (p50/p95/p99) via the
+    * sort-based relational formulation (builtin `percentile` buffers
+    * every group value in memory — see [[Quantiles]] scaladoc).
+    */
   private def q36(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
-        r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+    Quantiles.exactInterpolated(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+      .select(
+        col("l_returnflag"),
+        r2(col("p50")).as("p50"),
+        r2(col("p95")).as("p95"),
+        r2(col("p99")).as("p99"))
 
   /** Corpus-overlap estimation: per-source union MinHash signatures via
     * the typed Aggregator (map-side combinable, k longs of state per
@@ -295,19 +300,19 @@ object ExtQueries {
   }
 
   /** Sub-document overlap via content-defined chunking (rolling hash):
-    * Jaccard over chunk-digest sets for adjacent doc pairs — detects
-    * partial duplication that whole-document fingerprints miss.
+    * Jaccard over chunk-digest sets — detects partial duplication that
+    * whole-document fingerprints miss. Candidates come from the chunk
+    * digests THEMSELVES (pairs sharing ≥ 1 digest — exact for the
+    * `overlap > 0` predicate, and far cheaper than the MinHash banding
+    * this replaced: no signature pass, no probabilistic recall gap).
     * Custom chunking ⇒ rows-only; RollingChunksSpec pins the semantics.
     */
   private def q43(s: SparkSession, d: String): DataFrame = {
     graft.functions.RollingChunks.register(s)
     val docs = Tables.documents(s, d)
-    // score the near-dup CANDIDATES (adjacent-id pairs in this corpus
-    // share vocabulary but no exact chunk-length substrings — overlap 0
-    // everywhere; the minhash candidates are where chunk evidence lives)
-    val pairs = Dedup.minHashCandidates(docs, "doc_id", "text")
-      .repartition(s.sparkContext.defaultParallelism)
     val t = docs.select(col("doc_id"), expr("rolling_chunks(text, 64)").as("ch"))
+    val pairs = Dedup.sharedChunkPairs(t, "doc_id", "ch")
+      .repartition(s.sparkContext.defaultParallelism)
     pairs
       .join(t.select(col("doc_id").as("id_a"), col("ch").as("ch_a")), Seq("id_a"))
       .join(t.select(col("doc_id").as("id_b"), col("ch").as("ch_b")), Seq("id_b"))

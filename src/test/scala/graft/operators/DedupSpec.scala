@@ -73,6 +73,24 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(truth.toSet == found3, s"truth=$truth found=$found3")
   }
 
+  test("sharedChunkPairs == brute-force 'shares a digest' (exact candidates)") {
+    val chunked = Seq(
+      (1L, Array(10L, 20L, 30L)),
+      (2L, Array(30L, 40L)),       // shares 30 with 1
+      (3L, Array(50L)),            // isolated
+      (4L, Array(10L, 99L)),       // shares 10 with 1
+      (5L, Array(30L, 30L, 30L))   // repeated digest counts once
+    ).toDF("doc_id", "ch")
+    val got = Dedup.sharedChunkPairs(chunked, "doc_id", "ch")
+      .as[(Long, Long)].collect().toSet
+    val rows = chunked.as[(Long, Array[Long])].collect()
+    val truth = (for {
+      (a, ca) <- rows; (b, cb) <- rows if a < b
+      if ca.toSet.intersect(cb.toSet).nonEmpty
+    } yield (a, b)).toSet
+    assert(got == truth, s"got=$got truth=$truth")
+  }
+
   test("maxBucket drops oversized buckets instead of exploding quadratically") {
     val many = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
     val capped = Dedup.minHashCandidates(
