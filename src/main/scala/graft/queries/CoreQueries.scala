@@ -190,9 +190,11 @@ object CoreQueries {
         "inner")
 
   /** §2.8 flagship: greedy sequential allocation (fill-or-cancel per part,
-    * shipdate order, capacity = p_size*20). Not SQL-expressible (greedy
-    * releases a cancelled line's quantity to later lines) → no oracle;
-    * correctness is pinned by AllocationSpec + the candy golden e2e test.
+    * shipdate order, capacity = p_size*20). Not WINDOW-expressible (greedy
+    * releases a cancelled line's quantity to later lines), but it IS a
+    * linear recurrence — the oracle walks each part's lines with a
+    * recursive CTE, so the custom operator is fully hash-checked too
+    * (plus AllocationSpec and the candy golden e2e test).
     */
   private def q13(s: SparkSession, d: String): DataFrame =
     Allocation
@@ -391,6 +393,30 @@ object CoreQueries {
         |floor((sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p4,
         |floor((sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p5
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    // the greedy recurrence, row by row per part: remaining capacity
+    // threads through the recursive CTE exactly as it threads through
+    // Allocation.greedy's per-key streaming state
+    "q13_alloc_greedy" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT l.l_orderkey, l.l_partkey, l.l_linenumber, l.l_quantity,
+        |         CAST(p.p_size * 20 AS DOUBLE) AS cap,
+        |         row_number() OVER (PARTITION BY l.l_partkey
+        |           ORDER BY l.l_shipdate, l.l_orderkey, l.l_linenumber, l.l_suppkey,
+        |                    l.l_extendedprice, l.l_quantity) AS rn
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |),
+        |rec AS (
+        |  SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, rn,
+        |         CASE WHEN l_quantity > 0 AND l_quantity <= cap THEN l_quantity ELSE CAST(0 AS DOUBLE) END AS alloc_qty,
+        |         cap - CASE WHEN l_quantity > 0 AND l_quantity <= cap THEN l_quantity ELSE 0 END AS remaining
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.l_orderkey, b.l_partkey, b.l_linenumber, b.l_quantity, b.rn,
+        |         CASE WHEN b.l_quantity > 0 AND b.l_quantity <= r.remaining THEN b.l_quantity ELSE CAST(0 AS DOUBLE) END,
+        |         r.remaining - CASE WHEN b.l_quantity > 0 AND b.l_quantity <= r.remaining THEN b.l_quantity ELSE 0 END
+        |  FROM base b JOIN rec r ON b.l_partkey = r.l_partkey AND b.rn = r.rn + 1
+        |)
+        |SELECT l_orderkey, l_partkey, l_linenumber, alloc_qty FROM rec""".stripMargin,
     "q14_alloc_cumsum" -> cumsumAllocSql,
     "q15_stock_writeback" ->
       s"""WITH alloc AS ($cumsumAllocSql),

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, ConnectedComponents, Splits}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference workload:
+  * deterministic splits/sampling, temporal (as-of / range) joins,
+  * embedding normalization+quantization, corpus n-gram statistics, and
+  * near-dup clustering. Every query here is DuckDB-oracle-checked.
+  */
+object PipelineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
+
+  /** Deterministic md5 train/val/test split (reproducible across engines
+    * — the oracle recomputes membership from scratch).
+    */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    Splits.trainValTest(Tables.documents(s, d), "doc_id", trainPct = 80, valPct = 10)
+      .select("doc_id", "split")
+
+  /** Backward as-of join: each purchase picks up its user's most recent
+    * click (inclusive; ties on ts broken toward the max click id).
+    */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    AsOfJoin.backward(purchases, clicks, "user_id", "ts",
+      carry = Seq("ts", "event_id"), rightTiebreak = Seq("event_id"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("asof_ts").as("last_click_ts"),
+        coalesce(col("asof_event_id"), lit(-1L)).as("last_click_id"),
+        coalesce(
+          unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts")),
+          lit(-1L)).as("gap_s"))
+  }
+
+  /** Embedding normalize + int8 quantize: per-vector L2 norm and the
+    * quantized components' sum/min/max (scalars pin the whole array
+    * without relying on cross-engine array rendering).
+    */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("__v", transform(col("embedding"), _.cast("double")))
+      .withColumn("__nrm",
+        sqrt(aggregate(transform(col("__v"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("__qv",
+        transform(col("__v"), x => floor(x / col("__nrm") * 127 + lit(0.5))))
+      .select(
+        col("vec_id"),
+        r6(col("__nrm")).as("l2_norm"),
+        aggregate(col("__qv"), lit(0.0), (a, x) => a + x).cast("long").as("q_sum"),
+        array_min(col("__qv")).cast("long").as("q_min"),
+        array_max(col("__qv")).cast("long").as("q_max"))
+
+  /** Corpus bigram statistics: global top-20 by count (deterministic
+    * total order: count desc, bigram asc).
+    */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(split(col("text"), " ").as("__w"))
+      .filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__w) - 1)," +
+          " i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"))
+        .as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
+  /** Stratified deterministic sampling: downsample the dominant language
+    * to 30%, keep the rest — the standard corpus-rebalancing move.
+    */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    Splits.stratifiedSample(
+      Tables.documents(s, d), "doc_id", "lang", Map("en" -> 30), defaultPct = 100)
+      .select("doc_id", "lang")
+
+  /** Range join: clicks within the 30 minutes BEFORE each purchase
+    * (same user, exclusive of the purchase instant).
+    */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    p.join(c,
+        p("user_id") === c("user_id") &&
+          col("cts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+          col("cts") < col("ts"),
+        "left")
+      .groupBy(p("event_id"), p("user_id"), col("ts"))
+      .agg(count(col("click_id")).as("n_recent_clicks"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_recent_clicks"))
+  }
+
+  /** Near-dup clustering: connected components over the embedding
+    * near-dup pair graph (q33's edges) — pairs → clusters.
+    */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val edges = e.alias("a")
+      .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("cosine_sim(a.v, b.v)") >= 0.3)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    ConnectedComponents.byMinLabel(edges)
+      .select(col("id"), col("component"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q44_train_split" -> q44,
+    "q45_asof_join" -> q45,
+    "q46_embed_quantize" -> q46,
+    "q47_bigram_stats" -> q47,
+    "q48_stratified_sample" -> q48,
+    "q49_range_join" -> q49,
+    "q50_dedup_components" -> q50
+  )
+
+  private val md5Bucket =
+    "CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  val oracles: Map[String, String] = Map(
+    "q44_train_split" ->
+      s"""SELECT doc_id,
+         |CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $md5Bucket AS b FROM documents) t""".stripMargin,
+    "q45_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, max(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |c.ts AS last_click_ts,
+        |coalesce(c.click_id, -1) AS last_click_id,
+        |coalesce(CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+    "q46_embed_quantize" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM t),
+        |q AS (SELECT vec_id, nrm, list_transform(v, x -> floor(x / nrm * 127 + 0.5)) AS qv FROM n)
+        |SELECT vec_id,
+        |floor(nrm * 1000000 + 0.50001) / 1000000 AS l2_norm,
+        |CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |CAST(list_min(qv) AS BIGINT) AS q_min,
+        |CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q""".stripMargin,
+    "q47_bigram_stats" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS arr FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT unnest(list_transform(range(1, len(arr)),
+        |        i -> arr[i] || ' ' || arr[i + 1])) AS bigram FROM w)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+    "q48_stratified_sample" ->
+      s"""SELECT doc_id, lang
+         |FROM (SELECT doc_id, lang, $md5Bucket AS b FROM documents) t
+         |WHERE b < CASE WHEN lang = 'en' THEN 30 ELSE 100 END""".stripMargin,
+    "q49_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS cts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, count(c.click_id) AS n_recent_clicks
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.cts >= p.ts - INTERVAL 30 MINUTE AND c.cts < p.ts
+        |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin,
+    "q50_dedup_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.3),
+        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+        |)
+        |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin
+  )
+}
