@@ -65,6 +65,33 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
       p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("deterministic split/sample are shuffle-free row-level maps (q44, q48)") {
+    for (q <- Seq("q44_train_split", "q48_stratified_sample")) {
+      val p = simple(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+      assert(p.contains("*(1)"), p) // md5 gate stays inside whole-stage codegen
+    }
+  }
+
+  test("as-of join costs one shuffle on the key (union + window, no range explosion)") {
+    val p = simple("q45_asof_join")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"$shuffles shuffles:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("quantiles: the heavy agg sees only quantile-position rows (q36)") {
+    val p = simple("q36_quantiles")
+    // the __rn position gate must run BELOW the aggregate — either as a
+    // Filter node or (what Catalyst actually does) inlined into the join
+    // condition that attaches per-group counts
+    val gate = p.linesIterator.exists(l =>
+      (l.contains("Filter") || l.contains("Join")) && l.contains("__rn"))
+    assert(gate, p)
+    // and the aggregate itself is partial+final (map-side combinable)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
