@@ -29,7 +29,15 @@ object Bench {
     // JIT/classload warmup on the flagship query (not timed)
     try run(SparkEntry.queries("q01_agg_rollup")) catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset filter (profiling aid):
+    //   SPARK_GRAFT_ONLY=q21_minhash_pairs,q32_cosine_topk_ivf
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { run(fn); true }
