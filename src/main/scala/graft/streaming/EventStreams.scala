@@ -121,6 +121,25 @@ object EventStreams {
       .toDF()
   }
 
+  /** Exactly-once event dedup by id — the ingestion guard every event
+    * pipeline needs against at-least-once upstream delivery. On a stream
+    * this uses `dropDuplicatesWithinWatermark`: state holds only ids seen
+    * within the watermark horizon (bounded), so a duplicate arriving
+    * within `watermarkDelay` of the original is dropped and state is
+    * evicted once the watermark passes it. On a batch frame the same call
+    * degrades to a plain `dropDuplicates` over the id (global, exact).
+    * One shuffle on the id either way.
+    */
+  def dedupEvents(
+      events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(idCols)
+    else
+      events.dropDuplicates(idCols)
+
   /** Run a transform over a parquet path as a file stream with
     * `Trigger.AvailableNow`, writing to an in-memory table; returns the
     * result. Used to prove batch/stream parity in tests.

@@ -61,4 +61,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       "sessions_test")
     assert(canon(streamed) == batch)
   }
+
+  test("dedupEvents: at-least-once delivery collapses to exactly-once") {
+    import org.apache.spark.sql.functions._
+    // stage the events parquet TWICE — the stream delivers every event
+    // at least twice, the dedup must collapse them back
+    val dupDir = java.nio.file.Files.createTempDirectory("events_dup")
+    for (n <- Seq("a.parquet", "b.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/events.parquet"), dupDir.resolve(n))
+    dupDir.toFile.deleteOnExit()
+    val distinctIds = Tables.events(spark, sf).select("event_id").distinct().count()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamed = EventStreams.runAvailableNow(
+      spark,
+      dupDir.toString,
+      rawSchema,
+      df => EventStreams.dedupEvents(
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))))
+        .select("event_id"),
+      "dedup_test",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(streamed.count() == distinctIds)
+    assert(streamed.distinct().count() == distinctIds) // no id twice
+    // batch path: same call degrades to a global exact dropDuplicates
+    val doubled = Tables.events(spark, sf).union(Tables.events(spark, sf))
+    assert(EventStreams.dedupEvents(doubled).count() == distinctIds)
+  }
 }
