@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling beyond uniform hash gates ([[Splits]]):
+  * weighted priority sampling and per-group quota caps — the corpus
+  * rebalancing moves of a training-data pipeline.
+  *
+  * Scale design (100 TB): the weighted sample is the Efraimidis–Spirakis
+  * A-ES scheme (key = ln(u)/w, take the k largest), with u derived from
+  * md5(id) instead of a PRNG — so the sample is a pure function of the
+  * data, reproducible across runs, engines, and partitionings. Selecting
+  * the top-k is a TakeOrdered (per-partition heap + driver merge of k·P
+  * rows), never a global sort. Group caps are one window per group —
+  * a single hash shuffle on the group key.
+  */
+object Sampling {
+
+  /** Deterministic uniform in (0, 1]: the first 15 hex digits of md5(id)
+    * scaled by 16^15 (both exactly representable in a double/long — any
+    * engine with md5 recomputes the identical value; DuckDB oracles do).
+    */
+  def md5Uniform(id: Column): Column =
+    // +1 in INTEGER space (an engine converting to double first would
+    // no-op the +1 above 2^53), then one int64→double rounding — every
+    // engine rounds identically.
+    (conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(1152921504606846976.0) // 16^15
+
+  /** Efraimidis–Spirakis priority: ln(u)/w, monotone in u^(1/w). Higher
+    * weight ⇒ key closer to 0 ⇒ more likely in the top-k.
+    */
+  def priorityKey(id: Column, weight: Column): Column =
+    log(md5Uniform(id)) / weight
+
+  /** Weighted sample WITHOUT replacement of k rows: P(i in sample) is
+    * the A-ES weighted-reservoir probability for weight `weightCol`.
+    * Deterministic (hash-derived randomness, id tiebreak). The priority
+    * key itself is dropped from the output so no float crosses the API.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val keyed = df.withColumn("__pri", priorityKey(col(idCol), col(weightCol)))
+    keyed
+      .orderBy(col("__pri").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__pri")
+  }
+
+  /** Per-group quota: keep the top `n` rows of each group under
+    * `orderCols` (must be a deterministic total order), with the rank
+    * appended — "cap every domain/language at N documents".
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      n: Int,
+      rankCol: String = "rk"): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+}

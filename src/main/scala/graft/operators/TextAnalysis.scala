@@ -91,4 +91,23 @@ object TextAnalysis {
 
   /** 128-bit digest as hex (portable across engines — md5). */
   def digestHex(text: Column): Column = md5(text)
+
+  /** PII patterns — RE2-safe (no lookaround/backrefs) so the identical
+    * pattern runs in the DuckDB oracle: emails and phone-shaped digit
+    * groups.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "[0-9]{3}-[0-9]{2,}"
+
+  /** Redact emails/phones with typed placeholders. One scan, two
+    * codegen'd regex passes, no shuffle — trivially scan-parallel.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** Count of matches of `pattern` in `text` (codegen'd builtin). */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
 }

@@ -1,0 +1,226 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Contamination, Packing, QualityRules, Sampling, SimilarityJoin, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (round 2 extension set): quality-rule
+  * filtering, repetition signals, sequence packing, group quotas, PII
+  * redaction, benchmark decontamination, weighted sampling, and the
+  * EXACT prefix-filtered similarity join. Every query here is
+  * DuckDB-oracle-checked — including the sequential packing pass (a
+  * recursive CTE recomputes it row by row) and the similarity join
+  * (checked against the brute-force cross join).
+  */
+object TrainQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
+
+  /** DuckDB fragment: single-space tokens, empties dropped (mirrors
+    * [[QualityRules.spaceTokens]]).
+    */
+  private val duckToks =
+    "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** DuckDB fragment: distinct 5-word shingles of `tk` (mirrors
+    * [[QualityRules.wordShingles]] at n = 5).
+    */
+  private val duckShingles5 =
+    "list_distinct([array_to_string(tk[i:i+4], ' ') for i in generate_series(1, len(tk) - 4)])"
+
+  /** Gopher-style quality filter: rule signals + the pass predicate. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    QualityRules.gopherSignals(Tables.documents(s, d), "text")
+      .filter(col("gopher_pass"))
+      .select(
+        col("doc_id"), col("n_words"),
+        r6(col("mean_word_len")).as("mean_word_len"), col("stop_hits"))
+
+  /** Per-document repetition: duplicate-bigram fraction. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    QualityRules.duplicateBigramFraction(Tables.documents(s, d), "doc_id", "text")
+      .select(
+        col("doc_id"), col("top_bigram_n"), col("n_bigrams"),
+        r6(col("dup_bigram_frac")).as("dup_bigram_frac"))
+
+  /** Greedy sequence packing: per-language 256-token bins in doc_id
+    * order (the training-batch packing step).
+    */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val sized = Tables.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      size(QualityRules.spaceTokens(col("text"))).cast("long").as("n_tokens"))
+    Packing.greedyPack(sized, "lang", "n_tokens", Seq("doc_id"), capacity = 256L)
+      .select("doc_id", "lang", "n_tokens", "bin")
+  }
+
+  /** Per-language quota: keep the 25 largest documents of each language
+    * (n_chars desc, doc_id tiebreak).
+    */
+  private def q54(s: SparkSession, d: String): DataFrame =
+    Sampling.capPerGroup(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      Seq("lang"), Seq(col("n_chars").desc, col("doc_id").asc), n = 25)
+
+  /** PII redaction. The synthetic corpus carries no PII, so a
+    * deterministic augmentation (same expression in the oracle) plants
+    * an email + phone on every third document; the operator then counts
+    * and redacts them. The redacted text is pinned by its md5.
+    */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val aug = when(
+      col("doc_id") % 3 === 0,
+      concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        (col("doc_id") % 9000 + 1000).cast("string")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("__aug"))
+      .select(
+        col("doc_id"),
+        TextAnalysis.piiCount(col("__aug"), TextAnalysis.emailPattern)
+          .cast("long").as("n_emails"),
+        TextAnalysis.piiCount(col("__aug"), TextAnalysis.phonePattern)
+          .cast("long").as("n_phones"),
+        md5(TextAnalysis.redactPii(col("__aug"))).as("red_md5"))
+  }
+
+  /** Benchmark decontamination probe: every 25th document is the "eval
+    * set"; count each remaining document's distinct 5-gram overlaps.
+    */
+  private def q56(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Contamination.benchmarkOverlap(
+      docs, docs.filter(col("doc_id") % 25 === 0), "doc_id", "text")
+  }
+
+  /** Deterministic weighted sample (A-ES, weight = n_chars, k = 50). */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedSample(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      "doc_id", "n_chars", k = 50)
+
+  /** EXACT similarity self-join: all pairs with 5-gram-shingle Jaccard
+    * ≥ 0.5, via prefix filtering (no false negatives — unlike the
+    * MinHash path q21, this is oracle-checkable against brute force).
+    */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    SimilarityJoin.jaccardJoin(Tables.documents(s, d), "doc_id", "text", tau = 0.5)
+      .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
+
+  val defs: Map[String, Q] = Map(
+    "q51_gopher_filter" -> q51,
+    "q52_repetition" -> q52,
+    "q53_pack_greedy" -> q53,
+    "q54_group_cap" -> q54,
+    "q55_pii_redact" -> q55,
+    "q56_contamination" -> q56,
+    "q57_weighted_sample" -> q57,
+    "q58_simjoin_exact" -> q58
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q51_gopher_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len($duckToks) AS n_words,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+         |    len(list_intersect(list_distinct($duckToks),
+         |        ['the', 'a', 'and', 'of', 'to'])) AS stop_hits
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_words, stop_hits,
+         |    CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE CAST(n_nonspace AS DOUBLE) / n_words END AS mwl
+         |  FROM t)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  floor(mwl * 1000000 + 0.50001) / 1000000 AS mean_word_len,
+         |  CAST(stop_hits AS BIGINT) AS stop_hits
+         |FROM s
+         |WHERE n_words BETWEEN 20 AND 90
+         |  AND mwl BETWEEN 3.0 AND 4.6 AND stop_hits >= 1""".stripMargin,
+    "q52_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+         |       FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+         |       WHERE len(tk) >= 2),
+         |c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(max(n) AS BIGINT) AS top_bigram_n,
+         |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+         |  floor(max(n) * 1.0 / sum(n) * 1000000 + 0.50001) / 1000000 AS dup_bigram_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
+    "q53_pack_greedy" ->
+      s"""WITH RECURSIVE sized AS (
+         |  SELECT doc_id, lang, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |rec AS (
+         |  SELECT doc_id, lang, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS bin, n_tokens AS used
+         |  FROM sized WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.doc_id, s.lang, s.n_tokens, s.rn,
+         |    CASE WHEN r.used + s.n_tokens > 256 THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.used + s.n_tokens > 256 THEN s.n_tokens
+         |         ELSE r.used + s.n_tokens END
+         |  FROM sized s JOIN rec r ON s.lang = r.lang AND s.rn = r.rn + 1)
+         |SELECT doc_id, lang, n_tokens, bin FROM rec""".stripMargin,
+    "q54_group_cap" ->
+      """SELECT doc_id, lang, n_chars, rk FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 25""".stripMargin,
+    "q55_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com or call 555-'
+        |           || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+        |    ELSE text END AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(a, '[0-9]{3}-[0-9]{2,}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(a,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{2,}', '<PHONE>', 'g')) AS red_md5
+        |FROM aug""".stripMargin,
+    "q56_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest($duckShingles5) AS s
+         |       FROM toks WHERE len(tk) >= 5),
+         |bs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0)
+         |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+         |FROM sh p JOIN bs USING (s)
+         |WHERE p.doc_id % 25 <> 0
+         |GROUP BY p.doc_id""".stripMargin,
+    "q57_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln(CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0) / n_chars AS pri
+        |  FROM documents) t
+        |ORDER BY pri DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "q58_simjoin_exact" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles5 AS s
+         |       FROM toks WHERE len(tk) >= 5),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_intersect(a.s, b.s)) * 1.0
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id,
+         |  floor(j * 1000000 + 0.50001) / 1000000 AS jaccard
+         |FROM pairs WHERE j >= 0.5""".stripMargin
+  )
+}

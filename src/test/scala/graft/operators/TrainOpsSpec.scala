@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("gopherSignals: word count, mean word length, stopword hits, pass rule") {
+    val docs = Seq(
+      (1L, "the quick brown fox and the lazy dog ran off to town again today " +
+        "with many more words here to clear the minimum twenty word gate ok"),
+      (2L, "short text"),                // too few words
+      (3L, ("zz " * 30).trim)            // no stopwords, mean len 2
+    ).toDF("doc_id", "text")
+    val out = QualityRules.gopherSignals(docs, "text", minWords = 5, maxWords = 90)
+      .select("doc_id", "n_words", "stop_hits", "gopher_pass")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 27 && out(1L)._3 == 3 && out(1L)._4)
+    assert(out(2L)._2 == 2 && !out(2L)._4)
+    assert(out(3L)._3 == 0 && !out(3L)._4) // stopword gate fails
+  }
+
+  test("duplicateBigramFraction: top bigram over total bigrams") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // bigrams: "a b"x3, "b a"x2 → top 3 of 5
+      (2L, "x y z"),         // "x y", "y z" → top 1 of 2
+      (3L, "solo")           // <2 tokens → dropped
+    ).toDF("doc_id", "text")
+    val out = QualityRules.duplicateBigramFraction(docs, "doc_id", "text")
+      .select("doc_id", "top_bigram_n", "n_bigrams")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(1L -> ((3L, 5L)), 2L -> ((1L, 2L))))
+  }
+
+  test("greedyPack: first-fit in order, resets per group, oversize gets own bin") {
+    val rows = Seq(
+      ("en", 1L, 100L), ("en", 2L, 100L), ("en", 3L, 100L), // 100+100 | 100
+      ("en", 4L, 300L),                                     // oversize → own bin
+      ("en", 5L, 10L),
+      ("de", 6L, 250L), ("de", 7L, 6L)
+    ).toDF("lang", "doc_id", "n_tokens")
+    val out = Packing
+      .greedyPack(rows, "lang", "n_tokens", Seq("doc_id"), capacity = 256L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3,
+      6L -> 0, 7L -> 0))
+  }
+
+  test("capPerGroup: top-n per group under the given order") {
+    val docs = Seq(
+      (1L, "en", 50L), (2L, "en", 90L), (3L, "en", 70L),
+      (4L, "de", 10L)
+    ).toDF("doc_id", "lang", "n_chars")
+    val out = Sampling
+      .capPerGroup(docs, Seq("lang"), Seq($"n_chars".desc, $"doc_id".asc), n = 2)
+      .select("doc_id", "rk").as[(Long, Int)].collect().toMap
+    assert(out == Map(2L -> 1, 3L -> 2, 4L -> 1))
+  }
+
+  test("weightedSample: deterministic, k rows, favors heavy weights") {
+    val docs = (1L to 1000L)
+      .map(i => (i, if (i <= 20) 100000L else 1L)).toDF("doc_id", "w")
+    val s1 = Sampling.weightedSample(docs, "doc_id", "w", k = 30)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.weightedSample(docs, "doc_id", "w", k = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 30)
+    // nearly all 20 heavy ids (weight ratio 1e5) should be sampled
+    assert((1L to 20L).count(s1.contains) >= 18)
+  }
+
+  test("jaccardJoin matches brute force on a small corpus") {
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val docs = (1L to 40L).map { i =>
+      val base = Vector.fill(12)(vocab(rng.nextInt(vocab.size)))
+      // clusters of 4 share a base text with light mutation → real pairs
+      val words = if (i % 4 == 0) base
+        else Vector.fill(12)(vocab(rng.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val fast = SimilarityJoin.jaccardJoin(df, "doc_id", "text", tau = 0.4, shingleWords = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    def shingles(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(2).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (i, t) => i -> shingles(t) }.filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.4
+    } yield (a, b)).toSet
+    assert(fast == brute)
+    assert(brute.nonEmpty) // the test actually exercised matching pairs
+  }
+
+  test("benchmarkOverlap: counts distinct shared shingles, excludes bench ids") {
+    val docs = Seq(
+      (1L, "one two three four five six seven"),  // bench doc
+      (2L, "one two three four five nine ten"),   // shares 1 5-shingle
+      (3L, "a b c d e f g"),                      // clean
+      (4L, "one two three four five six eight")   // shares 2
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 1L)
+    val out = Contamination.benchmarkOverlap(docs, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 1L, 4L -> 2L))
+  }
+
+  test("redactPii replaces emails and phones, piiCount counts them") {
+    val df = Seq((1L, "mail a.b@x.co or 555-1234 now")).toDF("id", "t")
+    val out = df.select(
+      TextAnalysis.redactPii($"t").as("r"),
+      TextAnalysis.piiCount($"t", TextAnalysis.emailPattern).as("ne"),
+      TextAnalysis.piiCount($"t", TextAnalysis.phonePattern).as("np")
+    ).as[(String, Int, Int)].head()
+    assert(out == (("mail <EMAIL> or <PHONE> now", 1, 1)))
+  }
+}
