@@ -29,13 +29,12 @@ object Contamination {
       shingleWords: Int = 5): DataFrame = {
     def shingleRows(df: DataFrame) = df.select(
       col(idCol).as("__id"),
-      explode(QualityRules.wordShingles(
-        QualityRules.spaceTokens(col(textCol)), shingleWords)).as("__s"))
+      explode(QualityRules.wordShingles(col(textCol), shingleWords)).as("__s"))
 
     val benchShingles = shingleRows(bench).select("__s").distinct()
     val benchIds = bench.select(col(idCol).as("__id")).distinct()
 
-    shingleRows(docs)
+    shingleRows(Spread.ensure(docs.select(col(idCol), col(textCol))))
       .join(benchIds, Seq("__id"), "left_anti")
       .join(broadcast(benchShingles), "__s")
       .groupBy(col("__id").as(idCol))

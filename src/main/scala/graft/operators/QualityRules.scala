@@ -25,13 +25,19 @@ object QualityRules {
     filter(split(text, " "), t => length(t) > 0)
 
   /** Distinct word n-gram shingles joined by single spaces; empty array
-    * when the document has fewer than `n` tokens.
+    * when the document has fewer than `n` tokens. Native codegen'd
+    * expression ([[graft.functions.WordNGrams]]) — the equivalent
+    * higher-order-function chain runs interpreted and costs ~20× on
+    * shingle-heavy scans.
     */
-  def wordShingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", slice(tokens, i, lit(n))))))
+  def wordShingles(text: Column, n: Int): Column =
+    graft.internal.Cols.of(graft.functions.WordNGrams(
+      graft.internal.Cols.expressionOf(text), n, distinct = true))
+
+  /** All word n-grams in order, duplicates kept (repetition signals). */
+  def wordNGramsAll(text: Column, n: Int): Column =
+    graft.internal.Cols.of(graft.functions.WordNGrams(
+      graft.internal.Cols.expressionOf(text), n, distinct = false))
 
   /** Stopwords used for the presence signal (tiny on purpose — the
     * signal is "does the document contain ANY glue words", not a ratio).
@@ -75,15 +81,10 @@ object QualityRules {
     */
   def duplicateBigramFraction(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = spaceTokens(col(textCol))
-    val bigrams = df
-      .select(col(idCol), toks.as("__tk"))
-      .filter(size(col("__tk")) >= 2)
+    val bigrams = Spread.ensure(df.select(col(idCol), col(textCol)))
       .select(
         col(idCol),
-        explode(transform(
-          sequence(lit(1), size(col("__tk")) - 1),
-          i => concat_ws(" ", slice(col("__tk"), i, lit(2))))).as("__bg"))
+        explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
     bigrams
       .groupBy(col(idCol), col("__bg"))
       .agg(count(lit(1)).as("__n"))

@@ -41,16 +41,22 @@ object SimilarityJoin {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val base = docs
+    val base = Spread.ensure(docs.select(col(idCol), col(textCol)))
       .select(
         col(idCol).as("__id"),
-        QualityRules.wordShingles(
-          QualityRules.spaceTokens(col(textCol)), shingleWords).as("__sh"))
+        QualityRules.wordShingles(col(textCol), shingleWords).as("__sh"))
       .filter(size(col("__sh")) > 0)
 
-    val exploded = base.select(col("__id"), explode(col("__sh")).as("__s"))
-    // Global shingle order: document frequency asc, shingle asc. No dense
-    // global rank is materialized — (df, shingle) pairs order lexically.
+    // Everything downstream runs on 64-bit shingle hashes, not strings:
+    // smaller shuffles, long-typed sorts and intersections. Correctness
+    // is unaffected — prefix filtering is complete under ANY consistent
+    // global shingle order, and hash-set Jaccard equals string-set
+    // Jaccard absent 64-bit collisions (~2e-9 at 1e5 distinct shingles).
+    val exploded = base
+      .select(col("__id"), explode(col("__sh")).as("__s0"))
+      .select(col("__id"), xxhash64(col("__s0")).as("__s"))
+    // Global shingle order: document frequency asc, hash asc. No dense
+    // global rank is materialized — (df, hash) pairs order lexically.
     val freq = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
 
     val ordered = exploded
