@@ -39,6 +39,16 @@ object ConnectedComponents {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Convergence probe: labels are per-vertex non-increasing (each
+    // round takes the min over the closed neighborhood, own label
+    // included), so for NUMERIC ids Σ component strictly decreases
+    // until fixpoint — equal sums ⟺ no label changed. One scalar agg
+    // over the just-checkpointed frame replaces the next⋈prev
+    // change-count join (one fewer shuffle per round). Non-numeric ids
+    // fall back to the join probe.
+    val numericIds = labels.schema("component").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -52,12 +62,19 @@ object ConnectedComponents {
         .groupBy("id")
         .agg(min("component").as("component"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("p"), Seq("id"))
-        .filter(col("n.component") =!= col("p.component"))
-        .limit(1).count() // any-change probe, not a full count
+      if (numericIds) {
+        val s = next
+          .agg(sum(col("component").cast("decimal(38,0)")))
+          .first().getDecimal(0)
+        converged = prevSum.contains(s)
+        prevSum = Some(s)
+      } else {
+        converged = next.alias("n")
+          .join(labels.alias("p"), Seq("id"))
+          .filter(col("n.component") =!= col("p.component"))
+          .limit(1).count() == 0
+      }
       labels = next
-      converged = changed == 0
       it += 1
     }
     labels

@@ -87,7 +87,7 @@ object Dedup {
     graft.functions.MinHashSig.register(df.sparkSession)
     val rows = numHashes / bands
     val sig = minHashSignature(textCol, numHashes, shingleSize)
-    val banded = df
+    val banded = Spread.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"), sig.as("__sig"))
       .select(
         col("__id"),
