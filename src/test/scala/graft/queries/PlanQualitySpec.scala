@@ -92,6 +92,49 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("quality-rule filter (q51) is shuffle-free: pure row-level signals") {
+    val p = simple("q51_gopher_filter")
+    assert(!p.contains("Exchange"), s"q51 shuffles:\n$p")
+  }
+
+  test("PII redaction (q55) is shuffle-free codegen'd regex work") {
+    val p = simple("q55_pii_redact")
+    assert(!p.contains("Exchange"), s"q55 shuffles:\n$p")
+    assert(p.contains("*(1)"), p) // regexes stay inside whole-stage codegen
+  }
+
+  test("greedy packing (q53) costs one hash shuffle + local sort, like q13") {
+    val p = simple("q53_pack_greedy")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"$shuffles shuffles:\n$p")
+    assert(p.contains("REPARTITION_BY_COL"), p)
+  }
+
+  test("group cap (q54) is one window over one hash shuffle") {
+    val p = simple("q54_group_cap")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"$shuffles shuffles:\n$p")
+    assert(p.contains("row_number"), p)
+  }
+
+  test("contamination probe (q56) broadcasts the benchmark shingles") {
+    val p = simple("q56_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_count"), p) // map-side combinable count
+  }
+
+  test("weighted sample (q57) is a TakeOrdered, never a global sort") {
+    val p = simple("q57_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("exact similarity join (q58) has no cartesian/nested-loop stage") {
+    val p = simple("q58_simjoin_exact")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
