@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Contamination, Packing, QualityRules, Sampling, SimilarityJoin, TextAnalysis}
+import graft.operators.{Contamination, ConnectedComponents, Packing, QualityRules, Sampling, SimilarityJoin, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -111,6 +111,22 @@ object TrainQueries {
     SimilarityJoin.jaccardJoin(Tables.documents(s, d), "doc_id", "text", tau = 0.5)
       .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
 
+  /** End-to-end EXACT near-duplicate dedup: exact similarity join
+    * (q58) → connected components → keep one survivor (min doc_id) per
+    * cluster. Every stage is exact, so unlike sketch-based dedup the
+    * whole pipeline is oracle-checkable: DuckDB recomputes the pairs by
+    * brute force and the closure by recursive CTE.
+    */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = SimilarityJoin.jaccardJoin(docs, "doc_id", "text", tau = 0.5)
+      .select(col("a_id"), col("b_id"))
+    val comp = ConnectedComponents.byMinLabel(pairs)
+    val dropped = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.select("doc_id", "lang").join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   val defs: Map[String, Q] = Map(
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
@@ -119,7 +135,8 @@ object TrainQueries {
     "q55_pii_redact" -> q55,
     "q56_contamination" -> q56,
     "q57_weighted_sample" -> q57,
-    "q58_simjoin_exact" -> q58
+    "q58_simjoin_exact" -> q58,
+    "q59_dedup_survivors" -> q59
   )
 
   val oracles: Map[String, String] = Map(
@@ -221,6 +238,23 @@ object TrainQueries {
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          |SELECT a_id, b_id,
          |  floor(j * 1000000 + 0.50001) / 1000000 AS jaccard
-         |FROM pairs WHERE j >= 0.5""".stripMargin
+         |FROM pairs WHERE j >= 0.5""".stripMargin,
+    "q59_dedup_survivors" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, $duckShingles5 AS s
+         |       FROM toks WHERE len(tk) >= 5),
+         |e AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.s, b.s)) * 1.0
+         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+         |SELECT doc_id, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
   )
 }

@@ -111,6 +111,23 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(2L -> 1L, 4L -> 2L))
   }
 
+  test("exact dedup end-to-end: one survivor (min id) per near-dup cluster") {
+    val t1 = "alpha beta gamma delta eps zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, t1), (5L, t1), (9L, t1),       // cluster {1,5,9} → survivor 1
+      (2L, t2), (7L, t2),                 // cluster {2,7} → survivor 2
+      (3L, "lone wolf text with enough words to shingle fine today")
+    ).toDF("doc_id", "text")
+    val pairs = SimilarityJoin.jaccardJoin(docs, "doc_id", "text", tau = 0.5)
+      .select($"a_id", $"b_id")
+    val dropped = ConnectedComponents.byMinLabel(pairs)
+      .filter($"id" =!= $"component").select($"id".as("doc_id"))
+    val survivors = docs.select("doc_id").join(dropped, Seq("doc_id"), "left_anti")
+      .as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 3L))
+  }
+
   test("redactPii replaces emails and phones, piiCount counts them") {
     val df = Seq((1L, "mail a.b@x.co or 555-1234 now")).toDF("id", "t")
     val out = df.select(
