@@ -74,6 +74,43 @@ object QualityRules {
           stopHits >= 1)
   }
 
+  /** Statistical quality score: mean add-one-smoothed bigram
+    * log-probability of each document under the corpus's own bigram
+    * language model — the KenLM-style "perplexity filter" of training
+    * pipelines (score low ⇒ text is unlike the corpus: boilerplate,
+    * gibberish, wrong language), self-trained so no external model is
+    * needed. score = mean over bigrams (w1,w2) of
+    * ln((c(w1 w2) + 1) / (c(w1) + V)), V = distinct unigram count.
+    *
+    * Scale design: two count tables (unigram, bigram) built map-side
+    * combinable from one exploded scan each; scoring joins the
+    * document's bigrams to the two tables on their keys (hash joins on
+    * count tables ~vocabulary-sized, far smaller than the corpus) and
+    * one per-doc average. Documents with fewer than 2 tokens drop.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = Spread.ensure(df.select(col(idCol), col(textCol)))
+    val uni = src
+      .select(explode(wordNGramsAll(col(textCol), 1)).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+    val vocab = uni.count()
+    // one shingle pass serves both the bigram count table and the
+    // scoring join (localCheckpoint: materialized once, lineage cut)
+    val bgr = src
+      .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
+      .localCheckpoint(true)
+    val bi = bgr.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    bgr
+      .join(bi, "__bg")
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .join(uni, "__w1")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        avg(log((col("__cb") + 1).cast("double") / (col("__cu") + vocab)))
+          .as("lm_logprob"))
+  }
+
   /** Within-document repetition: the duplicate-bigram signal. For each
     * document, the count of its most frequent word bigram, the total
     * bigram count, and their ratio — the standard "top n-gram fraction"

@@ -49,6 +49,25 @@ object Sampling {
       .drop("__pri")
   }
 
+  /** Deterministic rebalance to group parity: downsample every group to
+    * (approximately) the size of the SMALLEST group — the "balance the
+    * language/domain mix" move. Each row passes iff
+    * md5Uniform(id) ≤ min_count / count(its group); the gate is a pure
+    * function of the id, so membership is stable across runs and
+    * subsets. Expected kept size per group = min_count.
+    *
+    * Scale design: one map-side-combinable count agg (groups are few —
+    * broadcast back), then a scan-parallel hash gate; no data shuffle
+    * at all for the gating pass.
+    */
+  def balanceGroups(df: DataFrame, idCol: String, groupCols: Seq[String]): DataFrame = {
+    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n"))).first().getLong(0)
+    df.join(broadcast(counts), groupCols)
+      .filter(md5Uniform(col(idCol)) <= lit(minN.toDouble) / col("__n"))
+      .select(df.columns.map(col): _*) // joins put keys first; restore input order
+  }
+
   /** Per-group quota: keep the top `n` rows of each group under
     * `orderCols` (must be a deterministic total order), with the rank
     * appended — "cap every domain/language at N documents".

@@ -127,6 +127,20 @@ object TrainQueries {
     docs.select("doc_id", "lang").join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Self-trained bigram-LM quality score (the "perplexity filter"). */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    QualityRules.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        r6(col("lm_logprob")).as("lm_logprob"))
+
+  /** Deterministic rebalance: every language downsampled to the size of
+    * the smallest one (md5 gate — stable across runs and engines).
+    */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    Sampling.balanceGroups(
+      Tables.documents(s, d).select("doc_id", "lang"), "doc_id", Seq("lang"))
+
   val defs: Map[String, Q] = Map(
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
@@ -136,7 +150,9 @@ object TrainQueries {
     "q56_contamination" -> q56,
     "q57_weighted_sample" -> q57,
     "q58_simjoin_exact" -> q58,
-    "q59_dedup_survivors" -> q59
+    "q59_dedup_survivors" -> q59,
+    "q60_lm_score" -> q60,
+    "q61_balance_groups" -> q61
   )
 
   val oracles: Map[String, String] = Map(
@@ -255,6 +271,29 @@ object TrainQueries {
          |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
          |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
          |SELECT doc_id, lang FROM documents
-         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+    "q60_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |unir AS (SELECT unnest(tk) AS w FROM toks),
+         |uni AS (SELECT w AS w1, count(*) AS cu FROM unir GROUP BY w),
+         |v AS (SELECT count(*) AS vocab FROM uni),
+         |bgr AS (SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS bg
+         |        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+         |        WHERE len(tk) >= 2),
+         |bi AS (SELECT bg, count(*) AS cb FROM bgr GROUP BY bg)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  floor(avg(ln((bi.cb + 1) * 1.0 / (uni.cu + v.vocab))) * 1000000
+         |        + 0.50001) / 1000000 AS lm_logprob
+         |FROM bgr JOIN bi USING (bg) JOIN uni USING (w1), v
+         |GROUP BY doc_id""".stripMargin,
+    "q61_balance_groups" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |m AS (SELECT min(n) AS mn FROM c)
+        |SELECT doc_id, lang FROM documents
+        |JOIN c USING (lang), m
+        |WHERE CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0
+        |      <= m.mn * 1.0 / c.n""".stripMargin
   )
 }

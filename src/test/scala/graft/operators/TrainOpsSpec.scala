@@ -111,6 +111,31 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(2L -> 1L, 4L -> 2L))
   }
 
+  test("bigramLmScore: add-one-smoothed bigram log-probs, hand-computed") {
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "c c")).toDF("doc_id", "text")
+    val out = QualityRules.bigramLmScore(docs, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "lm_logprob")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // uni: a=3 b=2 c=2, V=3; bi: "a b"=2 "b a"=1 "c c"=1
+    assert(out(1L)._1 == 2)
+    assert(math.abs(out(1L)._2 - (math.log(3.0 / 6) + math.log(2.0 / 5)) / 2) < 1e-12)
+    assert(math.abs(out(2L)._2 - math.log(3.0 / 6)) < 1e-12)
+    assert(math.abs(out(3L)._2 - math.log(2.0 / 5)) < 1e-12)
+  }
+
+  test("balanceGroups: min group kept whole, others downsampled to parity") {
+    val docs = ((1L to 500L).map(i => (i, "en")) ++ (501L to 600L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.balanceGroups(docs, "doc_id", Seq("lang"))
+      .as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("de") == 100)                       // rate 1.0 — all kept
+    assert(byLang("en") > 60 && byLang("en") < 140)   // ~100 of 500
+    val again = Sampling.balanceGroups(docs, "doc_id", Seq("lang"))
+      .as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)                 // deterministic
+  }
+
   test("exact dedup end-to-end: one survivor (min id) per near-dup cluster") {
     val t1 = "alpha beta gamma delta eps zeta eta theta iota kappa"
     val t2 = "one two three four five six seven eight nine ten"
