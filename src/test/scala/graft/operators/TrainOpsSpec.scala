@@ -48,6 +48,52 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
       6L -> 0, 7L -> 0))
   }
 
+  test("property: greedyPack matches the sequential driver fold (seeded random)") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val cap = 50L + rng.nextInt(100)
+      val rows = (1L to 300L).map { i =>
+        (s"g${rng.nextInt(4)}", i, rng.nextInt(80).toLong)
+      }
+      val out = Packing
+        .greedyPack(rows.toDF("g", "id", "sz"), "g", "sz", Seq("id"), cap)
+        .select("g", "id", "bin").as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      // reference: per-group sequential first-fit in id order
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        var bin = 0L; var used = 0L; var first = true
+        rs.sortBy(_._2).map { case (_, id, sz) =>
+          if (first) { used = sz; first = false }
+          else if (used + sz > cap) { bin += 1; used = sz }
+          else used += sz
+          (g, id) -> bin
+        }
+      }
+      assert(out == expected, s"trial $trial cap $cap")
+    }
+  }
+
+  test("property: jaccardJoin equals brute force across seeds and taus") {
+    for ((seed, tau) <- Seq((1, 0.3), (2, 0.6), (3, 0.8))) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      val docs = (1L to 30L).map { i =>
+        (i, Vector.fill(8 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size))).mkString(" "))
+      }
+      val fast = SimilarityJoin
+        .jaccardJoin(docs.toDF("doc_id", "text"), "doc_id", "text", tau, shingleWords = 2)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      def sh(t: String) = t.split(" ").filter(_.nonEmpty).sliding(2).map(_.mkString(" ")).toSet
+      val sets = docs.map { case (i, t) => i -> sh(t) }
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets
+        if a < b && sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= tau
+      } yield (a, b)).toSet
+      assert(fast == brute, s"seed $seed tau $tau")
+    }
+  }
+
   test("capPerGroup: top-n per group under the given order") {
     val docs = Seq(
       (1L, "en", 50L), (2L, "en", 90L), (3L, "en", 70L),
