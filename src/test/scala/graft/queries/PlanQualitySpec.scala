@@ -135,6 +135,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LM score (q60): count tables build map-side combinable") {
+    val p = simple("q60_lm_score")
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("group rebalance (q61): broadcast counts, gate inside codegen") {
+    val p = simple("q61_balance_groups")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
