@@ -110,4 +110,12 @@ object TextAnalysis {
   /** Count of matches of `pattern` in `text` (codegen'd builtin). */
   def piiCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern))
+
+  /** Strided context-window chunks of `text` (token windows of `size`
+    * every `stride` tokens — the "split long documents" step). Native
+    * codegen'd pass; see [[graft.functions.WordChunks]].
+    */
+  def chunkWindows(text: Column, size: Int, stride: Int): Column =
+    graft.internal.Cols.of(graft.functions.WordChunks(
+      graft.internal.Cols.expressionOf(text), size, stride))
 }

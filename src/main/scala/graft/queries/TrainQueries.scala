@@ -141,6 +141,21 @@ object TrainQueries {
     Sampling.balanceGroups(
       Tables.documents(s, d).select("doc_id", "lang"), "doc_id", Seq("lang"))
 
+  /** Context-window chunking: 40-token windows every 30 tokens (10-token
+    * overlap), chunk text pinned by md5.
+    */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        posexplode(TextAnalysis.chunkWindows(col("text"), 40, 30))
+          .as(Seq("chunk_idx", "__c")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(split(col("__c"), " ")).cast("long").as("n_tokens"),
+        md5(col("__c")).as("chunk_md5"))
+
   val defs: Map[String, Q] = Map(
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
@@ -152,7 +167,8 @@ object TrainQueries {
     "q58_simjoin_exact" -> q58,
     "q59_dedup_survivors" -> q59,
     "q60_lm_score" -> q60,
-    "q61_balance_groups" -> q61
+    "q61_balance_groups" -> q61,
+    "q62_chunk_windows" -> q62
   )
 
   val oracles: Map[String, String] = Map(
@@ -294,6 +310,17 @@ object TrainQueries {
         |JOIN c USING (lang), m
         |WHERE CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |        AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0
-        |      <= m.mn * 1.0 / c.n""".stripMargin
+        |      <= m.mn * 1.0 / c.n""".stripMargin,
+    "q62_chunk_windows" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |st AS (
+         |  SELECT doc_id, tk, i FROM toks,
+         |    unnest(generate_series(1, len(tk), 30)) AS g(i)
+         |  WHERE len(tk) > 0 AND (i = 1 OR i + 9 < len(tk)))
+         |SELECT doc_id,
+         |  CAST((i - 1) // 30 AS BIGINT) AS chunk_idx,
+         |  CAST(len(tk[i : i + 39]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(tk[i : i + 39], ' ')) AS chunk_md5
+         |FROM st""".stripMargin
   )
 }

@@ -199,6 +199,21 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(survivors == Set(1L, 2L, 3L))
   }
 
+  test("chunkWindows: strided windows, short tail, no redundant suffix window") {
+    def chunks(text: String, size: Int, stride: Int): Seq[String] =
+      Seq((1L, text)).toDF("id", "t")
+        .select(explode(TextAnalysis.chunkWindows($"t", size, stride)).as("c"))
+        .as[String].collect().toSeq
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    // size 4 stride 3 over 10 tokens: starts 0,3,6 (0,3 don't reach the
+    // end; 6..10 covers it) — NOT also 9 (suffix of the previous window)
+    assert(chunks(ten, 4, 3) == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(chunks(ten, 20, 5) == Seq(ten))     // one covering window
+    assert(chunks("  ", 4, 3).isEmpty)         // whitespace-only
+    assert(chunks("a  b", 1, 1) == Seq("a", "b")) // multi-space tokenize
+  }
+
   test("redactPii replaces emails and phones, piiCount counts them") {
     val df = Seq((1L, "mail a.b@x.co or 555-1234 now")).toDF("id", "t")
     val out = df.select(
