@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, LangId, MinHashSig, NGramJaccard, RollingChunks, SimHash64}
+import graft.functions.{CosineSim, LangId, MinHashSig, NGramJaccard, RollingChunks, SimHash64, WordChunks, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -46,6 +46,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val n = exprs(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
         RollingChunks(exprs.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1).asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+        val d = exprs(2).asInstanceOf[Literal].value.asInstanceOf[Boolean]
+        WordNGrams(exprs.head, n, d)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_chunks"),
+      new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
+      (exprs: Seq[Expression]) => {
+        def intLit(e: Expression): Int =
+          e.asInstanceOf[Literal].value.asInstanceOf[Number].intValue()
+        WordChunks(exprs.head, intLit(exprs(1)), intLit(exprs(2)))
       }))
   }
 }

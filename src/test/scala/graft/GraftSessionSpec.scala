@@ -19,18 +19,22 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "2")
       assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
       assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "64MB")
-      // all five custom functions resolve through pure SQL (extensions path)
+      // all custom functions resolve through pure SQL (extensions path)
       val row = spark.sql(
         """SELECT simhash64('a b') AS s,
           |size(minhash_sig('abcdef', 8, 3)) AS m,
           |ngram_jaccard('abc', 'abc', 2) AS j,
           |lang_id('the of and') AS l,
-          |cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c""".stripMargin)
+          |cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c,
+          |word_ngrams('a b a b', 2, true) AS w,
+          |word_chunks('a b c', 2, 2) AS ch""".stripMargin)
         .collect()(0)
       assert(row.getInt(1) == 8)
       assert(row.getDouble(2) == 1.0)
       assert(row.getString(3) == "en")
       assert(row.getDouble(4) == 0.0)
+      assert(row.getSeq[String](5) == Seq("a b", "b a"))
+      assert(row.getSeq[String](6) == Seq("a b", "c"))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
