@@ -32,9 +32,12 @@ object ConnectedComponents {
     // plans, and Catalyst analysis/codegen blows the driver heap after a
     // handful of iterations (measured: OOM by round ~4 on a 1k-vertex
     // graph).
+    // no distinct: min-label propagation is idempotent to duplicate
+    // edges (they only repeat a min), and pair generators emit distinct
+    // pairs already — a dedup shuffle here would be pure overhead. A
+    // caller with a heavily duplicated edge list should pre-distinct.
     val sym = e
       .union(e.select(col("dst"), col("src")))
-      .distinct()
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))

@@ -34,8 +34,12 @@ object Contamination {
     val benchShingles = shingleRows(bench).select("__s").distinct()
     val benchIds = bench.select(col(idCol).as("__id")).distinct()
 
-    shingleRows(Spread.ensure(docs.select(col(idCol), col(textCol))))
-      .join(benchIds, Seq("__id"), "left_anti")
+    // exclude bench ids BEFORE shingling — the anti join then moves doc
+    // rows, not exploded shingle rows (and broadcasts: eval sets are small)
+    val probe = docs.select(col(idCol).as("__id"), col(textCol))
+      .join(broadcast(benchIds), Seq("__id"), "left_anti")
+      .withColumnRenamed("__id", idCol)
+    shingleRows(Spread.ensure(probe))
       .join(broadcast(benchShingles), "__s")
       .groupBy(col("__id").as(idCol))
       // shingles are distinct within a document already
