@@ -49,8 +49,15 @@ object ConnectedComponents {
     // over the just-checkpointed frame replaces the next⋈prev
     // change-count join (one fewer shuffle per round). Non-numeric ids
     // fall back to the join probe.
-    val numericIds = labels.schema("component").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // integral only: a fractional id would round in the decimal cast
+    // (IntegralType itself is private[sql] — enumerate the public types)
+    val numericIds = {
+      import org.apache.spark.sql.types._
+      labels.schema("component").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var it = 0

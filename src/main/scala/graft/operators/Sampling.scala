@@ -62,7 +62,9 @@ object Sampling {
     */
   def balanceGroups(df: DataFrame, idCol: String, groupCols: Seq[String]): DataFrame = {
     val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
-    val minN = counts.agg(min(col("__n"))).first().getLong(0)
+    val minRow = counts.agg(min(col("__n"))).first()
+    if (minRow.isNullAt(0)) return df // empty input: nothing to rebalance
+    val minN = minRow.getLong(0)
     df.join(broadcast(counts), groupCols)
       .filter(md5Uniform(col(idCol)) <= lit(minN.toDouble) / col("__n"))
       .select(df.columns.map(col): _*) // joins put keys first; restore input order
