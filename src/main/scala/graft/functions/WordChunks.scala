@@ -51,29 +51,20 @@ object WordChunks {
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(text: UTF8String, size: Int, stride: Int): ArrayData = {
     val s = text.toString
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      if (s.charAt(i) != ' ') {
-        val st = i
-        while (i < len && s.charAt(i) != ' ') i += 1
-        starts.add(st); ends.add(i)
-      } else i += 1
-    }
-    val nTok = starts.size()
+    val cnt = new Array[Int](1)
+    val offs = WordNGrams.tokenOffsets(s, cnt) // shared unboxed tokenizer
+    val nTok = cnt(0)
     if (nTok == 0) return new GenericArrayData(Array.empty[Any])
     val out = new java.util.ArrayList[UTF8String]()
     var from = 0
     var done = false
     while (from < nTok && !done) {
       val to = math.min(from + size, nTok) // exclusive; tail may be short
-      val sb = new java.lang.StringBuilder(ends.get(to - 1) - starts.get(from))
+      val sb = new java.lang.StringBuilder(offs(2 * (to - 1) + 1) - offs(2 * from))
       var k = from
       while (k < to) {
         if (k > from) sb.append(' ')
-        sb.append(s, starts.get(k), ends.get(k))
+        sb.append(s, offs(2 * k), offs(2 * k + 1))
         k += 1
       }
       out.add(UTF8String.fromString(sb.toString))

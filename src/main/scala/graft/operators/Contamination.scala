@@ -34,12 +34,15 @@ object Contamination {
     val benchShingles = shingleRows(bench).select("__s").distinct()
     val benchIds = bench.select(col(idCol).as("__id")).distinct()
 
-    // exclude bench ids BEFORE shingling — the anti join then moves doc
-    // rows, not exploded shingle rows (and broadcasts: eval sets are small)
-    val probe = docs.select(col(idCol).as("__id"), col(textCol))
+    // Spread the RAW scan (before any join): Spread.ensure planifies its
+    // input to count partitions, which under AQE eagerly executes any
+    // exchanges in the plan — on a join it would run the broadcast side
+    // as a throwaway job. Exclude bench ids BEFORE shingling so the anti
+    // join moves doc rows, not exploded shingle rows.
+    val probe = Spread.ensure(docs.select(col(idCol).as("__id"), col(textCol)))
       .join(broadcast(benchIds), Seq("__id"), "left_anti")
       .withColumnRenamed("__id", idCol)
-    shingleRows(Spread.ensure(probe))
+    shingleRows(probe)
       .join(broadcast(benchShingles), "__s")
       .groupBy(col("__id").as(idCol))
       // shingles are distinct within a document already

@@ -59,7 +59,9 @@ object QualityRules {
     val toks = spaceTokens(t)
     val nWords = size(toks)
     val nChars = length(t)
-    val nSpace = nChars - length(regexp_replace(t, "\\s", ""))
+    // explicit class, not \s: Java's \s includes vertical tab, RE2's
+    // (DuckDB) does not — the explicit class is engine-independent
+    val nSpace = nChars - length(regexp_replace(t, "[ \\t\\n\\f\\r]", ""))
     val meanLen = when(nWords === 0, lit(0.0))
       .otherwise((nChars - nSpace).cast("double") / nWords)
     val stopHits = size(array_intersect(
@@ -90,9 +92,12 @@ object QualityRules {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val src = Spread.ensure(df.select(col(idCol), col(textCol)))
+    // checkpoint BEFORE the count: V is read off the materialized table,
+    // not by re-running the corpus scan + shuffle agg a second time
     val uni = src
       .select(explode(wordNGramsAll(col(textCol), 1)).as("__w1"))
       .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+      .localCheckpoint(true)
     val vocab = uni.count()
     // one shingle pass serves both the bigram count table and the
     // scoring join (localCheckpoint: materialized once, lineage cut)

@@ -42,7 +42,12 @@ object Sampling {
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val keyed = df.withColumn("__pri", priorityKey(col(idCol), col(weightCol)))
+    // A-ES is defined for positive weights; a negative weight would flip
+    // ln(u)/w positive and win the sample. Non-positive-weight rows are
+    // unsampleable (P = 0) and are dropped rather than silently promoted.
+    val keyed = df
+      .filter(col(weightCol) > 0)
+      .withColumn("__pri", priorityKey(col(idCol), col(weightCol)))
     keyed
       .orderBy(col("__pri").desc, col(idCol).asc)
       .limit(k)
@@ -61,7 +66,12 @@ object Sampling {
     * at all for the gating pass.
     */
   def balanceGroups(df: DataFrame, idCol: String, groupCols: Seq[String]): DataFrame = {
-    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    // one count pass: the group-cardinality-sized table is checkpointed,
+    // so the min probe and the broadcast join both read the materialized
+    // result instead of re-aggregating the input
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val minRow = counts.agg(min(col("__n"))).first()
     if (minRow.isNullAt(0)) return df // empty input: nothing to rebalance
     val minN = minRow.getLong(0)

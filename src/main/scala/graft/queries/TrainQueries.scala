@@ -51,7 +51,11 @@ object TrainQueries {
   private def q53(s: SparkSession, d: String): DataFrame = {
     val sized = Tables.documents(s, d).select(
       col("doc_id"), col("lang"),
-      size(QualityRules.spaceTokens(col("text"))).cast("long").as("n_tokens"))
+      // coalesce: NULL text must count 0 on both engines (the operator
+      // coerces anyway; the recursive-CTE oracle would poison its
+      // running sum with NULL instead)
+      coalesce(size(QualityRules.spaceTokens(col("text"))).cast("long"), lit(0L))
+        .as("n_tokens"))
     Packing.greedyPack(sized, "lang", "n_tokens", Seq("doc_id"), capacity = 256L)
       .select("doc_id", "lang", "n_tokens", "bin")
   }
@@ -176,7 +180,7 @@ object TrainQueries {
       s"""WITH t AS (
          |  SELECT doc_id,
          |    len($duckToks) AS n_words,
-         |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+         |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS n_nonspace,
          |    len(list_intersect(list_distinct($duckToks),
          |        ['the', 'a', 'and', 'of', 'to'])) AS stop_hits
          |  FROM documents),
@@ -204,7 +208,7 @@ object TrainQueries {
          |FROM c GROUP BY doc_id""".stripMargin,
     "q53_pack_greedy" ->
       s"""WITH RECURSIVE sized AS (
-         |  SELECT doc_id, lang, CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |  SELECT doc_id, lang, coalesce(CAST(len($duckToks) AS BIGINT), 0) AS n_tokens,
          |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
          |  FROM documents),
          |rec AS (
