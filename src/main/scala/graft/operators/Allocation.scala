@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -51,36 +51,20 @@ object Allocation {
       orderCols: Seq[String],
       allocCol: String = "alloc_qty"): DataFrame = {
 
-    val sortCols = (keyCol +: orderCols).map(col)
-    val parted = lines
-      .repartition(col(keyCol))
-      .sortWithinPartitions(sortCols: _*)
-
-    val inSchema  = parted.schema
-    val outSchema = inSchema.add(allocCol, DoubleType, nullable = false)
-    val ki = inSchema.fieldIndex(keyCol)
-    val qi = inSchema.fieldIndex(qtyCol)
-    val ci = inSchema.fieldIndex(capCol)
-
-    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
-    parted.mapPartitions { rows =>
-      // Keys are contiguous after the partition-local sort; track only the
-      // current key's remaining capacity — O(1) state, streaming pass.
-      var curKey: Any = null
-      var started = false
-      var remaining = 0.0
-      rows.map { r =>
-        val k = r.get(ki)
-        if (!started || k != curKey) {
-          curKey = k
-          started = true
+    val qi = lines.schema.fieldIndex(qtyCol)
+    val ci = lines.schema.fieldIndex(capCol)
+    SortedGroupFold.appendColumn(lines, keyCol, orderCols, allocCol, DoubleType) {
+      () => new SortedGroupFold.Fold {
+        // O(1) state: the current key's remaining capacity
+        private var remaining = 0.0
+        override def start(r: Row): Unit =
           remaining =
             if (r.isNullAt(ci)) 0.0 else r.get(ci).asInstanceOf[Number].doubleValue()
+        override def next(r: Row): Any = {
+          val qty =
+            if (r.isNullAt(qi)) 0.0 else r.get(qi).asInstanceOf[Number].doubleValue()
+          if (qty > 0 && qty <= remaining) { remaining -= qty; qty } else 0.0
         }
-        val qty =
-          if (r.isNullAt(qi)) 0.0 else r.get(qi).asInstanceOf[Number].doubleValue()
-        val alloc = if (qty > 0 && qty <= remaining) { remaining -= qty; qty } else 0.0
-        Row.fromSeq(r.toSeq :+ alloc)
       }
     }
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -36,41 +36,23 @@ object Packing {
       capacity: Long,
       binCol: String = "bin"): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val sortCols = (groupCol +: orderCols).map(col)
-    val parted = df
-      .repartition(col(groupCol))
-      .sortWithinPartitions(sortCols: _*)
-
-    val inSchema = parted.schema
-    val outSchema = inSchema.add(binCol, LongType, nullable = false)
-    val gi = inSchema.fieldIndex(groupCol)
-    val si = inSchema.fieldIndex(sizeCol)
-
-    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
-    parted.mapPartitions { rows =>
-      // Groups are contiguous after the partition-local sort; carry only
-      // (current group, bin index, used capacity) — O(1) state.
-      var curKey: Any = null
-      var started = false
-      var bin = 0L
-      var used = 0L
-      rows.map { r =>
-        val k = r.get(gi)
-        val sz =
+    val si = df.schema.fieldIndex(sizeCol)
+    SortedGroupFold.appendColumn(df, groupCol, orderCols, binCol, LongType) {
+      () => new SortedGroupFold.Fold {
+        // O(1) state: (bin index, used capacity) of the current group
+        private var bin = 0L
+        private var used = 0L
+        private def sz(r: Row): Long =
           if (r.isNullAt(si)) 0L
           else math.max(0L, r.get(si).asInstanceOf[Number].longValue())
-        if (!started || k != curKey) {
-          curKey = k
-          started = true
-          bin = 0L
-          used = sz
-        } else if (used + sz > capacity) {
-          bin += 1L
-          used = sz
-        } else {
-          used += sz
+        override def start(r: Row): Unit = { bin = 0L; used = -1L }
+        override def next(r: Row): Any = {
+          val s = sz(r)
+          if (used < 0L) used = s // first row of the group
+          else if (used + s > capacity) { bin += 1L; used = s }
+          else used += s
+          bin
         }
-        Row.fromSeq(r.toSeq :+ bin)
       }
     }
   }
