@@ -80,6 +80,45 @@ object Sampling {
       .select(df.columns.map(col): _*) // joins put keys first; restore input order
   }
 
+  /** Deterministic mixture sampling to an EXPLICIT target distribution
+    * (the "domain mixing weights" move: e.g. 50% web, 30% code, 20%
+    * papers). The achievable corpus size is N* = min over targeted
+    * groups of count_g / t_g (the scarcest group is used whole); each
+    * group keeps rate_g = N*·t_g / count_g of its rows via the md5 hash
+    * gate. Groups absent from `targets` are dropped. Expected kept size
+    * of group g = N*·t_g — the requested mix at the largest size the
+    * data supports.
+    *
+    * Scale design: identical shape to [[balanceGroups]] — one count agg
+    * (group-cardinality-sized, collected for the scalar N*), then a
+    * shuffle-free scan-parallel gate against broadcast rates.
+    */
+  def mixToTarget(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be non-empty with positive weights")
+    val tot = targets.values.sum
+    val norm = targets.map { case (g, w) => (g, w / tot) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .filter(col(groupCol).isin(norm.keys.toSeq: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .as[(String, Long)].collect().toMap
+    if (counts.isEmpty) return df.limit(0)
+    // groups targeted but absent contribute nothing and cap nothing
+    val nStar = counts.map { case (g, n) => n / norm(g) }.min
+    val rates = counts.toSeq
+      .map { case (g, n) => (g, math.min(1.0, nStar * norm(g) / n)) }
+      .toDF(groupCol, "__rate")
+    df.join(broadcast(rates), Seq(groupCol))
+      .filter(md5Uniform(col(idCol)) <= col("__rate"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Per-group quota: keep the top `n` rows of each group under
     * `orderCols` (must be a deterministic total order), with the rank
     * appended — "cap every domain/language at N documents".

@@ -160,6 +160,16 @@ object TrainQueries {
         size(split(col("__c"), " ")).cast("long").as("n_tokens"),
         md5(col("__c")).as("chunk_md5"))
 
+  /** Mixture sampling to an explicit target: 50% en / 25% zh / 25% de
+    * (es/fr dropped), at the largest size the scarcest group supports.
+    * Weights are binary-exact (0.5/0.25) so the per-group keep rates are
+    * bit-identical across engines.
+    */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    Sampling.mixToTarget(
+      Tables.documents(s, d).select("doc_id", "lang"), "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25))
+
   val defs: Map[String, Q] = Map(
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
@@ -172,7 +182,8 @@ object TrainQueries {
     "q59_dedup_survivors" -> q59,
     "q60_lm_score" -> q60,
     "q61_balance_groups" -> q61,
-    "q62_chunk_windows" -> q62
+    "q62_chunk_windows" -> q62,
+    "q63_mix_to_target" -> q63
   )
 
   val oracles: Map[String, String] = Map(
@@ -325,6 +336,21 @@ object TrainQueries {
          |  CAST((i - 1) // 30 AS BIGINT) AS chunk_idx,
          |  CAST(len(tk[i : i + 39]) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(tk[i : i + 39], ' ')) AS chunk_md5
-         |FROM st""".stripMargin
+         |FROM st""".stripMargin,
+    "q63_mix_to_target" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+        |  WHERE lang IN ('en', 'zh', 'de') GROUP BY lang),
+        |t AS (SELECT * FROM (VALUES
+        |  ('en', CAST(0.5 AS DOUBLE)),
+        |  ('zh', CAST(0.25 AS DOUBLE)),
+        |  ('de', CAST(0.25 AS DOUBLE))) AS t(lang, w)),
+        |j AS (SELECT c.lang, c.n, t.w FROM c JOIN t USING (lang)),
+        |m AS (SELECT min(n / w) AS nstar FROM j),
+        |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE), m.nstar * w / n) AS rate
+        |      FROM j, m)
+        |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        |WHERE CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0 <= r.rate""".stripMargin
   )
 }

@@ -182,6 +182,24 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.toSet == again.toSet)                 // deterministic
   }
 
+  test("mixToTarget: requested mix at the scarcest group's full size") {
+    val docs = ((1L to 800L).map(i => (i, "web")) ++
+      (801L to 900L).map(i => (i, "code")) ++
+      (901L to 1200L).map(i => (i, "junk")))
+      .toDF("doc_id", "src")
+    val kept = Sampling.mixToTarget(docs, "doc_id", "src",
+      Map("web" -> 0.75, "code" -> 0.25))
+      .as[(Long, String)].collect()
+    val by = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!by.contains("junk"))          // untargeted group dropped
+    assert(by("code") == 100)             // scarcest group kept whole
+    // N* = 100/0.25 = 400 → web expects 300 of 800 (md5 gate, ±)
+    assert(by("web") > 240 && by("web") < 360)
+    val again = Sampling.mixToTarget(docs, "doc_id", "src",
+      Map("web" -> 0.75, "code" -> 0.25)).as[(Long, String)].collect()
+    assert(kept.toSet == again.toSet)     // deterministic
+  }
+
   test("exact dedup end-to-end: one survivor (min id) per near-dup cluster") {
     val t1 = "alpha beta gamma delta eps zeta eta theta iota kappa"
     val t2 = "one two three four five six seven eight nine ten"
