@@ -287,15 +287,17 @@ object TrainQueries {
          |  floor(j * 1000000 + 0.50001) / 1000000 AS jaccard
          |FROM pairs WHERE j >= 0.5""".stripMargin,
     "q59_dedup_survivors" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |sh AS (SELECT doc_id, $duckShingles5 AS s
+      // MATERIALIZED: without it DuckDB re-derives the brute-force edge
+      // list inside every recursion step (hours at sf0.1; seconds with)
+      s"""WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS MATERIALIZED (SELECT doc_id, $duckShingles5 AS s
          |       FROM toks WHERE len(tk) >= 5),
-         |e AS (
+         |e AS MATERIALIZED (
          |  SELECT a.doc_id AS src, b.doc_id AS dst
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.s, b.s)) * 1.0
          |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-         |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |reach AS (
          |  SELECT src AS id, dst AS r FROM sym
          |  UNION
