@@ -57,4 +57,27 @@ object Quantiles {
       .groupBy(col(keyCol))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The 100 TB path: Greenwald–Khanna sketch quantiles via Spark's
+    * `percentile_approx` — single map-side-combinable pass, no global
+    * sort, bounded sketch memory per group. `accuracy` is the GK
+    * parameter (rank error ≤ 1/accuracy · n): 10000 ⇒ ±0.01% rank
+    * error. Use [[exactInterpolated]] when bit-exact values are
+    * required; this when the column is corpus-sized.
+    */
+  def approxSketch(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      qs: Seq[(String, Double)],
+      accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 })
+    val aggs = qs.map { case (name, q) =>
+      percentile_approx(
+        col(valCol).cast("double"), lit(q), lit(accuracy)).as(name)
+    }
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

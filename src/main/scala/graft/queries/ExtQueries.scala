@@ -228,6 +228,16 @@ object ExtQueries {
     * sort-based relational formulation (builtin `percentile` buffers
     * every group value in memory — see [[Quantiles]] scaladoc).
     */
+  /** Sketch quantiles (q36's 100 TB path): Greenwald–Khanna via
+    * percentile_approx — one combinable pass, no global sort. Rows-only
+    * check (sketch values are algorithm-specific, not SQL-reproducible);
+    * QuantilesSpec pins the rank-error bound against the exact path.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    Quantiles.approxSketch(
+      Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+      Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
+
   private def q36(s: SparkSession, d: String): DataFrame =
     Quantiles.exactInterpolated(
       Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
@@ -350,7 +360,8 @@ object ExtQueries {
     "q37_corpus_overlap" -> q37,
     "q41_simhash_pairs" -> q41,
     "q42_tfidf_top_term" -> q42,
-    "q43_chunk_overlap" -> q43
+    "q43_chunk_overlap" -> q43,
+    "q64_quantiles_sketch" -> q64
   )
 
   private val langCase = {

@@ -41,6 +41,40 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
     assert(out("b")._1 == 1.5) // (2-1)*0.5 interpolation
   }
 
+  test("approxSketch stays within GK rank error of the exact quantiles") {
+    val li = Tables.lineitem(spark, sf)
+    val qs = Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99)
+    val exact = Quantiles.exactInterpolated(li, "l_returnflag", "l_extendedprice", qs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Quantiles.approxSketch(li, "l_returnflag", "l_extendedprice", qs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    // rank error ≈ 1/accuracy; the sketch returns a SAMPLE at a rank
+    // within the bound while exactInterpolated interpolates between
+    // ranks, so bracket with a 10× margin (still ±0.1% rank — compare
+    // via bracketing quantiles, not value deltas: values jump at rank
+    // boundaries)
+    val eps = 10.0 / 10000
+    for (k <- exact.keySet; (_, q) <- qs) {
+      val bracket = Quantiles.exactInterpolated(
+        li.filter(col("l_returnflag") === k), "l_returnflag", "l_extendedprice",
+        Seq("lo" -> math.max(0.0, q - eps), "hi" -> math.min(1.0, q + eps)))
+        .collect()(0)
+      val a = approx(k).getDouble(qs.indexWhere(_._2 == q) + 1)
+      assert(a >= bracket.getDouble(1) - 1e-9 && a <= bracket.getDouble(2) + 1e-9,
+        s"group $k q=$q: sketch $a outside [${bracket.getDouble(1)}, ${bracket.getDouble(2)}]")
+    }
+  }
+
+  test("approxSketch plan is one partial+final agg, no sort, no window") {
+    val li = Tables.lineitem(spark, sf)
+    val plan = Quantiles
+      .approxSketch(li, "l_returnflag", "l_extendedprice", Seq("p50" -> 0.5))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_percentile_approx"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("the plan aggregates only quantile-position rows (filter before agg)") {
     val li = Tables.lineitem(spark, sf)
     val out = Quantiles
