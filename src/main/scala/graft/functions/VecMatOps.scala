@@ -71,7 +71,10 @@ object NearestCells {
         dot += x * flat(base + j)
         j += 1
       }
-      scores(c) = dot - flat(base + dim)
+      val s = dot - flat(base + dim)
+      // NaN (from a NaN vector component or centroid) sorts below every
+      // real score instead of poisoning the > comparisons below
+      scores(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
     // selection of the top n indices (k is small — 8..256 cells)
@@ -84,7 +87,11 @@ object NearestCells {
       var bestScore = Double.NegativeInfinity
       var i = 0
       while (i < k) {
-        if (!taken(i) && scores(i) > bestScore) { best = i; bestScore = scores(i) }
+        // best == -1 seeds with the first untaken cell, so an all
+        // -Infinity round (every score NaN) still picks a valid index
+        if (!taken(i) && (best == -1 || scores(i) > bestScore)) {
+          best = i; bestScore = scores(i)
+        }
         i += 1
       }
       taken(best) = true

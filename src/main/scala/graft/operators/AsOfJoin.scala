@@ -35,9 +35,15 @@ object AsOfJoin {
       rightTiebreak: Seq[String] = Nil): DataFrame = {
     require(carry.nonEmpty)
     val l = left.withColumn("__side", lit(1))
+    // ALL carry columns ride in ONE struct: a single last(ignoreNulls)
+    // picks the whole struct from the winning right row, so the output
+    // never mixes fields from different right rows (a per-column
+    // last() would skip a NULL field of the newest row and fill it from
+    // an older one). The struct itself is non-null for every right row
+    // even when all its fields are null.
     val r = right
-      .select((Seq(col(keyCol), col(timeCol)) ++
-        carry.map(c => col(c).as(s"asof_$c")) ++
+      .select((Seq(col(keyCol), col(timeCol),
+        struct(carry.map(c => col(c).as(c)): _*).as("__asof_carry")) ++
         rightTiebreak.map(c => col(c).as(s"__tb_$c"))): _*)
       .withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -46,12 +52,14 @@ object AsOfJoin {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carry.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    val carried = unioned.withColumn(
+      "__asof_carry", last(col("__asof_carry"), ignoreNulls = true).over(w))
+    val expanded = carry.foldLeft(carried) { (df, c) =>
+      df.withColumn(s"asof_$c", col("__asof_carry").getField(c))
     }
-    carried
+    expanded
       .filter(col("__side") === 1)
-      .drop("__side")
+      .drop("__side", "__asof_carry")
       .drop(rightTiebreak.map(c => s"__tb_$c"): _*)
   }
 }

@@ -23,8 +23,15 @@ object ConnectedComponents {
   /** @param edges two-column DataFrame (src, dst) — undirected, ids of one
     *              orderable type
     * @return (id, component) — component = min vertex id reachable
+    * @throws IllegalStateException when the fixpoint is not reached within
+    *         `maxIter` rounds — partial labels are WRONG (split components)
+    *         and must never be silently returned; raise `maxIter` instead.
+    *         From round 3 on, a pointer-jumping branch (adopt the label of
+    *         your label) doubles the propagated distance per round, so
+    *         rounds needed ≈ 2 + log₂(diameter) — a 100k-link chain
+    *         converges in ~20 rounds, not 100k.
     */
-  def byMinLabel(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def byMinLabel(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val e = edges.toDF("src", "dst")
     // symmetric closure once. localCheckpoint (eager) MATERIALIZES and
     // TRUNCATES lineage — essential for any iterative dataflow: with
@@ -67,8 +74,19 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(viaNeighbors)
+      // Pointer jumping (label-of-label) from round 3 on: near-clique
+      // dedup graphs converge in ≤ 2 plain rounds, so they never pay the
+      // extra join; a long-diameter graph doubles its propagated distance
+      // every round from here (O(log d) total rounds instead of O(d)).
+      val viaPointer =
+        if (it < 2) None
+        else Some(
+          labels.alias("a")
+            .join(labels.alias("b"), col("a.component") === col("b.id"))
+            .select(col("a.id"), col("b.component").as("component")))
+      val next = (labels.select(col("id"), col("component"))
+        .union(viaNeighbors) +: viaPointer.toSeq)
+        .reduce(_ union _)
         .groupBy("id")
         .agg(min("component").as("component"))
         .localCheckpoint(true)
@@ -87,6 +105,13 @@ object ConnectedComponents {
       labels = next
       it += 1
     }
+    // Non-convergence means labels are still mid-propagation: components
+    // are SPLIT and downstream survivor selection would silently keep
+    // duplicates. Fail loudly rather than return wrong labels.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds; " +
+          "the graph diameter exceeds the iteration budget — raise maxIter")
     labels
   }
 }

@@ -101,25 +101,40 @@ object Dedup {
 
   /** Candidate pairs for SUB-document dedup: every id pair sharing at
     * least one chunk digest in `chunksCol` (an array column, e.g. from
-    * [[graft.functions.RollingChunks]]). For any "chunk overlap > 0"
-    * predicate this generator is EXACT — overlap > 0 ⟺ the pair shares a
-    * digest — unlike MinHash banding, which is probabilistic. Shares the
-    * bucket-gated pair expansion with the MinHash/SimHash generators
-    * (a digest common to > `maxBucket` docs is boilerplate; expanding it
-    * quadratically is slow and pointless).
+    * [[graft.functions.RollingChunks]]). Unlike MinHash banding
+    * (probabilistic), the "shares a digest" relation here is EXACT —
+    * including through oversized buckets: a digest shared by more than
+    * `maxBucket` docs is NOT dropped but star-expanded (every member
+    * pairs with the bucket's minimum id, O(bucket) pairs instead of
+    * O(bucket²)). The emitted pair LIST is therefore complete only for
+    * buckets ≤ `maxBucket`, but the CONNECTIVITY of the share-a-chunk
+    * graph — what connected-components dedup consumes — is exact always:
+    * all members of an oversized bucket stay linked through its minimum
+    * id.
     */
   def sharedChunkPairs(
       df: DataFrame,
       idCol: String,
       chunksCol: String,
       maxBucket: Int = 1000): DataFrame = {
-    val banded = df
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_key")
+    val counted = df
       .select(col(idCol).as("__id"), explode(col(chunksCol)).as("band_key"))
       .distinct() // a digest repeated within one doc must count once
-      .withColumn("band_idx", lit(0))
-    bandedPairs(banded, maxBucket)
+      .withColumn("__cnt", count(lit(1)).over(w))
+    val normal = counted.filter(col("__cnt").between(2, maxBucket))
+      .drop("__cnt")
+    val quadratic = normal.alias("x")
+      .join(
+        normal.alias("y"),
+        col("x.band_key") === col("y.band_key") &&
+          col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      .distinct()
+    val star = counted.filter(col("__cnt") > maxBucket)
+      .withColumn("__min", min(col("__id")).over(w))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"))
+    quadratic.union(star).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs.

@@ -32,7 +32,12 @@ object Quantiles {
     require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0 && q <= 1 })
     val vals = df.select(col(keyCol), col(valCol).cast("double").as(valCol))
       .filter(col(valCol).isNotNull)
-    val counts = vals.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    // counts come from the UNfiltered frame (count(col) skips nulls), so
+    // a group whose values are all NULL still has a row here (__n = 0)
+    // and can be re-attached after the aggregate — PERCENTILE_CONT /
+    // DuckDB quantile_cont return such groups with NULL quantiles,
+    // not no row at all.
+    val counts = df.groupBy(col(keyCol)).agg(count(col(valCol)).as("__n"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
     val ranked = vals
       .withColumn("__rn", row_number().over(w))
@@ -52,10 +57,13 @@ object Quantiles {
           .when(col("__rn") === hi(q), col(valCol) * frac(q))
           .otherwise(lit(0.0))).as(name)
     }
-    ranked
+    val computed = ranked
       .filter(atQuantilePos)
       .groupBy(col(keyCol))
       .agg(aggs.head, aggs.tail: _*)
+    // left join from the full group list: all-NULL groups (no ranked
+    // rows) surface with NULL quantile columns. O(groups) rows.
+    counts.select(col(keyCol)).join(computed, Seq(keyCol), "left")
   }
 
   /** The 100 TB path: Greenwald–Khanna sketch quantiles via Spark's

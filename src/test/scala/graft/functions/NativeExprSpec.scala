@@ -92,4 +92,26 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     // tie between en and es resolves lexicographically last (es)
     assert(LangId.compute("the el") == "es")
   }
+
+  test("nearest_cells: NaN vector components never crash and still return n valid cells") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cells = Array(1.0, 0.0, 0.5, /**/ 0.0, 1.0, 0.5) // 2 cells, dim 2, stride 3
+    // one NaN component: the NaN cell scores sort last, valid cell first
+    val partial = NearestCells
+      .compute(new GenericArrayData(Array(Double.NaN, 1.0)), vFloat = false, cells, 3, 2)
+      .toIntArray()
+    assert(partial.length == 2 && partial.toSet == Set(0, 1))
+    // every score NaN: selection must still pick each cell exactly once
+    val allNaN = NearestCells
+      .compute(new GenericArrayData(Array(Double.NaN, Double.NaN)), vFloat = false, cells, 3, 2)
+      .toIntArray()
+    assert(allNaN.toSeq == Seq(0, 1)) // deterministic: index order
+    // and through the column API (codegen path) on a DataFrame
+    val df = Seq((1L, Array(Double.NaN, 1.0)), (2L, Array(0.9, 0.1)))
+      .toDF("id", "vec")
+    val out = df.select(col("id"),
+      NearestCells.toCol(col("vec"), Array(Array(1.0, 0.0), Array(0.0, 1.0)), 1).as("c"))
+      .as[(Long, Array[Int])].collect().toMap
+    assert(out(1L).length == 1 && out(2L).toSeq == Seq(0))
+  }
 }

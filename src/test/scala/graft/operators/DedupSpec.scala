@@ -91,6 +91,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got == truth, s"got=$got truth=$truth")
   }
 
+  test("sharedChunkPairs: oversized buckets star-expand, keeping connectivity exact") {
+    // digest 77 is shared by 5 docs but maxBucket=3: instead of dropping
+    // the bucket (losing the pairs entirely), members pair with the
+    // bucket's min id — the share-a-chunk graph stays connected
+    val chunked = Seq(
+      (1L, Array(77L)), (2L, Array(77L)), (3L, Array(77L)),
+      (4L, Array(77L)), (5L, Array(77L)),
+      (6L, Array(88L)), (7L, Array(88L)) // normal bucket: full pair
+    ).toDF("doc_id", "ch")
+    val got = Dedup.sharedChunkPairs(chunked, "doc_id", "ch", maxBucket = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (6L, 7L)))
+    // and the components derived from those pairs match the brute-force graph
+    val comp = ConnectedComponents
+      .byMinLabel(Dedup.sharedChunkPairs(chunked, "doc_id", "ch", maxBucket = 3)
+        .toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(comp(_) == 1L))
+    assert(Seq(6L, 7L).forall(comp(_) == 6L))
+  }
+
   test("maxBucket drops oversized buckets instead of exploding quadratically") {
     val many = (1L to 50L).map(i => (i, base)).toDF("doc_id", "text")
     val capped = Dedup.minHashCandidates(

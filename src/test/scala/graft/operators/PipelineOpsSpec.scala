@@ -87,4 +87,37 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     val out = ConnectedComponents.byMinLabel(edges).as[(Long, Long)].collect().toMap
     assert((1L to n).forall(out(_) == 1L))
   }
+
+  test("connected components: pointer jumping converges a 300-link chain within default rounds") {
+    // plain one-hop propagation would need ~300 rounds; the label-of-label
+    // branch from round 3 doubles coverage per round -> ~12 rounds
+    val n = 300L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = ConnectedComponents.byMinLabel(edges).as[(Long, Long)].collect().toMap
+    assert((1L to n).forall(out(_) == 1L))
+  }
+
+  test("connected components: non-convergence throws instead of returning split labels") {
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      ConnectedComponents.byMinLabel(edges, maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("asof backward: all carried values come from the SAME winning right row") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    // newest right row has price=NULL: the output must carry (NULL, "new"),
+    // never mix the older row's price with the newer row's tag
+    val right = Seq(
+      (10L, ts("2024-01-01 08:00:00"), Some(5.0), "old"),
+      (10L, ts("2024-01-01 09:00:00"), None, "new")
+    ).toDF("user_id", "ts", "price", "tag")
+    val out = AsOfJoin.backward(left, right, "user_id", "ts",
+      carry = Seq("price", "tag"))
+      .select("asof_price", "asof_tag")
+      .as[(Option[Double], String)].collect()
+    assert(out.toSeq == Seq((None, "new")))
+  }
 }

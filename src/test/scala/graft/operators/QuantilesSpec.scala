@@ -32,6 +32,16 @@ class QuantilesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("all-NULL group surfaces with NULL quantiles (PERCENTILE_CONT semantics)") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)), ("b", None), ("b", None))
+      .toDF("k", "v")
+    val out = Quantiles
+      .exactInterpolated(df, "k", "v", Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a").contains(2.0))
+    assert(out.contains("b") && out("b").isEmpty) // row present, quantile NULL
+  }
+
   test("single-row group returns the value at every quantile") {
     val df = Seq(("a", 42.0), ("b", 1.0), ("b", 2.0)).toDF("k", "v")
     val out = Quantiles
