@@ -26,7 +26,7 @@ object ConnectedComponents {
     * @throws IllegalStateException when the fixpoint is not reached within
     *         `maxIter` rounds — partial labels are WRONG (split components)
     *         and must never be silently returned; raise `maxIter` instead.
-    *         From round 3 on, a pointer-jumping branch (adopt the label of
+    *         From round 4 on, a pointer-jumping branch (adopt the label of
     *         your label) doubles the propagated distance per round, so
     *         rounds needed ≈ 2 + log₂(diameter) — a 100k-link chain
     *         converges in ~20 rounds, not 100k.
@@ -74,12 +74,13 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
-      // Pointer jumping (label-of-label) from round 3 on: near-clique
-      // dedup graphs converge in ≤ 2 plain rounds, so they never pay the
-      // extra join; a long-diameter graph doubles its propagated distance
-      // every round from here (O(log d) total rounds instead of O(d)).
+      // Pointer jumping (label-of-label) from round 4 on: near-clique
+      // dedup graphs reach fixpoint in ≤ 2 rounds + 1 probe round, so
+      // they never pay the extra join; a long-diameter graph doubles its
+      // propagated distance every round from here (O(log d) total rounds
+      // instead of O(d)).
       val viaPointer =
-        if (it < 2) None
+        if (it < 3) None
         else Some(
           labels.alias("a")
             .join(labels.alias("b"), col("a.component") === col("b.id"))
