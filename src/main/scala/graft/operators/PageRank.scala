@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over a directed edge list — the canonical iterative
+  * dataflow beyond connected components (importance scoring of pages /
+  * hosts / users feeding crawl prioritization and source weighting in a
+  * corpus pipeline).
+  *
+  * Simplified model: dangling nodes (no out-edges) leak their rank mass
+  * — no redistribution — which keeps every iteration a pure
+  * join + aggregate and makes the result reproducible in plain SQL (the
+  * oracle unrolls the same fixed iterations). Each round is one shuffle
+  * join (ranks ⋈ edges on src) plus one aggregation (sum contributions
+  * by dst); lineage is cut per round with an eager localCheckpoint, the
+  * same pattern as [[ConnectedComponents]] — plan size stays constant
+  * over iterations, and the edge/degree frame is materialized once.
+  */
+object PageRank {
+
+  /** @param edges two-column (src, dst) directed edge list, deduplicated
+    *              or not (duplicate edges count as parallel edges)
+    * @return (id, rank) for every node appearing as src or dst;
+    *         Σrank ≤ 1 (dangling leak)
+    */
+  def run(edges: DataFrame, damping: Double = 0.85, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1)
+    val e = edges.toDF("src", "dst").localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    // out-degree rides with each edge so an iteration needs no extra join
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("__outd")), "src")
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("rank") / col("__outd")).as("__c"))
+        .groupBy("id")
+        .agg(sum("__c").as("__c"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(
+          col("id"),
+          (lit((1 - damping) / n) +
+            lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+}

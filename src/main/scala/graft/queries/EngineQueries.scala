@@ -1,0 +1,333 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SkewJoin
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 engine-completeness set: the relational-surface operators a
+  * user of a general analytics engine expects beyond the reference's own
+  * workload — multidimensional aggregation (CUBE/GROUPING), the full
+  * ranking-window family, semi-structured JSON access, regular
+  * expressions, array/higher-order functions, sketch distinct counts,
+  * UNPIVOT/melt, string functions (incl. edit distance), calendar math,
+  * and the salted skew join (result-identical to the plain join — the
+  * oracle proves it). All but the sketch query are DuckDB-oracle-checked;
+  * the sketch query is oracle-checked through an error-bound predicate
+  * the oracle asserts literally.
+  */
+object EngineQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def r2(c: Column): Column = floor(c * 100 + lit(0.50001)) / 100
+  private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
+
+  /** CUBE over two dimensions with GROUPING indicators — subsumes
+    * ROLLUP (q39) and GROUPING SETS; the indicators disambiguate real
+    * NULL keys from superaggregate rows.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        count(lit(1)).as("n"),
+        r2(sum(col("o_totalprice"))).as("total"))
+
+  /** Ranking-window family: ntile, percent_rank, cume_dist, lag, lead
+    * over a deterministic (value, key) order. One shuffle on the
+    * partition key; all five run in one window pass.
+    */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      ntile(4).over(w).as("quartile"),
+      r6(percent_rank().over(w)).as("pr"),
+      r6(cume_dist().over(w)).as("cd"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"))
+  }
+
+  /** Semi-structured JSON access on `events.props`, by path
+    * (get_json_object) and by schema (from_json → struct field) — the
+    * oracle pins both to the same value.
+    */
+  private def q67(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"),
+      from_json(col("props"), lit("k INT")).getField("k").as("k_typed"))
+
+  /** Regular expressions: extract (group + leftmost-match), extract_all
+    * count, replace with a character class. Patterns stay in the common
+    * Java-regex/RE2 subset so engines agree.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_extract(col("source"), "([0-9]+)", 1).cast("int").as("src_num"),
+      regexp_extract(col("text"), "([a-z]{6,})", 1).as("first_long"),
+      expr("size(regexp_extract_all(text, 'b(atch|ig)', 0))").as("n_b"),
+      regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "*").as("masked"))
+
+  /** Array / higher-order functions over the embedding column: sort,
+    * element_at, HOF fold (aggregate), array_max + array_position —
+    * all codegen'd built-ins, no UDF.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(
+        col("vec_id"),
+        r6(element_at(sort_array(col("v"), asc = false), 1)).as("top1"),
+        r6(element_at(sort_array(col("v"), asc = false), 3)).as("top3"),
+        r6(expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + x)")).as("vsum"),
+        array_position(col("v"), array_max(col("v"))).cast("int").as("argmax1"))
+
+  /** Sketch distinct counts (HyperLogLog++), the 100 TB cardinality
+    * path: one combinable pass, bounded memory. Cross-engine sketch
+    * values differ by construction, so the oracle checks the EXACT
+    * count plus a literal-true error-bound predicate — if the sketch
+    * ever drifts past 10% relative error the hash compare fails.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"))
+      .select(
+        col("event_type"),
+        col("n_users"),
+        (abs(col("n_users_approx") - col("n_users")).cast("double") /
+          col("n_users") <= 0.1).as("within_bound"))
+
+  /** UNPIVOT/melt: wide money columns → long (metric, value), then
+    * re-aggregate. The Dataset.unpivot generator keeps this one pass.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "val")
+      .groupBy(col("metric"))
+      .agg(r2(sum(col("val"))).as("total"))
+
+  /** String-function surface: case mapping, padding, translate,
+    * Levenshtein edit distance (the classic fuzzy-match primitive),
+    * slicing + reverse.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("uname"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("pad"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+      levenshtein(col("c_name"), col("c_mktsegment")).as("lev"),
+      reverse(substring(col("c_name"), 1, 5)).as("rev5"))
+
+  /** Calendar math: month truncation, day arithmetic against an epoch,
+    * ISO day-of-week, end-of-month — partition-column derivations every
+    * date-partitioned lake layout needs.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+      datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast("date"))
+        .cast("int").as("days_since"),
+      (weekday(col("o_orderdate")) + 1).cast("int").as("iso_dow"),
+      last_day(to_date(col("o_orderdate"))).as("eom"))
+
+  /** Salted skew join: the manual hot-key escape hatch must be
+    * RESULT-identical to the plain equi-join — the oracle runs the
+    * plain join, so any salting bug (dropped/duplicated rows) breaks
+    * the hash compare.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p_partkey"), col("l_quantity"))
+    val small = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+    SkewJoin.saltedInnerJoin(big, small, "p_partkey", saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        r2(sum(col("l_quantity"))).as("sum_qty"))
+  }
+
+  /** Time-series gap-fill: dense per-status daily sales with
+    * carry-forward — the resample/densify step before rolling features.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(
+        col("o_orderstatus").as("st"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(r2(sum(col("o_totalprice"))).as("total"))
+    graft.operators.GapFill.forwardFillDaily(daily, "st", "day", "total")
+  }
+
+  /** PageRank (3 fixed iterations, damping 0.85) over the
+    * supplier → part bipartite edge list; ranks are scaled to mean 1
+    * (× node count) so 6-decimal rounding keeps full discrimination.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.lineitem(s, d)
+      .filter(col("l_suppkey").isNotNull && col("l_partkey").isNotNull)
+      .select(
+        col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000L).as("dst"))
+      .distinct()
+    val pr = graft.operators.PageRank.run(edges, damping = 0.85, iters = 3)
+    pr.crossJoin(broadcast(pr.agg(count(lit(1)).as("__n"))))
+      .select(col("id"), r6(col("rank") * col("__n")).as("rank_scaled"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q75_gapfill" -> q75,
+    "q76_pagerank" -> q76,
+    "q65_cube_grouping" -> q65,
+    "q66_window_suite" -> q66,
+    "q67_json_extract" -> q67,
+    "q68_regex_extract" -> q68,
+    "q69_array_ops" -> q69,
+    "q70_approx_distinct" -> q70,
+    "q71_unpivot" -> q71,
+    "q72_string_suite" -> q72,
+    "q73_date_math" -> q73,
+    "q74_salted_join" -> q74)
+
+  val oracles: Map[String, String] = Map(
+    "q75_gapfill" ->
+      """WITH daily AS (
+        |  SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE) AS day,
+        |    floor(sum(o_totalprice) * 100 + 0.50001) / 100 AS total
+        |  FROM orders GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT st, CAST(unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY st),
+        |j AS (SELECT c.st, c.day, d.total FROM cal c
+        |      LEFT JOIN daily d ON d.st = c.st AND d.day = c.day)
+        |SELECT st, day,
+        |  last_value(total IGNORE NULLS) OVER (PARTITION BY st ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS total_filled,
+        |  (total IS NULL) AS is_gap
+        |FROM j""".stripMargin,
+    "q76_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst
+        |  FROM lineitem
+        |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |deg AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+        |n AS (SELECT count(*) AS cnt FROM nodes),
+        |pr0 AS (SELECT id, 1.0 / n.cnt AS rank FROM nodes CROSS JOIN n),
+        |pr1 AS (
+        |  SELECT v.id, 0.15 / any_value(n.cnt) +
+        |    0.85 * COALESCE(sum(p.rank / d.outd), 0) AS rank
+        |  FROM nodes v CROSS JOIN n
+        |  LEFT JOIN e ON e.dst = v.id
+        |  LEFT JOIN pr0 p ON p.id = e.src
+        |  LEFT JOIN deg d ON d.src = e.src
+        |  GROUP BY v.id),
+        |pr2 AS (
+        |  SELECT v.id, 0.15 / any_value(n.cnt) +
+        |    0.85 * COALESCE(sum(p.rank / d.outd), 0) AS rank
+        |  FROM nodes v CROSS JOIN n
+        |  LEFT JOIN e ON e.dst = v.id
+        |  LEFT JOIN pr1 p ON p.id = e.src
+        |  LEFT JOIN deg d ON d.src = e.src
+        |  GROUP BY v.id),
+        |pr3 AS (
+        |  SELECT v.id, 0.15 / any_value(n.cnt) +
+        |    0.85 * COALESCE(sum(p.rank / d.outd), 0) AS rank
+        |  FROM nodes v CROSS JOIN n
+        |  LEFT JOIN e ON e.dst = v.id
+        |  LEFT JOIN pr2 p ON p.id = e.src
+        |  LEFT JOIN deg d ON d.src = e.src
+        |  GROUP BY v.id)
+        |SELECT p.id,
+        |  floor(p.rank * n.cnt * 1000000 + 0.50001) / 1000000 AS rank_scaled
+        |FROM pr3 p CROSS JOIN n""".stripMargin,
+    "q65_cube_grouping" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  count(*) AS n,
+        |  floor(sum(o_totalprice) * 100 + 0.50001) / 100 AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q66_window_suite" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER w AS quartile,
+        |  floor(percent_rank() OVER w * 1000000 + 0.50001) / 1000000 AS pr,
+        |  floor(cume_dist() OVER w * 1000000 + 0.50001) / 1000000 AS cd,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q67_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+        |FROM events""".stripMargin,
+    "q68_regex_extract" ->
+      """SELECT doc_id,
+        |  CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS src_num,
+        |  regexp_extract(text, '([a-z]{6,})', 1) AS first_long,
+        |  CAST(len(regexp_extract_all(text, 'b(atch|ig)')) AS INT) AS n_b,
+        |  regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g') AS masked
+        |FROM documents""".stripMargin,
+    "q69_array_ops" ->
+      """WITH t AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  floor(list_sort(v, 'DESC')[1] * 1000000 + 0.50001) / 1000000 AS top1,
+        |  floor(list_sort(v, 'DESC')[3] * 1000000 + 0.50001) / 1000000 AS top3,
+        |  floor(list_aggregate(v, 'sum') * 1000000 + 0.50001) / 1000000 AS vsum,
+        |  CAST(list_position(v, list_max(v)) AS INT) AS argmax1
+        |FROM t""".stripMargin,
+    "q70_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q71_unpivot" ->
+      """SELECT metric, floor(sum(val) * 100 + 0.50001) / 100 AS total
+        |FROM (
+        |  SELECT 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric""".stripMargin,
+    "q72_string_suite" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS pad,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+        |  CAST(levenshtein(c_name, c_mktsegment) AS INT) AS lev,
+        |  reverse(left(c_name, 5)) AS rev5
+        |FROM customer""".stripMargin,
+    "q73_date_math" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INT)
+        |    AS days_since,
+        |  CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders""".stripMargin,
+    "q74_salted_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  floor(sum(l_quantity) * 100 + 0.50001) / 100 AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin)
+}
