@@ -21,11 +21,21 @@ object PageRank {
 
   /** @param edges two-column (src, dst) directed edge list, deduplicated
     *              or not (duplicate edges count as parallel edges)
+    * @param checkpointEvery cut lineage every k-th round — a handful of
+    *              chained join+agg rounds plan fine, so paying a
+    *              materialization job EVERY round (as CC must, with its
+    *              unbounded round count) just adds fixed cost per round;
+    *              the default cuts once per 4 rounds which keeps plan
+    *              depth bounded for any `iters`
     * @return (id, rank) for every node appearing as src or dst;
     *         Σrank ≤ 1 (dangling leak)
     */
-  def run(edges: DataFrame, damping: Double = 0.85, iters: Int = 3): DataFrame = {
-    require(iters >= 1 && damping > 0 && damping < 1)
+  def run(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 3,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1 && damping > 0 && damping < 1 && checkpointEvery >= 1)
     val e = edges.toDF("src", "dst").localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
@@ -37,19 +47,19 @@ object PageRank {
       .join(e.groupBy("src").agg(count(lit(1)).as("__outd")), "src")
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = withDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("rank") / col("__outd")).as("__c"))
         .groupBy("id")
         .agg(sum("__c").as("__c"))
-      ranks = nodes
+      val next = nodes
         .join(contribs, Seq("id"), "left")
         .select(
           col("id"),
           (lit((1 - damping) / n) +
             lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+      ranks = if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true) else next
     }
     ranks
   }

@@ -186,8 +186,12 @@ object EngineQueries {
         (col("l_partkey") + 1000000L).as("dst"))
       .distinct()
     val pr = graft.operators.PageRank.run(edges, damping = 0.85, iters = 3)
-    pr.crossJoin(broadcast(pr.agg(count(lit(1)).as("__n"))))
-      .select(col("id"), r6(col("rank") * col("__n")).as("rank_scaled"))
+    // scale in ONE pass over the (tiny: one row per node) rank frame — a
+    // crossJoin with pr.agg(count) would evaluate the iteration chain twice
+    val wAll = Window.partitionBy()
+    pr.select(
+      col("id"),
+      r6(col("rank") * count(lit(1)).over(wAll)).as("rank_scaled"))
   }
 
   val defs: Map[String, Q] = Map(
