@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality scoring — the learned counterpart to the
+  * rule-based filters in [[QualityRules]]. Real corpus pipelines train a
+  * lightweight text classifier on weak labels (rule outcomes, known-good
+  * vs known-bad sources) and keep documents the model scores highly;
+  * the rules bootstrap the model, the model generalizes past the rules.
+  *
+  * Spark-first shape: `Tokenizer → HashingTF → LogisticRegression`, all
+  * `spark.ml` — features are a fixed-width hashed bag-of-words (no
+  * vocabulary build, no driver-side state), training is distributed
+  * L-BFGS (treeAggregate gradient passes), and scoring is one
+  * map-side-only transform. At 100 TB one trains on a sample and
+  * broadcasts the (numFeatures-sized) coefficient vector — exactly what
+  * `LogisticRegressionModel.transform` does.
+  */
+object QualityModel {
+
+  /** Train on `labelCol` (0/1 weak labels) over `textCol`, score every
+    * row. `statCols` are optional numeric side features (length, word
+    * stats, …) assembled next to the hashed text — quality labels often
+    * depend on document statistics a bag-of-words can't express
+    * linearly.
+    *
+    * @return (idCol, labelCol, predicted, p_good) — `p_good` is the
+    *         model's class-1 probability
+    */
+  def weaklySupervisedScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      statCols: Seq[String] = Nil,
+      numFeatures: Int = 1024): DataFrame = {
+    val pipeline = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol(textCol).setOutputCol("__words"),
+      new HashingTF().setInputCol("__words").setOutputCol("__tf")
+        .setNumFeatures(numFeatures),
+      new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(("__tf" +: statCols).toArray)
+        .setOutputCol("__features"),
+      new LogisticRegression().setFeaturesCol("__features")
+        .setLabelCol(labelCol).setMaxIter(100).setRegParam(1e-4)))
+    val model = pipeline.fit(df)
+    model.transform(df).select(
+      col(idCol),
+      col(labelCol),
+      col("prediction").cast("int").as("predicted"),
+      element_at(vector_to_array(col("probability")), 2).as("p_good"))
+  }
+}

@@ -194,9 +194,37 @@ object EngineQueries {
       r6(col("rank") * count(lit(1)).over(wAll)).as("rank_scaled"))
   }
 
+  /** Model-based quality filter: logistic regression on hashed
+    * bag-of-words, weakly supervised by the Gopher rule outcome — the
+    * learned filter that generalizes past the rules. Probabilities are
+    * optimizer-path-sensitive, so the driver check is rows-only; the
+    * spec pins training accuracy and determinism.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    val labeled = graft.operators.QualityRules
+      .gopherSignals(Tables.documents(s, d), "text")
+      .select(
+        col("doc_id"), col("text"),
+        col("gopher_pass").cast("double").as("weak_label"),
+        col("n_words").cast("double").as("f_nw"),
+        pow(col("n_words"), 2).as("f_nw2"), // squared terms let the linear
+        col("mean_word_len").as("f_mwl"),   // model carve the rule's
+        pow(col("mean_word_len"), 2).as("f_mwl2"), // between-bounds bands
+        col("stop_hits").cast("double").as("f_stop"))
+    graft.operators.QualityModel
+      .weaklySupervisedScore(
+        labeled, "doc_id", "text", "weak_label",
+        statCols = Seq("f_nw", "f_nw2", "f_mwl", "f_mwl2", "f_stop"))
+      .select(
+        col("doc_id"),
+        col("weak_label").cast("int").as("weak_label"),
+        col("predicted"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q75_gapfill" -> q75,
     "q76_pagerank" -> q76,
+    "q77_quality_model" -> q77,
     "q65_cube_grouping" -> q65,
     "q66_window_suite" -> q66,
     "q67_json_extract" -> q67,
