@@ -51,6 +51,37 @@ case class NGramJaccard(left: Expression, right: Expression, n: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** `ngram_distinct_count(a, n)` — the distinct character-n-gram shingle
+  * count of one string, sharing [[NGramJaccard]]'s hashing. Computed once
+  * per document (not per pair), it powers the EXACT length prefilter on
+  * candidate pairs: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so
+  * a pair whose count ratio is below the similarity threshold can be
+  * dropped before building any shingle set for it.
+  */
+case class NGramDistinctCount(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_distinct_count requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "ngram_distinct_count"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NGramJaccard.shingleHashes(a.asInstanceOf[UTF8String].toString, n).length
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.NGramJaccard.shingleHashes($a.toString(), $n).length")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramDistinctCount =
+    copy(child = newChild)
+}
+
 object NGramJaccard {
 
   /** Sorted distinct FNV-1a hashes of all n-gram shingles (degenerate

@@ -160,7 +160,15 @@ object Dedup {
       shingleSize: Int,
       threshold: Double): DataFrame = {
     graft.functions.NGramJaccard.register(df.sparkSession)
-    val docsSel = df.select(col(idCol), col(textCol))
+    // distinct-shingle count per DOC (once per side, ships with the
+    // join): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose count
+    // ratio is under the threshold is dropped EXACTLY — and the when()
+    // guard short-circuits, so such pairs never pay the per-pair
+    // two-sided shingle build.
+    val cnt = graft.internal.Cols.of(
+      graft.functions.NGramDistinctCount(
+        graft.internal.Cols.expressionOf(col(textCol)), shingleSize))
+    val docsSel = df.select(col(idCol), col(textCol), cnt.as("__cnt"))
     // AQE coalesces the candidate-pair shuffle to ~1 partition (it sizes
     // by BYTES — a few MB of id pairs — and cannot see that the join
     // condition below does O(text length) work per pair), serializing
@@ -169,12 +177,20 @@ object Dedup {
     val spread = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     spread
       .join(
-        docsSel.select(col(idCol).as("id_a"), col(textCol).as("__text_a")),
+        docsSel.select(
+          col(idCol).as("id_a"), col(textCol).as("__text_a"), col("__cnt").as("__cnt_a")),
         Seq("id_a"))
       .join(
-        docsSel.select(col(idCol).as("id_b"), col(textCol).as("__text_b")),
+        docsSel.select(
+          col(idCol).as("id_b"), col(textCol).as("__text_b"), col("__cnt").as("__cnt_b")),
         Seq("id_b"))
-      .withColumn("jaccard", expr(s"ngram_jaccard(__text_a, __text_b, $shingleSize)"))
+      .withColumn(
+        "jaccard",
+        when(
+          least(col("__cnt_a"), col("__cnt_b")).cast("double") /
+            greatest(col("__cnt_a"), col("__cnt_b")) >= threshold,
+          expr(s"ngram_jaccard(__text_a, __text_b, $shingleSize)"))
+          .otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

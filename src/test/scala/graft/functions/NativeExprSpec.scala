@@ -93,6 +93,18 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(LangId.compute("the el") == "es")
   }
 
+  test("ngram_distinct_count == size of the HOF distinct shingle set on corpus docs") {
+    val native = docs.select(
+      col("doc_id"),
+      graft.internal.Cols.of(NGramDistinctCount(
+        graft.internal.Cols.expressionOf(col("text")), 5)).as("c"))
+      .as[(Long, Int)].collect().toMap
+    val hof = docs.select(
+      col("doc_id"), size(Dedup.shingles("text", 5)).as("c"))
+      .as[(Long, Int)].collect().toMap
+    assert(native == hof)
+  }
+
   test("nearest_cells: NaN vector components never crash and still return n valid cells") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val cells = Array(1.0, 0.0, 0.5, /**/ 0.0, 1.0, 0.5) // 2 cells, dim 2, stride 3
