@@ -38,7 +38,7 @@ object QualityModel {
       textCol: String,
       labelCol: String,
       statCols: Seq[String] = Nil,
-      numFeatures: Int = 1024): DataFrame = {
+      numFeatures: Int = 256): DataFrame = {
     val pipeline = new Pipeline().setStages(Array(
       new Tokenizer().setInputCol(textCol).setOutputCol("__words"),
       new HashingTF().setInputCol("__words").setOutputCol("__tf")
@@ -46,8 +46,11 @@ object QualityModel {
       new org.apache.spark.ml.feature.VectorAssembler()
         .setInputCols(("__tf" +: statCols).toArray)
         .setOutputCol("__features"),
+      // each L-BFGS iteration is one treeAggregate JOB — iteration count,
+      // not data volume, dominates wall-clock at small scale; 40 is past
+      // the accuracy plateau for this feature width
       new LogisticRegression().setFeaturesCol("__features")
-        .setLabelCol(labelCol).setMaxIter(100).setRegParam(1e-4)))
+        .setLabelCol(labelCol).setMaxIter(40).setRegParam(1e-4)))
     val model = pipeline.fit(df)
     model.transform(df).select(
       col(idCol),
