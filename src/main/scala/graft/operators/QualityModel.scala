@@ -50,7 +50,7 @@ object QualityModel {
       // not data volume, dominates wall-clock at small scale; 40 is past
       // the accuracy plateau for this feature width
       new LogisticRegression().setFeaturesCol("__features")
-        .setLabelCol(labelCol).setMaxIter(40).setRegParam(1e-4)))
+        .setLabelCol(labelCol).setMaxIter(40).setRegParam(1e-4).setTol(1e-5)))
     val model = pipeline.fit(df)
     model.transform(df).select(
       col(idCol),

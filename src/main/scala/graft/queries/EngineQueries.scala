@@ -221,7 +221,80 @@ object EngineQueries {
         col("predicted"))
   }
 
+  /** Gaps-and-islands / SCD2 interval building: collapse each user's
+    * consecutive same-type event runs into validity intervals
+    * (valid_from, valid_to, is_current) — the dimension-history shape
+    * every warehouse needs. One shuffle on the user key; the run flag,
+    * run id, and interval bounds are all window passes over the same
+    * partitioning.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy(col("user_id"), col("run"))
+    val wRuns = Window.partitionBy(col("user_id")).orderBy(col("run"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn(
+        "chg",
+        when(lag(col("event_type"), 1).over(wOrd).isNull ||
+          lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1)
+          .otherwise(0))
+      .withColumn("run", sum(col("chg")).over(wOrd))
+      .groupBy(col("user_id"), col("run"))
+      .agg(
+        first(col("event_type")).as("event_type"),
+        count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("valid_from_s"))
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(wRuns))
+      .withColumn("is_current", col("valid_to_s").isNull)
+  }
+
+  /** Ordered conversion funnel (signup → click → purchase): each later
+    * stage's timestamp must follow the previous stage's. Stacked window
+    * minima over ONE user partitioning — no per-stage self-joins, one
+    * shuffle total.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(
+        col("user_id"),
+        unix_timestamp(col("ts")).as("es"),
+        col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("es"))).over(w))
+      .withColumn(
+        "t2",
+        min(when(col("event_type") === "click" && col("es") > col("t1"), col("es"))).over(w))
+      .withColumn(
+        "t3",
+        min(when(col("event_type") === "purchase" && col("es") > col("t2"), col("es"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .distinct()
+  }
+
+  /** Cohort retention: users grouped by first-activity week, activity
+    * counted by whole weeks since that first activity — the engagement
+    * matrix behind every retention curve.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("first_day", min(col("day")).over(w))
+      .select(
+        date_trunc("week", col("first_day")).cast("date").as("cohort_week"),
+        floor(datediff(col("day"), col("first_day")) / 7).cast("int")
+          .as("weeks_since"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q78_scd_islands" -> q78,
+    "q79_funnel" -> q79,
+    "q80_cohort" -> q80,
     "q75_gapfill" -> q75,
     "q76_pagerank" -> q76,
     "q77_quality_model" -> q77,
@@ -237,6 +310,52 @@ object EngineQueries {
     "q74_salted_join" -> q74)
 
   val oracles: Map[String, String] = Map(
+    "q78_scd_islands" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, run, any_value(event_type) AS event_type,
+        |    count(*) AS n_events,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT)) AS valid_from_s
+        |  FROM r GROUP BY user_id, run)
+        |SELECT user_id, CAST(run AS BIGINT) AS run, event_type, n_events, valid_from_s,
+        |  lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_s,
+        |  (lead(valid_from_s) OVER (PARTITION BY user_id ORDER BY run) IS NULL)
+        |    AS is_current
+        |FROM g""".stripMargin,
+    "q79_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type
+        |  FROM events),
+        |s1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'signup' THEN es END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND es > t1 THEN es END)
+        |    OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND es > t2 THEN es END)
+        |    OVER (PARTITION BY user_id) AS t3 FROM s2)
+        |SELECT DISTINCT user_id, t1, t2, t3 FROM s3""".stripMargin,
+    "q80_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (
+        |  SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS first_day FROM e)
+        |SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+        |  CAST(floor(datediff('day', first_day, day) / 7) AS INT) AS weeks_since,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM f GROUP BY 1, 2""".stripMargin,
     "q75_gapfill" ->
       """WITH daily AS (
         |  SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE) AS day,

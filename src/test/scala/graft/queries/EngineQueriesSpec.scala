@@ -94,6 +94,42 @@ class EngineQueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(pr(3L) > pr(2L) && pr(2L) > pr(1L))
   }
 
+  test("q78 islands: consecutive same-type runs collapse to intervals with correct bounds") {
+    val out = EngineQueries.defs("q78_scd_islands")(spark, sf)
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    // per user: exactly one current interval; intervals tile without overlap
+    val byUser = out.groupBy("user_id")
+      .agg(
+        fsum(col("is_current").cast("int")).as("n_current"),
+        fsum(col("n_events")).as("n_events"))
+      .as[(Long, Long, Long)].collect()
+    assert(byUser.forall(_._2 == 1), "each user has exactly one open interval")
+    val totalEvents = graft.Tables.events(spark, sf).count()
+    assert(byUser.map(_._3).sum == totalEvents, "every event belongs to exactly one run")
+    // adjacent intervals chain: valid_to of run k == valid_from of run k+1
+    val chains = out.orderBy("user_id", "run")
+      .select("user_id", "run", "valid_from_s", "valid_to_s")
+      .as[(Long, Long, Long, Option[Long])].collect()
+    chains.sliding(2).foreach {
+      case Array(a, b) if a._1 == b._1 =>
+        assert(a._4.contains(b._3), s"user ${a._1} run ${a._2} gap")
+      case _ =>
+    }
+  }
+
+  test("q79 funnel: stage timestamps are strictly ordered when present") {
+    val rows = EngineQueries.defs("q79_funnel")(spark, sf)
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, t1, t2, t3) =>
+      for (a <- t1; b <- t2) assert(b > a, s"user $u: click not after signup")
+      for (b <- t2; c <- t3) assert(c > b, s"user $u: purchase not after click")
+      if (t2.isDefined) assert(t1.isDefined)
+      if (t3.isDefined) assert(t2.isDefined)
+    }
+    assert(rows.exists(_._3.isDefined), "someone completes the funnel")
+  }
+
   test("q66 window family: pr/cd bounds and lag/lead adjacency") {
     val rows = EngineQueries.defs("q66_window_suite")(spark, sf)
       .filter($"o_orderstatus" === "F")
