@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan lint over EVERY registered query: the structural mistakes that
+  * are invisible at test scale but fatal at 100 TB — an accidental
+  * cartesian product or an unintended broadcast-nested-loop join (the
+  * planner's fallback when an equi-condition got lost) must never appear.
+  * Queries whose ALGORITHM is a deliberate broadcast cross product
+  * (brute-force similarity scoring against a broadcast query set) are
+  * explicitly whitelisted with the reason.
+  */
+class PlanLintSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Deliberate cross products: a tiny broadcast side scored against
+    * every corpus row IS the brute-force baseline.
+    */
+  private val crossProductIntended: Set[String] = Set(
+    "q24_cosine_topk",       // brute-force cosine: corpus × broadcast queries
+    "q33_embedding_neardup", // all-pairs within-corpus cosine (threshold join)
+    "q37_corpus_overlap"     // source-pair sketch compare: rows = #sources²,
+                             // independent of corpus size (group aggregates)
+  )
+
+  test("column pruning reaches the parquet scans (spot checks)") {
+    def scanWidths(name: String): Seq[Int] =
+      "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(
+          SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        .map(_.group(1).count(_ == ':')).toSeq
+    // q01 needs 5 of lineitem's 11 columns; a full-width scan means
+    // pruning broke somewhere between the plan and the source
+    assert(scanWidths("q01_agg_rollup").exists(_ == 5))
+    assert(scanWidths("q73_date_math").forall(_ <= 2))  // 2 of orders' 6
+    assert(scanWidths("q68_regex_extract").forall(_ <= 3)) // 3 of documents' 5
+  }
+
+  test("no accidental CartesianProduct / BroadcastNestedLoopJoin in any query plan") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+      val bad = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !crossProductIntended(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unintended cross products in: $offenders")
+  }
+}
