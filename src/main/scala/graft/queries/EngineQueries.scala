@@ -291,7 +291,24 @@ object EngineQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Heavy hitters per language via the Misra–Gries
+    * `TypedImperativeAggregate`: per-group state is k entries regardless
+    * of corpus size. The synthetic vocabulary (31 terms) is under the
+    * capacity, so the sketch is in its EXACT regime and the oracle is a
+    * plain GROUP BY count; the >k error bound is pinned by spec.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("lang"),
+        explode(graft.operators.QualityRules.spaceTokens(col("text"))).as("term"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.MisraGries.heavyHitters(col("term"), 256).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e.term").as("term"), col("e.cnt").as("cnt"))
+
   val defs: Map[String, Q] = Map(
+    "q81_heavy_hitters" -> q81,
     "q78_scd_islands" -> q78,
     "q79_funnel" -> q79,
     "q80_cohort" -> q80,
@@ -310,6 +327,12 @@ object EngineQueries {
     "q74_salted_join" -> q74)
 
   val oracles: Map[String, String] = Map(
+    "q81_heavy_hitters" ->
+      """SELECT lang, tok AS term, count(*) AS cnt FROM (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok
+        |  FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     "q78_scd_islands" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,
