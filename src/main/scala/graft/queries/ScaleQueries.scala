@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions, part two: the remaining operators a large-scale
+  * training-data / analytics engine needs beyond q01–q81 — SemDeDup-style
+  * semantic deduplication over embeddings (exact variant, so the whole
+  * pipeline stays oracle-checkable), RANGE-interval rolling time-series
+  * features, fused unicode text normalization (NFC + casefold + whitespace
+  * collapse as ONE native codegen'd expression), interval sweep-line
+  * concurrency, equi-width histograms, and deterministic per-group
+  * argmax/argmin (max_by/min_by). All six are DuckDB-oracle-checked,
+  * including the connected-components closure (recursive CTE).
+  */
+object ScaleQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def r2(c: Column): Column = floor(c * 100 + lit(0.50001)) / 100
+
+  /** SemDeDup (Abbas et al. 2023) made exact: embedding pairs with
+    * cosine ≥ 0.4 → connected components → keep ONE survivor (min
+    * vec_id) per semantic cluster. The production path would block
+    * pairs by IVF cell (q32's quantizer) before the pairwise pass; the
+    * exact all-pairs variant here is the recall yardstick the blocked
+    * one is measured against, and is fully oracle-checkable (brute
+    * force + recursive-CTE closure in DuckDB).
+    */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val pairs = e.alias("a")
+      .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(expr("cosine_sim(a.v, b.v)") >= 0.4)
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val dropped = ConnectedComponents.byMinLabel(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("vec_id"))
+    Tables.embeddings(s, d).select("vec_id", "label")
+      .join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** RANGE-interval rolling features: per-priority daily revenue with a
+    * 7-DAY moving average and count — RANGE BETWEEN 6 PRECEDING over the
+    * day ordinal, so calendar gaps shrink the frame (a missing day is
+    * NOT a zero row; ROWS BETWEEN would silently widen the window past
+    * 7 calendar days). One shuffle: groupBy and window share the
+    * priority key.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(
+        col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+      .withColumn("dayno", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("prio")).orderBy(col("dayno"))
+      .rangeBetween(-6, Window.currentRow)
+    daily.select(
+      col("prio"), col("day"),
+      r2(col("rev")).as("rev"),
+      r2(avg(col("rev")).over(w)).as("ma7"),
+      sum(col("n")).over(w).as("n7"))
+  }
+
+  /** Fused unicode normalization (native expression, q84): the corpus is
+    * ASCII, so a deterministic augmentation plants decomposed accents
+    * (e+U+0301, I+U+0308), uppercase, and a double space on every 4th
+    * document — the same expression the oracle applies — and the
+    * normalized text is pinned by md5. NFC must run BEFORE lowercase
+    * (I+U+0308 → Ï → ï); both engines pin that order.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NormalizeText.register(s)
+    val aug = when(
+      col("doc_id") % 4 === 0,
+      concat(col("text"), lit(" Cafe\u0301 NAI\u0308VE  End")))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), aug.as("__t"))
+      .select(
+        col("doc_id"),
+        length(col("__t")).cast("long").as("len_raw"),
+        length(expr("normalize_text(__t)")).cast("long").as("len_norm"),
+        md5(expr("normalize_text(__t)")).as("norm_md5"))
+  }
+
+  /** Interval sweep-line: max concurrent events per type, each event
+    * occupying [ts, ts + value seconds]. Classic +1/−1 endpoint encoding
+    * with a running sum; the default RANGE frame makes tied endpoints
+    * deterministic (all peers aggregate together), and ordering ends
+    * (−1) before starts (+1) at equal timestamps means touching
+    * intervals never count as concurrent. One shuffle on event_type.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      col("ts"),
+      expr("timestampadd(MICROSECOND, CAST(round(value * 1000000) AS BIGINT), ts)")
+        .as("te"))
+    val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("event_type"), col("te").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+    pts.select(col("event_type"), sum(col("delta")).over(w).as("conc"))
+      .groupBy(col("event_type"))
+      .agg(max(col("conc")).as("max_concurrent"))
+  }
+
+  /** Equi-width histogram of line-item price: one map-side-combinable
+    * pass (bin = floor(x / 5000)), per-bin count/min/max/mean — the
+    * profiling primitive that stays one scan at any scale (contrast the
+    * exact-quantile path q36, which must sort).
+    */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        r2(min(col("l_extendedprice"))).as("lo"),
+        r2(max(col("l_extendedprice"))).as("hi"),
+        r2(avg(col("l_extendedprice"))).as("mean"))
+
+  /** Deterministic per-group argmax/argmin via max_by/min_by. Ties on
+    * acctbal exist in the data (8 at sf0.1), so the order key is the
+    * exact integer composite round(bal·100)·10^10 + custkey — strictly
+    * monotonic in (bal, custkey), hence ONE well-defined winner per
+    * group on any engine (DuckDB's arg_max takes only scalar keys, so a
+    * struct tiebreak would not be portable).
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    val key = round(col("c_acctbal") * 100).cast("long") *
+      lit(10000000000L) + col("c_custkey")
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), key).as("richest"),
+        min_by(col("c_name"), key).as("poorest"),
+        r2(max(col("c_acctbal"))).as("max_bal"),
+        r2(min(col("c_acctbal"))).as("min_bal"),
+        count(lit(1)).as("n_cust"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q82_semdedup_survivors" -> q82,
+    "q83_rolling_range" -> q83,
+    "q84_normalize_text" -> q84,
+    "q85_concurrency" -> q85,
+    "q86_histogram" -> q86,
+    "q87_argmax_group" -> q87)
+
+  val oracles: Map[String, String] = Map(
+    "q82_semdedup_survivors" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |reach AS (
+        |  SELECT src AS id, dst AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+        |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin,
+    "q83_rolling_range" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |         sum(o_totalprice) AS rev, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT prio, day,
+        |  floor(rev * 100 + 0.50001) / 100 AS rev,
+        |  floor((avg(rev) OVER w) * 100 + 0.50001) / 100 AS ma7,
+        |  CAST(sum(n) OVER w AS BIGINT) AS n7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY prio
+        |  ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q84_normalize_text" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || ' Cafe' || chr(769) || ' NAI' || chr(776) || 'VE  End'
+        |      ELSE text END AS t
+        |  FROM documents),
+        |norm AS (
+        |  SELECT doc_id, t,
+        |    trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g')) AS nt
+        |  FROM aug)
+        |SELECT doc_id, length(t) AS len_raw, length(nt) AS len_norm,
+        |  md5(nt) AS norm_md5 FROM norm""".stripMargin,
+    "q85_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, ts,
+        |    ts + to_microseconds(CAST(round(value * 1000000) AS BIGINT)) AS te
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, ts AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, te AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+        |run AS (
+        |  SELECT event_type,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta) AS conc
+        |  FROM pts)
+        |SELECT event_type, CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY event_type""".stripMargin,
+    "q86_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+        |count(*) AS n,
+        |floor(min(l_extendedprice) * 100 + 0.50001) / 100 AS lo,
+        |floor(max(l_extendedprice) * 100 + 0.50001) / 100 AS hi,
+        |floor(avg(l_extendedprice) * 100 + 0.50001) / 100 AS mean
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q87_argmax_group" ->
+      """SELECT c_nationkey,
+        |arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey) AS richest,
+        |arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey) AS poorest,
+        |floor(max(c_acctbal) * 100 + 0.50001) / 100 AS max_bal,
+        |floor(min(c_acctbal) * 100 + 0.50001) / 100 AS min_bal,
+        |count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey""".stripMargin
+  )
+}

@@ -20,6 +20,9 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
   private val crossProductIntended: Set[String] = Set(
     "q24_cosine_topk",       // brute-force cosine: corpus × broadcast queries
     "q33_embedding_neardup", // all-pairs within-corpus cosine (threshold join)
+    "q82_semdedup_survivors", // exact SemDeDup: all-pairs cosine edges feed
+                              // the components closure (recall yardstick for
+                              // the IVF-blocked variant)
     "q37_corpus_overlap"     // source-pair sketch compare: rows = #sources²,
                              // independent of corpus size (group aggregates)
   )

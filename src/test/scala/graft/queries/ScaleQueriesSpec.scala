@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{SparkTestBase, Tables}
+import graft.functions.NormalizeText
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Properties of q82–q87 their DuckDB oracles can't express: brute-force
+  * recomputation of the semantic-dedup closure and the sweep-line maximum
+  * on the driver, the 7-day frame bound, histogram mass conservation, and
+  * argmax winners actually holding the group maximum.
+  */
+class ScaleQueriesSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("normalize_text: NFC composes, case folds, whitespace collapses, idempotent") {
+    // decomposed e+U+0301 and composed U+00E9 normalize to the same bytes
+    assert(NormalizeText.compute("Cafe\u0301") == NormalizeText.compute("Caf\u00e9"))
+    assert(NormalizeText.compute("Cafe\u0301") == "caf\u00e9")
+    // NFC before lowercase: I+U+0308 -> Ï -> ï
+    assert(NormalizeText.compute("NAI\u0308VE") == "na\u00efve")
+    assert(NormalizeText.compute("  a\t\tb \n c  ") == "a b c")
+    assert(NormalizeText.compute("") == "")
+    assert(NormalizeText.compute(" \t ") == "")
+    val once = NormalizeText.compute("A  Cafe\u0301\u00c9")
+    assert(NormalizeText.compute(once) == once)
+  }
+
+  test("normalize_text: expression output == compute on corpus docs (codegen path)") {
+    NormalizeText.register(spark)
+    val rows = Tables.documents(spark, sf)
+      .select(col("text"), expr("normalize_text(text)").as("norm"))
+      .as[(String, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (raw, norm) =>
+      assert(norm == NormalizeText.compute(raw))
+    }
+  }
+
+  test("q82: survivors == brute-force cosine closure recomputed on the driver") {
+    val out = ScaleQueries.defs("q82_semdedup_survivors")(spark, sf)
+      .select("vec_id").as[Long].collect().toSet
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // union-find over all pairs >= 0.4
+    val idx = vecs.map(_._1).zipWithIndex.toMap
+    val parent = Array.tabulate(vecs.length)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length)
+      if (cos(vecs(i)._2, vecs(j)._2) >= 0.4) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    val expected = vecs.map(_._1).groupBy(id => find(idx(id))).values
+      .map(_.min).toSet
+    assert(out == expected)
+  }
+
+  test("q83: every frame spans at most 7 calendar days and n7 >= n") {
+    val out = ScaleQueries.defs("q83_rolling_range")(spark, sf)
+    // brute-force recompute per (prio): n7 must equal the sum of n over
+    // days in [day-6, day]
+    val daily = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority").as("prio"), to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2.toLocalDate -> t._3).toMap).toMap
+    val got = out.select("prio", "day", "n7")
+      .as[(String, java.sql.Date, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (prio, day, n7) =>
+      val d = day.toLocalDate
+      val expected = (0 to 6).map(k => daily(prio).getOrElse(d.minusDays(k.toLong), 0L)).sum
+      assert(n7 == expected, s"$prio $day")
+    }
+  }
+
+  test("q85: sweep-line max == brute-force concurrency maximum per type") {
+    val out = ScaleQueries.defs("q85_concurrency")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val iv = Tables.events(spark, sf)
+      .select(
+        col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(expr(
+          "timestampadd(MICROSECOND, CAST(round(value * 1000000) AS BIGINT), ts)"))
+          .as("te_us"))
+      .as[(String, Long, Long)].collect()
+    val byType = iv.groupBy(_._1)
+    assert(out.keySet == byType.keySet)
+    byType.foreach { case (tpe, rows) =>
+      // the running sum only increases at starts, so its maximum is
+      // attained right after some start s: count intervals with
+      // s2 <= s < e2 (an end at exactly s has already closed under the
+      // end-before-start tie rule -> strict inequality on the end)
+      val maxConc = rows.map { case (_, s, _) =>
+        rows.count { case (_, s2, e2) => s2 <= s && s < e2 }
+      }.max
+      assert(out(tpe) == maxConc, s"$tpe: sweep ${out(tpe)} != brute $maxConc")
+    }
+  }
+
+  test("q86: histogram mass equals table row count and bins are disjoint") {
+    val out = ScaleQueries.defs("q86_histogram")(spark, sf)
+    val total = out.agg(sum("n")).as[Long].head()
+    assert(total == Tables.lineitem(spark, sf).count())
+    val rows = out.select("bin", "lo", "hi").as[(Long, Double, Double)].collect()
+    rows.foreach { case (bin, lo, hi) =>
+      assert(lo >= bin * 5000.0 - 0.01 && hi < (bin + 1) * 5000.0 + 0.01)
+    }
+  }
+
+  test("q87: richest/poorest actually hold the group max/min balance") {
+    val out = ScaleQueries.defs("q87_argmax_group")(spark, sf)
+    val joined = out.join(
+      Tables.customer(spark, sf).select(
+        col("c_nationkey"), col("c_name").as("richest"), col("c_acctbal")),
+      Seq("c_nationkey", "richest"))
+    val bad = joined.filter(
+      abs(col("c_acctbal") - col("max_bal")) > 0.011).count()
+    assert(bad == 0)
+  }
+}
