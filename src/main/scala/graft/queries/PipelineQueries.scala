@@ -93,14 +93,21 @@ object PipelineQueries {
     val ev = Tables.events(s, d)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // rename the right-side key instead of p("user_id") === c("user_id"):
+    // both sides descend from the same scan, so the column-equality form
+    // resolves to one attribute id (Spark warns "trivially true") and
+    // leans on self-join disambiguation magic
     val c = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id").as("click_user"),
+        col("ts").as("cts"))
     p.join(c,
-        p("user_id") === c("user_id") &&
+        col("user_id") === col("click_user") &&
           col("cts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
           col("cts") < col("ts"),
         "left")
-      .groupBy(p("event_id"), p("user_id"), col("ts"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
       .agg(count(col("click_id")).as("n_recent_clicks"))
       .select(col("event_id"), col("user_id"), col("ts"), col("n_recent_clicks"))
   }

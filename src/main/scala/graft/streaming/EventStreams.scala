@@ -140,6 +140,44 @@ object EventStreams {
     else
       events.dropDuplicates(idCols)
 
+  /** Stream-stream interval join — purchase↔click attribution: every
+    * (purchase, click) pair of the same user with the click inside the
+    * `lookback` window strictly before the purchase (q49's batch shape).
+    *
+    * On streaming inputs BOTH sides carry watermarks and the event-time
+    * range condition is what lets Spark BOUND the join state: a buffered
+    * click is evicted once the watermark passes `cts + lookback` (no
+    * purchase can match it anymore), so state is O(events in the
+    * lookback+watermark horizon), not O(history). Inner join ⇒ Append
+    * mode. On batch frames the identical expression plans as an ordinary
+    * range join — one code path, two execution regimes.
+    */
+  def attributedClicks(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      lookback: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    // rename BEFORE the watermark so each side's event-time column is
+    // unambiguous in the join condition (and no self-join resolution
+    // magic is needed when both sides derive from one source)
+    val p0 = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c0 = clicks.select(
+      col("event_id").as("click_id"),
+      col("user_id").as("click_user"),
+      col("ts").as("cts"))
+    val p = if (purchases.isStreaming) p0.withWatermark("pts", watermarkDelay) else p0
+    val c = if (clicks.isStreaming) c0.withWatermark("cts", watermarkDelay) else c0
+    p.join(
+        c,
+        col("user_id") === col("click_user") &&
+          col("cts") >= col("pts") - expr(s"INTERVAL $lookback") &&
+          col("cts") < col("pts"))
+      .select(
+        col("purchase_id"), col("user_id"), col("pts"),
+        col("click_id"), col("cts"))
+  }
+
   /** Run a transform over a parquet path as a file stream with
     * `Trigger.AvailableNow`, writing to an in-memory table; returns the
     * result. Used to prove batch/stream parity in tests.

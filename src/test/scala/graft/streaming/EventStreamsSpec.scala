@@ -89,4 +89,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     val doubled = Tables.events(spark, sf).union(Tables.events(spark, sf))
     assert(EventStreams.dedupEvents(doubled).count() == distinctIds)
   }
+
+  test("attributedClicks: stream-stream interval join == batch range join") {
+    import org.apache.spark.sql.functions._
+    val batchEvents = Tables.events(spark, sf)
+    val batch = canon(EventStreams.attributedClicks(
+      batchEvents.filter(col("event_type") === "purchase"),
+      batchEvents.filter(col("event_type") === "click")))
+    assert(batch.nonEmpty)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    // two independent file streams over the same staged directory — the
+    // exact `div`-based nanos→micros conversion the batch loader applies
+    def side(tpe: String) = spark.readStream.schema(rawSchema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === tpe)
+    val q = EventStreams.attributedClicks(side("purchase"), side("click"))
+      .writeStream
+      .format("memory")
+      .queryName("attrib_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(canon(spark.table("attrib_test")) == batch)
+  }
 }
