@@ -92,23 +92,32 @@ object QualityRules {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val src = Spread.ensure(df.select(col(idCol), col(textCol)))
+    // Count tables and the scoring join run on 64-bit token hashes, not
+    // strings: after the explode, nothing string-typed ever shuffles
+    // (same reasoning as the q58 similarity join — collisions ~2e-9 at
+    // 1e5 distinct tokens, and the oracle agrees because counts, not
+    // token identities, reach the output).
     // checkpoint BEFORE the count: V is read off the materialized table,
     // not by re-running the corpus scan + shuffle agg a second time
     val uni = src
       .select(explode(wordNGramsAll(col(textCol), 1)).as("__w1"))
-      .groupBy("__w1").agg(count(lit(1)).as("__cu"))
+      .select(xxhash64(col("__w1")).as("__w1h"))
+      .groupBy("__w1h").agg(count(lit(1)).as("__cu"))
       .localCheckpoint(true)
     val vocab = uni.count()
     // one shingle pass serves both the bigram count table and the
     // scoring join (localCheckpoint: materialized once, lineage cut)
     val bgr = src
       .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
+      .select(
+        col(idCol),
+        xxhash64(col("__bg")).as("__bgh"),
+        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"))
       .localCheckpoint(true)
-    val bi = bgr.groupBy("__bg").agg(count(lit(1)).as("__cb"))
+    val bi = bgr.groupBy("__bgh").agg(count(lit(1)).as("__cb"))
     bgr
-      .join(bi, "__bg")
-      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
-      .join(uni, "__w1")
+      .join(bi, "__bgh")
+      .join(uni, "__w1h")
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -127,8 +136,11 @@ object QualityRules {
       .select(
         col(idCol),
         explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
+      // 64-bit hash key: only counts reach the output, so the bigram
+      // string itself never needs to shuffle (cf. bigramLmScore)
+      .select(col(idCol), xxhash64(col("__bg")).as("__bgh"))
     bigrams
-      .groupBy(col(idCol), col("__bg"))
+      .groupBy(col(idCol), col("__bgh"))
       .agg(count(lit(1)).as("__n"))
       .groupBy(col(idCol))
       .agg(

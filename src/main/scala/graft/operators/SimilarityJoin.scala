@@ -57,10 +57,11 @@ object SimilarityJoin {
       .select(col("__id"), xxhash64(col("__s0")).as("__s"))
     // Global shingle order: document frequency asc, hash asc. No dense
     // global rank is materialized — (df, hash) pairs order lexically.
-    val freq = exploded.groupBy("__s").agg(count(lit(1)).as("__df"))
-
+    // df via a count window, not groupBy+join-back: one shuffle of the
+    // corpus-sized exploded table instead of two.
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy("__s")
     val ordered = exploded
-      .join(freq, "__s")
+      .withColumn("__df", count(lit(1)).over(wS))
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__df"), col("__s")))).as("__ord"))
       .select(
@@ -72,6 +73,8 @@ object SimilarityJoin {
         (col("__len") - ceil(lit(tau) * col("__len")) + 1).cast("int"))
       .withColumn("__prefix", slice(col("__sh"), lit(1), col("__p")))
       .localCheckpoint(true) // reused by candidates AND both verify sides
+      // (cache() was measured slower here: columnar encode/decode of the
+      // long-array columns costs more than it saves)
 
     val pfx = ordered.select(col("__id"), explode(col("__prefix")).as("__s"))
     val candidates = pfx.as("a")
