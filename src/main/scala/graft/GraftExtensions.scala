@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, LangId, MinHashSig, NGramJaccard, NormalizeText, RollingChunks, SimHash64, WordChunks, WordNGrams}
+import graft.functions.{CmsEstimate, CosineSim, LangId, MinHashSig, NGramJaccard, NormalizeText, RollingChunks, SimHash64, WordChunks, WordNGrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val d = exprs(2).asInstanceOf[Literal].value.asInstanceOf[Boolean]
         WordNGrams(exprs.head, n, d)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (exprs: Seq[Expression]) => CmsEstimate(exprs.head, exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("normalize_text"),
       new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),

@@ -20,6 +20,7 @@ object ScaleQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   private def r2(c: Column): Column = floor(c * 100 + lit(0.50001)) / 100
+  private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
 
   /** SemDeDup (Abbas et al. 2023) made exact: embedding pairs with
     * cosine ≥ 0.4 → connected components → keep ONE survivor (min
@@ -145,13 +146,83 @@ object ScaleQueries {
         count(lit(1)).as("n_cust"))
   }
 
+  /** PMI collocation scoring: pointwise mutual information of every
+    * bigram seen ≥ 5 times — ln((cb·NU·NU)/(NB·cu1·cu2)). Count tables
+    * are one shuffle each; the scoring joins move only (hash, count)
+    * pairs plus the surviving bigram strings. The arithmetic is pinned
+    * to ONE double expression shape (left-assoc multiplies of
+    * exact-integer-valued doubles) so both engines round identically.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.QualityRules.wordNGramsAll
+    val src = Tables.documents(s, d)
+    val uni = src
+      .select(explode(wordNGramsAll(col("text"), 1)).as("__w"))
+      .select(xxhash64(col("__w")).as("__wh"))
+      .groupBy("__wh").agg(count(lit(1)).as("__cu"))
+      .localCheckpoint(true)
+    val nu = uni.agg(sum("__cu")).first().getLong(0)
+    val bcAll = src
+      .select(explode(wordNGramsAll(col("text"), 2)).as("__bg"))
+      .groupBy("__bg").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint(true)
+    val nb = bcAll.agg(sum("__cb")).first().getLong(0)
+    val bc = bcAll.filter(col("__cb") >= 5)
+      .select(
+        col("__bg"), col("__cb"),
+        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"),
+        xxhash64(substring_index(col("__bg"), " ", -1)).as("__w2h"))
+    bc
+      .join(uni.select(col("__wh").as("__w1h"), col("__cu").as("__cu1")), "__w1h")
+      .join(uni.select(col("__wh").as("__w2h"), col("__cu").as("__cu2")), "__w2h")
+      .select(
+        col("__bg").as("bigram"),
+        col("__cb").as("n"),
+        r6(log(
+          col("__cb").cast("double") * lit(nu.toDouble) * lit(nu.toDouble) /
+            (lit(nb.toDouble) * col("__cu1").cast("double") *
+              col("__cu2").cast("double")))).as("pmi"))
+  }
+
+  /** Count-Min sketch round-trip: per-type sketches over user_id
+    * (built-in combinable aggregate), probed back inside the SAME plan
+    * with the native `cms_estimate` expression for the 10 lowest user
+    * ids. CMS guarantees estimate ∈ [exact, exact + eps·N] with
+    * probability ≥ confidence; eps·N < 1 at every test scale, so the
+    * oracle asserts the exact count and a literally-true bound flag —
+    * if the sketch ever over-counts past the envelope the hash compare
+    * fails (q70's pattern).
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CmsEstimate.register(s)
+    val ev = Tables.events(s, d)
+    val sketches = ev.groupBy(col("event_type")).agg(
+      expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("__sk"),
+      count(lit(1)).as("__n"))
+    val exact = ev.filter(col("user_id") <= 10)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact
+      .join(broadcast(sketches), "event_type")
+      .select(
+        col("event_type"),
+        col("user_id"),
+        col("n_exact"),
+        (expr("cms_estimate(__sk, user_id)") >= col("n_exact") &&
+          expr("cms_estimate(__sk, user_id)") <=
+            col("n_exact") + ceil(lit(0.0001) * col("__n")).cast("long"))
+          .as("within_bound"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q82_semdedup_survivors" -> q82,
     "q83_rolling_range" -> q83,
     "q84_normalize_text" -> q84,
     "q85_concurrency" -> q85,
     "q86_histogram" -> q86,
-    "q87_argmax_group" -> q87)
+    "q87_argmax_group" -> q87,
+    "q88_pmi_collocations" -> q88,
+    "q89_countmin_roundtrip" -> q89)
 
   val oracles: Map[String, String] = Map(
     "q82_semdedup_survivors" ->
@@ -216,6 +287,31 @@ object ScaleQueries {
         |floor(max(l_extendedprice) * 100 + 0.50001) / 100 AS hi,
         |floor(avg(l_extendedprice) * 100 + 0.50001) / 100 AS mean
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q88_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents),
+        |unir AS (SELECT unnest(tk) AS w FROM toks),
+        |uc AS (SELECT w, count(*) AS cu FROM unir GROUP BY w),
+        |nu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM unir),
+        |bgr AS (SELECT tk[i] AS w1, tk[i + 1] AS w2,
+        |               tk[i] || ' ' || tk[i + 1] AS bigram
+        |        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+        |        WHERE len(tk) >= 2),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bgr),
+        |bc AS (SELECT bigram, min(w1) AS w1, min(w2) AS w2, count(*) AS cb
+        |       FROM bgr GROUP BY bigram HAVING count(*) >= 5)
+        |SELECT bigram, cb AS n,
+        |  floor(ln(CAST(cb AS DOUBLE) * nu.nu * nu.nu
+        |           / (nb.nb * CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE)))
+        |        * 1000000 + 0.50001) / 1000000 AS pmi
+        |FROM bc
+        |JOIN uc u1 ON bc.w1 = u1.w
+        |JOIN uc u2 ON bc.w2 = u2.w, nu, nb""".stripMargin,
+    "q89_countmin_roundtrip" ->
+      """SELECT event_type, user_id, count(*) AS n_exact, TRUE AS within_bound
+        |FROM events WHERE user_id <= 10
+        |GROUP BY event_type, user_id""".stripMargin,
     "q87_argmax_group" ->
       """SELECT c_nationkey,
         |arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey) AS richest,

@@ -119,6 +119,50 @@ class ScaleQueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q88: PMI recomputed from independent driver-side count maps") {
+    val out = ScaleQueries.defs("q88_pmi_collocations")(spark, sf)
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select("text").as[String].collect()
+      .map(t => t.split(" ").filter(_.nonEmpty))
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = texts.flatMap(w => w.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nu = uni.values.sum.toDouble
+    val nb = big.values.sum.toDouble
+    out.foreach { case (bg, n, pmi) =>
+      assert(big(bg) == n)
+      assert(n >= 5)
+      val Array(w1, w2) = bg.split(" ")
+      val expected = math.log(n.toDouble * nu * nu / (nb * uni(w1) * uni(w2)))
+      assert(math.abs(pmi - math.floor(expected * 1e6 + 0.50001) / 1e6) < 1e-9, bg)
+    }
+    // completeness: every bigram with count >= 5 is present
+    assert(out.length == big.count(_._2 >= 5))
+  }
+
+  test("cms_estimate: never under-counts, exact in the no-collision regime, memo survives sketch switches") {
+    graft.functions.CmsEstimate.register(spark)
+    val out = ScaleQueries.defs("q89_countmin_roundtrip")(spark, sf)
+    assert(out.count() > 0)
+    assert(out.filter(!col("within_bound")).count() == 0)
+    // two DIFFERENT sketches probed alternately in one partition — the
+    // thread-local memo must re-parse on every switch, not serve stale
+    val df = spark.range(0, 100)
+      .select((col("id") % 2).as("g"), (col("id") % 5).as("v"))
+    val sk = df.groupBy("g").agg(
+      expr("count_min_sketch(v, 0.0001d, 0.99d, 7)").as("sk"))
+    val probed = df.join(broadcast(sk), "g")
+      .select(col("g"), col("v"), expr("cms_estimate(sk, v)").as("est"))
+      .as[(Long, Long, Long)].collect()
+    // 100 ids, g = id%2, v = id%5: every residue v appears exactly 10
+    // times within each parity group (cycle length lcm(2,5) = 10)
+    probed.foreach { case (g, v, est) =>
+      assert(est == 10L, s"g=$g v=$v est=$est")
+    }
+  }
+
   test("q87: richest/poorest actually hold the group max/min balance") {
     val out = ScaleQueries.defs("q87_argmax_group")(spark, sf)
     val joined = out.join(
