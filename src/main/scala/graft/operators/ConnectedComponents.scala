@@ -43,8 +43,13 @@ object ConnectedComponents {
     // edges (they only repeat a min), and pair generators emit distinct
     // pairs already — a dedup shuffle here would be pure overhead. A
     // caller with a heavily duplicated edge list should pre-distinct.
-    val sym = e
-      .union(e.select(col("dst"), col("src")))
+    // Checkpoint the DIRECTED edges first, THEN mirror: union's two
+    // branches are separate plans, so symmetrizing before the checkpoint
+    // executes the (often expensive — a similarity join) edge derivation
+    // twice in one job; mirroring a materialized checkpoint is free.
+    val ck = e.localCheckpoint(true)
+    val sym = ck
+      .union(ck.select(col("dst"), col("src")))
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
