@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Ingestion-robustness sources the candy fixtures don't exercise but any
+  * production deployment needs (reference reads Mongo/JDBC and trusts the
+  * driver to validate — `/root/reference/src/data_processor.py:103-120`
+  * has no malformed-record path at all):
+  *
+  *   - PERMISSIVE JSON-lines scan that ROUTES corrupt records to a side
+  *     channel instead of silently nulling them (the classic quarantine
+  *     pattern: good rows flow on, bad raw lines land in a table you can
+  *     alert on and replay),
+  *   - `binaryFile` scan for opaque media blobs feeding the multimodal
+  *     pipeline (image/audio/video as binary + typed metadata).
+  */
+object RobustSources {
+
+  /** Name of the quarantine column during the permissive parse. */
+  private val corruptCol = "__corrupt_record"
+
+  /** Parse newline-delimited JSON with `schema`; rows that fail to parse
+    * are captured raw. Returns the full frame with a `__corrupt_record`
+    * column (NULL for clean rows): split with [[good]] / [[quarantine]].
+    *
+    * The parsed frame must be cached/materialized BEFORE filtering on the
+    * corrupt column — Spark refuses a filter that references ONLY the
+    * corrupt column on a lazy parse (internal-column pushdown would have
+    * to re-parse), which is why the two splitters go through a projection
+    * that carries data columns too.
+    */
+  def jsonLinesWithQuarantine(
+      spark: SparkSession,
+      path: String,
+      schema: StructType): DataFrame = {
+    val withCorrupt = schema.add(corruptCol, StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      // Spark's documented requirement: a query referencing only the
+      // corrupt column over raw files is rejected (it would re-parse),
+      // so the parsed frame is cached before good/quarantine split it —
+      // which is also what you want operationally: ONE parse feeds both.
+      .cache()
+  }
+
+  /** Clean rows only, corrupt column dropped. */
+  def good(parsed: DataFrame): DataFrame =
+    parsed.filter(col(corruptCol).isNull).drop(corruptCol)
+
+  /** The quarantine side: raw text of every record that failed the
+    * schema, for alerting/replay.
+    */
+  def quarantine(parsed: DataFrame): DataFrame =
+    parsed.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_record"))
+
+  /** Opaque media blobs as (path, length, content) via the built-in
+    * `binaryFile` source — the ingestion edge of the multimodal pipeline
+    * ([[graft.operators.Multimodal]]): decode/feature-extract stages
+    * consume the `content` byte column downstream. `pathGlobFilter`
+    * prunes at listing time, so non-matching files are never opened.
+    */
+  def binaryBlobs(
+      spark: SparkSession,
+      dir: String,
+      glob: String = "*"): DataFrame =
+    spark.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        col("path"),
+        col("length"),
+        col("content"))
+}
