@@ -27,7 +27,9 @@ class GraftSessionSpec extends AnyFunSuite {
           |lang_id('the of and') AS l,
           |cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c,
           |word_ngrams('a b a b', 2, true) AS w,
-          |word_chunks('a b c', 2, 2) AS ch""".stripMargin)
+          |word_chunks('a b c', 2, 2) AS ch,
+          |normalize_text('  A  B ') AS nt,
+          |cms_estimate(count_min_sketch(CAST(7 AS BIGINT), 0.001d, 0.99d, 1), CAST(7 AS BIGINT)) AS ce""".stripMargin)
         .collect()(0)
       assert(row.getInt(1) == 8)
       assert(row.getDouble(2) == 1.0)
@@ -35,6 +37,8 @@ class GraftSessionSpec extends AnyFunSuite {
       assert(row.getDouble(4) == 0.0)
       assert(row.getSeq[String](5) == Seq("a b", "b a"))
       assert(row.getSeq[String](6) == Seq("a b", "c"))
+      assert(row.getString(7) == "a b")
+      assert(row.getLong(8) == 1L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
