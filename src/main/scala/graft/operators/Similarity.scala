@@ -128,6 +128,72 @@ object Similarity {
     centroids
   }
 
+  /** Quantizer training: Lloyd's on a bounded, seeded sample collected to
+    * the driver — the FAISS-standard IVF recipe (the coarse quantizer is
+    * always trained on a memory-bounded sample, not the corpus; at 100 TB
+    * the sample is still `trainSample` rows). This replaces a spark.ml
+    * KMeans fit whose 20 iterations each launched a distributed job —
+    * pure scheduling overhead at any scale, since the reduction work fits
+    * in microseconds of driver CPU.
+    */
+  private[operators] def trainQuantizer(
+      corpus: DataFrame,
+      vecCol: String,
+      numCells: Int,
+      seed: Long,
+      trainSample: Int): Array[Array[Double]] = {
+    val nRows = corpus.count()
+    val fraction = math.min(1.0, trainSample * 1.2 / math.max(nRows, 1L).toDouble)
+    val sample: Array[Array[Double]] = corpus
+      .select(toDouble(col(vecCol)).as("__v"))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(trainSample)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    fitCentroids(sample, numCells, iters = 20, seed)
+  }
+
+  /** SemDeDup at scale: the blocked variant of q82's exact pipeline.
+    * Every vector lands in its `nprobe` nearest IVF cells
+    * (multi-assignment is the recall lever — a pair is compared iff the
+    * two vectors SHARE at least one cell), pairwise cosine runs within
+    * cells only, and surviving edges feed the same components → min-id
+    * survivor selection. Candidate volume ≈ Σ cell² instead of N² —
+    * the production path when all-pairs is unaffordable; precision is
+    * exact (every emitted pair is cosine-verified), recall is measured
+    * against the exact variant in `SimilaritySpec`.
+    */
+  def blockedSemDedup(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      numCells: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 7L,
+      trainSample: Int = 16384): DataFrame = {
+    graft.functions.CosineSim.register(vecs.sparkSession)
+    val centroids = trainQuantizer(vecs, vecCol, numCells, seed, trainSample)
+    val assigned = vecs
+      .select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
+      .withColumn("__cell",
+        explode(graft.functions.NearestCells.toCol(col("__v"), centroids, nprobe)))
+    val pairs = assigned.alias("x")
+      .join(assigned.alias("y"),
+        col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id"))
+      .select(
+        col("x.__id").as("src"), col("y.__id").as("dst"),
+        col("x.__v").as("__va"), col("y.__v").as("__vb"))
+      // a pair sharing several cells must be scored once, not nprobe²×
+      .dropDuplicates("src", "dst")
+      .filter(expr("cosine_sim(__va, __vb)") >= tau)
+      .select(col("src"), col("dst"))
+    val dropped = ConnectedComponents.byMinLabel(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    vecs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Sign-pattern LSH bucket id for a vector column — one fused native
     * pass over the vector (see [[graft.functions.LshBuckets]]); bit-
     * identical to the per-plane HOF formulation it replaced.
@@ -157,23 +223,7 @@ object Similarity {
       seed: Long = 7L,
       trainSample: Int = 16384): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
-
-    // Quantizer training: Lloyd's on a bounded, seeded sample collected to
-    // the driver — the FAISS-standard IVF recipe (the coarse quantizer is
-    // always trained on a memory-bounded sample, not the corpus; at 100 TB
-    // the sample is still `trainSample` rows). This replaces a spark.ml
-    // KMeans fit whose 20 iterations each launched a distributed job —
-    // pure scheduling overhead at any scale, since the reduction work fits
-    // in microseconds of driver CPU.
-    val nRows = corpus.count()
-    val fraction = math.min(1.0, trainSample * 1.2 / math.max(nRows, 1L).toDouble)
-    val sample: Array[Array[Double]] = corpus
-      .select(toDouble(col(vecCol)).as("__v"))
-      .sample(withReplacement = false, fraction, seed)
-      .limit(trainSample)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val centroids = fitCentroids(sample, numCells, iters = 20, seed)
+    val centroids = trainQuantizer(corpus, vecCol, numCells, seed, trainSample)
 
     // Corpus assignment: nearest centroid, one fused native pass/row.
     val c = corpus
