@@ -90,6 +90,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(EventStreams.dedupEvents(doubled).count() == distinctIds)
   }
 
+  test("checkpointed restart: only new files process, file sink stays exactly-once") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("events_restart_src")
+    val outDir = java.nio.file.Files.createTempDirectory("events_restart_out")
+    val ckDir = java.nio.file.Files.createTempDirectory("events_restart_ck")
+    Seq(srcDir, outDir, ckDir).foreach(_.toFile.deleteOnExit())
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+        .writeStream
+        .format("parquet")
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckDir.toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val perFile = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), srcDir.resolve("a.parquet"))
+    runOnce()
+    assert(spark.read.parquet(outDir.toString).count() == perFile)
+    // restart with one NEW file: the checkpoint must skip file a entirely
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"), srcDir.resolve("b.parquet"))
+    runOnce()
+    val out = spark.read.parquet(outDir.toString)
+    assert(out.count() == 2 * perFile) // a once + b once, never a twice
+    // every event id appears exactly twice (once per source file)
+    val badCounts = out.groupBy("event_id").count()
+      .filter(col("count") =!= 2).count()
+    assert(badCounts == 0)
+  }
+
   test("attributedClicks: stream-stream interval join == batch range join") {
     import org.apache.spark.sql.functions._
     val batchEvents = Tables.events(spark, sf)
