@@ -214,7 +214,50 @@ object ScaleQueries {
           .as("within_bound"))
   }
 
+  /** Ordered string aggregation (LISTAGG/string_agg): top-priority
+    * customer names per nation as one comma-joined string, order pinned
+    * by (acctbal desc, custkey) so both engines emit identical bytes.
+    * Spark has no ordered string_agg — the portable form is
+    * sort_array(collect_list(struct(key, val))) → transform → join,
+    * one shuffle, deterministic under ANY partitioning.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    val key = round(col("c_acctbal") * 100).cast("long") *
+      lit(10000000000L) + col("c_custkey")
+    Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(struct(key.as("__k"), col("c_name").as("__n"))))
+        .as("__ord"))
+      .select(
+        col("c_nationkey"),
+        size(col("__ord")).as("n_top"),
+        array_join(transform(col("__ord"), e => e.getField("__n")), ",")
+          .as("names"))
+  }
+
+  /** Statistical aggregate family: stddev/variance (sample + population),
+    * covariance, and Pearson correlation per group. Both engines compute
+    * these with different internal summation orders, so outputs are
+    * pinned at 1e-6 — the quantities are O(1)-to-O(10⁴) and the engines
+    * agree to ~1e-11, far inside the guard.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        r6(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r6(var_samp(col("l_quantity"))).as("var_qty"),
+        r6(stddev_pop(col("l_discount"))).as("sdp_disc"),
+        r6(covar_samp(col("l_quantity"), col("l_extendedprice")))
+          .as("cov_qty_price"),
+        r6(corr(col("l_quantity"), col("l_extendedprice")))
+          .as("corr_qty_price"))
+
   val defs: Map[String, Q] = Map(
+    "q90_string_agg" -> q90,
+    "q91_stats_family" -> q91,
     "q82_semdedup_survivors" -> q82,
     "q83_rolling_range" -> q83,
     "q84_normalize_text" -> q84,
@@ -225,6 +268,21 @@ object ScaleQueries {
     "q89_countmin_roundtrip" -> q89)
 
   val oracles: Map[String, String] = Map(
+    "q90_string_agg" ->
+      """SELECT c_nationkey,
+        |CAST(count(*) AS INT) AS n_top,
+        |string_agg(c_name, ',' ORDER BY
+        |  CAST(round(c_acctbal * 100) AS BIGINT) * 10000000000 + c_custkey) AS names
+        |FROM customer WHERE c_acctbal > 9900
+        |GROUP BY c_nationkey""".stripMargin,
+    "q91_stats_family" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |floor(stddev_samp(l_quantity) * 1000000 + 0.50001) / 1000000 AS sd_qty,
+        |floor(var_samp(l_quantity) * 1000000 + 0.50001) / 1000000 AS var_qty,
+        |floor(stddev_pop(l_discount) * 1000000 + 0.50001) / 1000000 AS sdp_disc,
+        |floor(covar_samp(l_quantity, l_extendedprice) * 1000000 + 0.50001) / 1000000 AS cov_qty_price,
+        |floor(corr(l_quantity, l_extendedprice) * 1000000 + 0.50001) / 1000000 AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q82_semdedup_survivors" ->
       """WITH RECURSIVE e AS MATERIALIZED (
         |  SELECT a.vec_id AS src, b.vec_id AS dst
