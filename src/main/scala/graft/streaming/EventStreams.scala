@@ -140,6 +140,25 @@ object EventStreams {
     else
       events.dropDuplicates(idCols)
 
+  /** Sessionization via the BUILT-IN `session_window` (dynamic-gap
+    * session windows, state-store-native on streams): per-user sessions
+    * close after `gap` of silence, one row per (user, session) with its
+    * bounds and event count. Equivalent to the lag-window formulation
+    * [[sessionCounts]] for counting purposes — `SessionWindowParitySpec`
+    * pins Σ sessions and Σ events per user equal across the two.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", gap) else events
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("__w.start").as("session_start"),
+        col("__w.end").as("session_end"),
+        col("n_events"))
+  }
+
   /** Stream-stream interval join — purchase↔click attribution: every
     * (purchase, click) pair of the same user with the click inside the
     * `lookback` window strictly before the purchase (q49's batch shape).

@@ -90,6 +90,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     assert(EventStreams.dedupEvents(doubled).count() == distinctIds)
   }
 
+  test("session_window == lag-window sessionization on counts per user") {
+    // caveat: sessionCounts floors timestamps to seconds (unix_timestamp)
+    // while session_window compares exact micros — a pair straddling the
+    // gap boundary by sub-second amounts could split differently; the
+    // synthetic events carry no such adversarial pair, and the parity
+    // here is the behavioural contract the two formulations share
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    val viaLag = EventStreams.sessionCounts(events, gapSeconds = 1800L)
+      .select("user_id", "n_sessions", "n_events")
+      .as[(Long, Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val viaWindow = EventStreams.sessionWindows(events, "30 minutes")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .as[(Long, Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaWindow.nonEmpty)
+    assert(viaWindow == viaLag)
+  }
+
   test("checkpointed restart: only new files process, file sink stays exactly-once") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("events_restart_src")
