@@ -50,18 +50,24 @@ case class CmsEstimate(left: Expression, right: Expression)
 
 object CmsEstimate {
 
-  private val lastSketch =
-    new ThreadLocal[(Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]
+  // SoftReference: a parsed sketch is megabytes (width·depth longs) and a
+  // pooled executor thread outlives the query — a hard ThreadLocal would
+  // pin the last sketch (plus its byte[] key) per thread forever. Soft
+  // refs keep the fast path warm and let the GC reclaim dead sketches
+  // under pressure.
+  private val lastSketch = new ThreadLocal[java.lang.ref.SoftReference[
+    (Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]]
 
   /** Static entry point shared by interpreted eval and generated code. */
   def estimate(bytes: Array[Byte], value: Long): Long = {
-    val cached = lastSketch.get()
+    val ref = lastSketch.get()
+    val cached = if (ref == null) null else ref.get()
     val cms =
       if (cached != null && java.util.Arrays.equals(cached._1, bytes)) cached._2
       else {
         val parsed = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(bytes))
-        lastSketch.set((bytes, parsed))
+        lastSketch.set(new java.lang.ref.SoftReference((bytes, parsed)))
         parsed
       }
     cms.estimateCount(java.lang.Long.valueOf(value))

@@ -13,7 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *      U+00E9 become the same bytes — without this, exact dedup,
   *      shingling, and md5 fingerprints all silently treat canonically
   *      equal text as different),
-  *   2. locale-independent lowercase (`Locale.ROOT`),
+  *   2. locale-independent SIMPLE lowercase — per-codepoint
+  *      `Character.toLowerCase`, NOT `String.toLowerCase`: the String
+  *      variant applies Unicode SpecialCasing (contextual Greek final
+  *      sigma, Turkish İ expanding to `i`+U+0307) that per-codepoint
+  *      engines like DuckDB's utf8proc `lower()` do not, so the String
+  *      form would diverge from the oracle on exactly those inputs.
+  *      Simple 1:1 mapping is also the right choice for a dedup
+  *      normalizer: stable, length-preserving, locale-free,
   *   3. whitespace run collapse to a single ASCII space + trim.
   *
   * Collapse recognizes exactly the RE2 `\s` class `[ \t\n\f\r]` so the
@@ -64,20 +71,20 @@ object NormalizeText {
     val composed =
       if (java.text.Normalizer.isNormalized(text, java.text.Normalizer.Form.NFC)) text
       else java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC)
-    val lowered = composed.toLowerCase(java.util.Locale.ROOT)
-    val len = lowered.length
+    val len = composed.length
     val sb = new java.lang.StringBuilder(len)
     var i = 0
     var pendingSpace = false
     while (i < len) {
-      val c = lowered.charAt(i)
-      if (isRe2Space(c)) {
+      val cp = composed.codePointAt(i)
+      if (cp < 0x80 && isRe2Space(cp.toChar)) {
         pendingSpace = sb.length > 0 // leading runs vanish (trim)
       } else {
         if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(c)
+        // simple per-codepoint mapping — see the case-mapping note above
+        sb.appendCodePoint(Character.toLowerCase(cp))
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.toString // trailing run never flushed (trim)
   }

@@ -43,14 +43,15 @@ object ConnectedComponents {
     // edges (they only repeat a min), and pair generators emit distinct
     // pairs already — a dedup shuffle here would be pure overhead. A
     // caller with a heavily duplicated edge list should pre-distinct.
-    // Checkpoint the DIRECTED edges first, THEN mirror: union's two
-    // branches are separate plans, so symmetrizing before the checkpoint
-    // executes the (often expensive — a similarity join) edge derivation
-    // twice in one job; mirroring a materialized checkpoint is free.
+    // Checkpoint the DIRECTED edges only, and mirror LAZILY: union's two
+    // branches are separate plans, so symmetrizing before a checkpoint
+    // would execute the (often expensive — a similarity join) edge
+    // derivation twice in one job, while checkpointing the union too
+    // would store the edge data twice for the application lifetime.
+    // A lazy union over the one materialized checkpoint costs each round
+    // two cheap reads of local blocks and keeps lineage depth constant.
     val ck = e.localCheckpoint(true)
-    val sym = ck
-      .union(ck.select(col("dst"), col("src")))
-      .localCheckpoint(true)
+    val sym = ck.union(ck.select(col("dst"), col("src")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)

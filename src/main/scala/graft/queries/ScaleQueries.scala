@@ -22,6 +22,21 @@ object ScaleQueries {
   private def r2(c: Column): Column = floor(c * 100 + lit(0.50001)) / 100
   private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
 
+  /** Exact integer composite (acctbal·100)·10¹⁰ + custkey — strictly
+    * monotonic in (acctbal, custkey), so per-group winners and orderings
+    * keyed on it are deterministic on any engine (custkey < 10¹⁰ at every
+    * scale factor this repo targets; widen the multiplier before custkey
+    * can cross it). Shared by q87 (argmax) and q90 (ordered LISTAGG).
+    */
+  private def acctbalKey: Column =
+    round(col("c_acctbal") * 100).cast("long") *
+      lit(10000000000L) + col("c_custkey")
+
+  /** q89's sketch eps — ONE constant feeds both the count_min_sketch
+    * call and the error-envelope bound, so they cannot drift apart.
+    */
+  private val CmsEps = 0.0001
+
   /** SemDeDup (Abbas et al. 2023) made exact: embedding pairs with
     * cosine ≥ 0.4 → connected components → keep ONE survivor (min
     * vec_id) per semantic cluster. The production path would block
@@ -134,8 +149,7 @@ object ScaleQueries {
     * struct tiebreak would not be portable).
     */
   private def q87(s: SparkSession, d: String): DataFrame = {
-    val key = round(col("c_acctbal") * 100).cast("long") *
-      lit(10000000000L) + col("c_custkey")
+    val key = acctbalKey
     Tables.customer(s, d)
       .groupBy(col("c_nationkey"))
       .agg(
@@ -197,7 +211,7 @@ object ScaleQueries {
     graft.functions.CmsEstimate.register(s)
     val ev = Tables.events(s, d)
     val sketches = ev.groupBy(col("event_type")).agg(
-      expr("count_min_sketch(user_id, 0.0001d, 0.99d, 42)").as("__sk"),
+      expr(f"count_min_sketch(user_id, $CmsEps%.6fd, 0.99d, 42)").as("__sk"),
       count(lit(1)).as("__n"))
     val exact = ev.filter(col("user_id") <= 10)
       .groupBy(col("event_type"), col("user_id"))
@@ -210,7 +224,7 @@ object ScaleQueries {
         col("n_exact"),
         (expr("cms_estimate(__sk, user_id)") >= col("n_exact") &&
           expr("cms_estimate(__sk, user_id)") <=
-            col("n_exact") + ceil(lit(0.0001) * col("__n")).cast("long"))
+            col("n_exact") + ceil(lit(CmsEps) * col("__n")).cast("long"))
           .as("within_bound"))
   }
 
@@ -222,8 +236,7 @@ object ScaleQueries {
     * one shuffle, deterministic under ANY partitioning.
     */
   private def q90(s: SparkSession, d: String): DataFrame = {
-    val key = round(col("c_acctbal") * 100).cast("long") *
-      lit(10000000000L) + col("c_custkey")
+    val key = acctbalKey
     Tables.customer(s, d)
       .filter(col("c_acctbal") > 9900)
       .groupBy(col("c_nationkey"))

@@ -144,11 +144,17 @@ object EventStreams {
     * session windows, state-store-native on streams): per-user sessions
     * close after `gap` of silence, one row per (user, session) with its
     * bounds and event count. Equivalent to the lag-window formulation
-    * [[sessionCounts]] for counting purposes — `SessionWindowParitySpec`
-    * pins Σ sessions and Σ events per user equal across the two.
+    * [[sessionCounts]] for counting purposes — the parity test in
+    * `EventStreamsSpec` pins Σ sessions and Σ events per user equal
+    * across the two. `watermarkDelay` is the LATENESS tolerance and is a
+    * separate knob from the session gap (conflating them would silently
+    * drop events later than one gap).
     */
-  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", gap) else events
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
     src
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("__w"))
       .agg(count(lit(1)).as("n_events"))

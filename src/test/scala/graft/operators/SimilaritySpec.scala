@@ -74,21 +74,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val all = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble) }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val idx = all.map(_._1).zipWithIndex.toMap
-    val parent = Array.tabulate(all.length)(identity)
-    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
-    for (i <- all.indices; j <- (i + 1) until all.length)
-      if (cos(all(i)._2, all(j)._2) >= 0.4) {
-        val (ri, rj) = (find(i), find(j))
-        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
-      }
-    val exactSurvivors = all.map(_._1).groupBy(id => find(idx(id))).values
-      .map(_.min).toSet
+    val exactSurvivors = graft.TestClosure.cosineSurvivors(all, tau = 0.4)
     val exactDropped = all.map(_._1).toSet -- exactSurvivors
     val blockedDropped = all.map(_._1).toSet -- blockedSurvivors
     assert(exactDropped.nonEmpty)

@@ -46,23 +46,7 @@ class ScaleQueriesSpec extends AnyFunSuite with SparkTestBase {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble) }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    // union-find over all pairs >= 0.4
-    val idx = vecs.map(_._1).zipWithIndex.toMap
-    val parent = Array.tabulate(vecs.length)(identity)
-    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
-    for (i <- vecs.indices; j <- (i + 1) until vecs.length)
-      if (cos(vecs(i)._2, vecs(j)._2) >= 0.4) {
-        val (ri, rj) = (find(i), find(j))
-        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
-      }
-    val expected = vecs.map(_._1).groupBy(id => find(idx(id))).values
-      .map(_.min).toSet
-    assert(out == expected)
+    assert(out == graft.TestClosure.cosineSurvivors(vecs, tau = 0.4))
   }
 
   test("q83: every frame spans at most 7 calendar days and n7 >= n") {
