@@ -268,7 +268,57 @@ object ScaleQueries {
         r6(corr(col("l_quantity"), col("l_extendedprice")))
           .as("corr_qty_price"))
 
+  /** CDC snapshot diff: classify every key across two table snapshots as
+    * INSERT / DELETE / UPDATE / UNCHANGED — the incremental-load
+    * primitive (reference reprocesses whole days; a production pipeline
+    * diffs). One full-outer join on the key; snapshots are synthesized
+    * deterministically from orders (same expressions in the oracle):
+    * "old" drops every 7th key, "new" drops every 11th and re-prices
+    * every 5th.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val old = base.filter(col("o_orderkey") % 7 =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("__old"))
+    val neu = base.filter(col("o_orderkey") % 11 =!= 0)
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")).as("__new"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .select(
+        col("o_orderkey"),
+        when(col("__old").isNull, "I")
+          .when(col("__new").isNull, "D")
+          .when(col("__old") =!= col("__new"), "U")
+          .otherwise("N").as("op"))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"))
+  }
+
+  /** Sequence-gap detection (data-quality audit): ranges of missing ids
+    * in the event_id sequence via lead() over the sorted ids — one sort
+    * shuffle, output is the gap list (start, end, width).
+    */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("event_id"))
+    Tables.events(s, d)
+      // synthesized gaps (same predicate in the oracle): drop id ranges
+      // ending in 13 or 14 mod 100
+      .filter(col("event_id") % 100 =!= 13 && col("event_id") % 100 =!= 14)
+      .select(col("event_id"))
+      .withColumn("__next", lead(col("event_id"), 1).over(w))
+      .filter(col("__next") > col("event_id") + 1)
+      .select(
+        (col("event_id") + 1).as("gap_start"),
+        (col("__next") - 1).as("gap_end"),
+        (col("__next") - col("event_id") - 1).as("gap_width"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q92_snapshot_diff" -> q92,
+    "q93_sequence_gaps" -> q93,
     "q90_string_agg" -> q90,
     "q91_stats_family" -> q91,
     "q82_semdedup_survivors" -> q82,
@@ -281,6 +331,29 @@ object ScaleQueries {
     "q89_countmin_roundtrip" -> q89)
 
   val oracles: Map[String, String] = Map(
+    "q92_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice AS v FROM orders WHERE o_orderkey % 7 <> 0),
+        |neu AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |d AS (
+        |  SELECT coalesce(old.o_orderkey, neu.o_orderkey) AS k,
+        |    CASE WHEN old.v IS NULL THEN 'I'
+        |         WHEN neu.v IS NULL THEN 'D'
+        |         WHEN old.v <> neu.v THEN 'U'
+        |         ELSE 'N' END AS op
+        |  FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey)
+        |SELECT op, count(*) AS n, min(k) AS first_key FROM d GROUP BY op""".stripMargin,
+    "q93_sequence_gaps" ->
+      """WITH ids AS (
+        |  SELECT event_id FROM events
+        |  WHERE event_id % 100 <> 13 AND event_id % 100 <> 14),
+        |nx AS (SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS n FROM ids)
+        |SELECT event_id + 1 AS gap_start, n - 1 AS gap_end,
+        |  n - event_id - 1 AS gap_width
+        |FROM nx WHERE n > event_id + 1""".stripMargin,
     "q90_string_agg" ->
       """SELECT c_nationkey,
         |CAST(count(*) AS INT) AS n_top,
