@@ -54,20 +54,42 @@ object Multimodal {
     * features, ...). Everything around it — mapPartitions batching,
     * output schema, null passthrough — is production-shaped.
     */
-  def extractFeatures(df: DataFrame, contentCol: String, dim: Int): DataFrame = {
+  def extractFeatures(
+      df: DataFrame,
+      contentCol: String,
+      dim: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
     val inSchema = df.schema
     val outSchema = inSchema.add("features", ArrayType(FloatType), nullable = true)
     val ci = inSchema.fieldIndex(contentCol)
     implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    // BATCHED iteration (the mapInPandas/mapInArrow batch contract): rows
+    // buffer in groups of `batchSize` and the whole batch goes to the
+    // decoder at once — a real implementation hands the batch to a
+    // vectorized/accelerator decode; memory is bounded by batchSize
+    // payloads per task, and laziness between batches is preserved
+    // (grouped() pulls the next batch only when downstream asks).
     df.mapPartitions { rows =>
-      rows.map { r =>
-        val feats =
-          if (r.isNullAt(ci)) null
-          else fakeDecode(r.getAs[Array[Byte]](ci), dim)
-        Row.fromSeq(r.toSeq :+ feats)
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.map(r =>
+          if (r.isNullAt(ci)) null else r.getAs[Array[Byte]](ci))
+        val feats = decodeBatch(payloads, dim)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ f)
+        }
       }
     }
   }
+
+  /** STUB batch decoder — the real-implementation seam: ONE call per
+    * batch so a vectorized decoder (GPU JPEG, batched resample) slots in
+    * without touching the operator. NULL payloads pass through as NULL
+    * features, preserving row alignment.
+    */
+  private def decodeBatch(
+      payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
+    payloads.map(p => if (p == null) null else fakeDecode(p, dim))
 
   /** STUB — stands in for a real media decoder. Deterministic in the
     * payload bytes only.

@@ -31,6 +31,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f1 == f2) // deterministic stub
     assert(f1.values.forall(_.length == 4))
     assert(f1(1L) != f1(2L)) // payload-dependent
+    // batch size must not change results — row↔feature alignment holds
+    // across batch boundaries (batchSize=1 degenerates to per-row)
+    val f3 = Multimodal.extractFeatures(withPayload, "content", dim = 4, batchSize = 1)
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+    val f4 = Multimodal.extractFeatures(withPayload, "content", dim = 4, batchSize = 3)
+      .select("doc_id", "features").as[(Long, Seq[Float])].collect().toMap
+    assert(f3 == f1 && f4 == f1)
   }
 
   test("resize rewrites metadata dims only") {
