@@ -316,9 +316,23 @@ object ScaleQueries {
         (col("__next") - col("event_id") - 1).as("gap_width"))
   }
 
+  /** The blocked (IVF-cell) SemDeDup — q82's production-scale sibling:
+    * candidates ≈ Σ cell² instead of N². No SQL oracle (the driver
+    * records a rows-only check, like the other sketch paths q29/q32);
+    * correctness is pinned by `SimilaritySpec`: blocked drops ⊆ exact
+    * drops, with a measured drop-recall floor.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame =
+    graft.operators.Similarity
+      .blockedSemDedup(
+        Tables.embeddings(s, d).select("vec_id", "embedding", "label"),
+        "vec_id", "embedding", tau = 0.4)
+      .select("vec_id", "label")
+
   val defs: Map[String, Q] = Map(
     "q92_snapshot_diff" -> q92,
     "q93_sequence_gaps" -> q93,
+    "q94_semdedup_blocked" -> q94,
     "q90_string_agg" -> q90,
     "q91_stats_family" -> q91,
     "q82_semdedup_survivors" -> q82,
