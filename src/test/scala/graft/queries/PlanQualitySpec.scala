@@ -50,6 +50,47 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!p4.contains("CartesianProduct"), p4)
   }
 
+  test("q83 rolling window shares ONE shuffle between groupBy and window") {
+    // groupBy (prio, day) then window partitionBy prio: the agg's hash
+    // exchange + the window's repartition on the coarser key = 2 total;
+    // anything more means a partitioning got lost in between
+    val p = simple("q83_rolling_range")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"$shuffles shuffles:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q86 histogram is one partial+final agg pass over a 1-column scan") {
+    val p = formatted("q86_histogram")
+    assert(p.contains("partial_count") || p.contains("partial_min"), p)
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
+    assert(read.contains("l_extendedprice"), read)
+    assert(!read.contains("l_orderkey") && !read.contains("l_discount"), read)
+    assert("Exchange hashpartitioning".r.findAllIn(simple("q86_histogram")).size == 1)
+  }
+
+  test("q89 CMS probes ride a broadcast of the vocabulary-sized sketch table") {
+    val p = simple("q89_countmin_roundtrip")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("cms_estimate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q90 ordered LISTAGG costs one shuffle (partial+final collect over the key)") {
+    val p = simple("q90_string_agg")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"$shuffles shuffles:\n$p")
+  }
+
+  test("q92 snapshot diff pushes both snapshot filters to the shared scan") {
+    val p = formatted("q92_snapshot_diff")
+    // each side's modulo filter must sit at its scan, not above the join
+    assert(p.linesIterator.count(_.startsWith("ReadSchema")) == 2, p)
+    val read = p.linesIterator.find(_.startsWith("ReadSchema")).getOrElse("")
+    assert(read.contains("o_orderkey") && read.contains("o_totalprice"), read)
+    assert(!read.contains("o_orderdate"), read)
+  }
+
   test("greedy allocation costs exactly one shuffle (hash on the key) + local sort") {
     val p = simple("q13_alloc_greedy")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
