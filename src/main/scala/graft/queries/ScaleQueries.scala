@@ -329,7 +329,38 @@ object ScaleQueries {
         "vec_id", "embedding", tau = 0.4)
       .select("vec_id", "label")
 
+  /** Interval-union coverage: total time covered by ≥1 event interval
+    * per type (the sweep-line companion to q85's max-concurrency).
+    * Segment trick: between consecutive sweep points the coverage count
+    * is constant, so union length = Σ (next_t − t) over rows whose
+    * running sum > 0. Tie groups are safe without RANGE frames: rows
+    * inside a tie contribute zero-length segments, and the tie-FINAL
+    * row's prefix sum includes the whole group, so only deterministic
+    * values reach the output. All arithmetic in integer microseconds.
+    */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(
+      col("event_type"),
+      unix_micros(col("ts")).as("t0"),
+      unix_micros(expr(
+        "timestampadd(MICROSECOND, CAST(round(value * 1000000) AS BIGINT), ts)"))
+        .as("t1"))
+    val pts = ev.select(col("event_type"), col("t0").as("t"), lit(1L).as("delta"))
+      .unionAll(ev.select(col("event_type"), col("t1").as("t"), lit(-1L).as("delta")))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+    val wSum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .select(
+        col("event_type"),
+        sum(col("delta")).over(wSum).as("__conc"),
+        (lead(col("t"), 1).over(ord) - col("t")).as("__len"))
+      .filter(col("__conc") > 0 && col("__len").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(col("__len")).as("covered_us"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q95_interval_union" -> q95,
     "q92_snapshot_diff" -> q92,
     "q93_sequence_gaps" -> q93,
     "q94_semdedup_blocked" -> q94,
@@ -345,6 +376,24 @@ object ScaleQueries {
     "q89_countmin_roundtrip" -> q89)
 
   val oracles: Map[String, String] = Map(
+    "q95_interval_union" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS t0,
+        |    epoch_us(ts + to_microseconds(CAST(round(value * 1000000) AS BIGINT))) AS t1
+        |  FROM events),
+        |pts AS (
+        |  SELECT event_type, t0 AS t, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT event_type, t1 AS t, CAST(-1 AS BIGINT) AS delta FROM iv),
+        |seg AS (
+        |  SELECT event_type,
+        |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
+        |    lead(t) OVER (PARTITION BY event_type ORDER BY t, delta) - t AS len
+        |  FROM pts)
+        |SELECT event_type, CAST(sum(len) AS BIGINT) AS covered_us
+        |FROM seg WHERE conc > 0 AND len IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
     "q92_snapshot_diff" ->
       """WITH old AS (
         |  SELECT o_orderkey, o_totalprice AS v FROM orders WHERE o_orderkey % 7 <> 0),

@@ -93,6 +93,32 @@ class ScaleQueriesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q95: union coverage == brute-force merged-interval length per type") {
+    val out = ScaleQueries.defs("q95_interval_union")(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val iv = Tables.events(spark, sf)
+      .select(
+        col("event_type"),
+        unix_micros(col("ts")).as("t0"),
+        unix_micros(expr(
+          "timestampadd(MICROSECOND, CAST(round(value * 1000000) AS BIGINT), ts)"))
+          .as("t1"))
+      .as[(String, Long, Long)].collect()
+    val expected = iv.groupBy(_._1).view.mapValues { rows =>
+      // classic merge: sort by start, extend the current merged interval
+      var covered = 0L
+      var curS = Long.MinValue
+      var curE = Long.MinValue
+      rows.map(r => (r._2, r._3)).sortBy(_._1).foreach { case (s, e) =>
+        if (s > curE) { covered += curE - curS; curS = s; curE = e }
+        else if (e > curE) curE = e
+      }
+      covered + (curE - curS)
+    }.toMap
+    assert(out.keySet == expected.keySet)
+    out.foreach { case (k, v) => assert(v == expected(k), k) }
+  }
+
   test("q86: histogram mass equals table row count and bins are disjoint") {
     val out = ScaleQueries.defs("q86_histogram")(spark, sf)
     val total = out.agg(sum("n")).as[Long].head()
