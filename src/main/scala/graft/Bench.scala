@@ -50,10 +50,25 @@ object Bench {
       // mistaken for a fast successful run
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // The driver captures only the last ~2000 chars of output; with 95+
+    // queries the full-name JSON line overflows that window and the round's
+    // numbers become unparseable (r3's "parsed": null). The printed line
+    // therefore uses the short `qNN` prefix as the key (unique by
+    // construction), and the full-name detail goes to bench_full.json.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
     val qs = results
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val qsFull = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

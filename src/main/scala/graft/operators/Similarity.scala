@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import scala.collection.parallel.CollectionConverters._
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`): brute-force cosine top-k as the exact baseline, and
   * a random-hyperplane LSH bucketed variant as the scale path.
@@ -92,28 +94,56 @@ object Similarity {
     val kk = math.min(k, sample.length)
     val init = new scala.util.Random(seed).shuffle(sample.indices.toVector).take(kk)
     val centroids = init.map(i => sample(i).clone()).toArray
-    val counts = new Array[Long](kk)
-    val sums = Array.ofDim[Double](kk, dim)
+    // The assignment step is |sample|·k·dim flops per iteration — ~3·10⁹
+    // at k≈√N=224 — which single-threaded stalls the whole cluster for
+    // seconds while 32 cores idle. It is embarrassingly parallel over
+    // sample points: each thread folds its slice into private
+    // counts/sums, merged sequentially (deterministic: merge order is
+    // fixed by slice index, and per-slice sums add the same doubles in
+    // the same order regardless of thread scheduling).
+    val nThreads = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(),
+      sample.length / 512 + 1))
+    val slices = (0 until nThreads)
+      .map(t => (t * sample.length / nThreads, (t + 1) * sample.length / nThreads))
     var it = 0
     while (it < iters) {
-      java.util.Arrays.fill(counts, 0L)
-      sums.foreach(java.util.Arrays.fill(_, 0.0))
-      sample.foreach { p =>
-        var best = 0
-        var bestD = Double.MaxValue
+      val parts = slices.par.map { case (lo, hi) =>
+        val counts = new Array[Long](kk)
+        val sums = Array.ofDim[Double](kk, dim)
+        var i = lo
+        while (i < hi) {
+          val p = sample(i)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < kk) {
+            var d = 0.0
+            val ctr = centroids(c)
+            var j = 0
+            while (j < dim) { val t = p(j) - ctr(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          val s = sums(best)
+          var j = 0
+          while (j < dim) { s(j) += p(j); j += 1 }
+          i += 1
+        }
+        (counts, sums)
+      }.toIndexedSeq
+      val counts = new Array[Long](kk)
+      val sums = Array.ofDim[Double](kk, dim)
+      parts.foreach { case (pc, ps) =>
         var c = 0
         while (c < kk) {
-          var d = 0.0
-          val ctr = centroids(c)
+          counts(c) += pc(c)
+          val s = sums(c); val q = ps(c)
           var j = 0
-          while (j < dim) { val t = p(j) - ctr(j); d += t * t; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
+          while (j < dim) { s(j) += q(j); j += 1 }
           c += 1
         }
-        counts(best) += 1
-        val s = sums(best)
-        var j = 0
-        while (j < dim) { s(j) += p(j); j += 1 }
       }
       var c = 0
       while (c < kk) {
@@ -136,13 +166,17 @@ object Similarity {
     * pure scheduling overhead at any scale, since the reduction work fits
     * in microseconds of driver CPU.
     */
+  /** @param knownCount pass the corpus row count when the caller already
+    *                    has it — avoids a second full scan of the input
+    */
   private[operators] def trainQuantizer(
       corpus: DataFrame,
       vecCol: String,
       numCells: Int,
       seed: Long,
-      trainSample: Int): Array[Array[Double]] = {
-    val nRows = corpus.count()
+      trainSample: Int,
+      knownCount: Long = -1L): Array[Array[Double]] = {
+    val nRows = if (knownCount >= 0L) knownCount else corpus.count()
     val fraction = math.min(1.0, trainSample * 1.2 / math.max(nRows, 1L).toDouble)
     val sample: Array[Array[Double]] = corpus
       .select(toDouble(col(vecCol)).as("__v"))
@@ -181,32 +215,45 @@ object Similarity {
       seed: Long = 7L,
       trainSample: Int = 16384): DataFrame = {
     graft.functions.CosineSim.register(vecs.sparkSession)
-    val k =
-      if (numCells > 0) numCells
-      else math.min(65536, math.max(16, math.ceil(
-        math.sqrt(vecs.count().toDouble)).toInt))
-    val centroids = trainQuantizer(vecs, vecCol, k, seed, trainSample)
     // candidate generation moves (cell, id) rows ONLY — dedup of the
     // pair list happens on two longs; the 2×dim vector payloads attach
     // ONCE per surviving pair side, never per shared cell
     val assigned = vecs
       .select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
-      .localCheckpoint(true) // reused: cell assignment + both vector sides
+      .localCheckpoint(true) // reused: count + train sample + cell assignment + both vector sides
+    // one materializing scan above; the count below reads checkpointed blocks
+    val n = assigned.count()
+    if (n <= 1L) return vecs // nothing to dedup; also keeps fitCentroids off an empty sample
+    // auto-K minimizes total flops: assignment costs N·K·dim, the
+    // within-cell pair pass costs nprobe²·N²·dim/(2K) — balanced at
+    // K* = nprobe·√(N/2). (Plain √N — the top-k IVF guidance — sizes
+    // cells for query fan-out, not for all-pairs occupancy, and measured
+    // ~2× slower here at N=50k.)
+    val k =
+      if (numCells > 0) numCells
+      else math.min(65536, math.max(16,
+        (nprobe * math.ceil(math.sqrt(n.toDouble / 2))).toInt))
+    val centroids = trainQuantizer(assigned, "__v", k, seed, trainSample, knownCount = n)
+    // Vectors ride WITH the (cell, id) rows and cosine evaluates inside
+    // the cell join, so only SURVIVING pairs ever materialize. The
+    // earlier id-only design (candidates.distinct, then two joins to
+    // re-attach vectors) shuffled every candidate pair — nprobe²·N²/K
+    // rows, ≫ the N·nprobe cell rows — through two hash joins; carrying
+    // the 2·dim payload once per cell row costs ~dim·8·nprobe bytes/row
+    // while saving two candidate-volume shuffles. A pair sharing several
+    // probe cells re-computes its cosine per shared cell (≤ nprobe×,
+    // ~50 ns each, fused in the join) and dedups AFTER the τ filter,
+    // where the survivor set is ~component-sized, not candidate-sized.
     val cells = assigned
-      .select(col("__id"),
+      .select(col("__id"), col("__v"),
         explode(graft.functions.NearestCells.toCol(col("__v"), centroids, nprobe))
           .as("__cell"))
-      .select(col("__id"), col("__cell"))
-    val candidates = cells.alias("x")
+    val pairs = cells.alias("x")
       .join(cells.alias("y"),
         col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id"))
+      .filter(expr("cosine_sim(x.__v, y.__v)") >= tau)
       .select(col("x.__id").as("src"), col("y.__id").as("dst"))
       .distinct()
-    val pairs = candidates
-      .join(assigned.select(col("__id").as("src"), col("__v").as("__va")), "src")
-      .join(assigned.select(col("__id").as("dst"), col("__v").as("__vb")), "dst")
-      .filter(expr("cosine_sim(__va, __vb)") >= tau)
-      .select(col("src"), col("dst"))
     val dropped = ConnectedComponents.byMinLabel(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
