@@ -26,9 +26,19 @@ final case class CandyConfig(
     mysqlUrl: String,
     mysqlUser: String,
     mysqlPassword: String,
+    mysqlDriver: String,
+    mysqlDb: String,
+    mysqlConnectorPath: String,
+    datasetNumber: String,
     customersTable: String,
     productsTable: String,
-    reloadInventoryDaily: Boolean)
+    reloadInventoryDaily: Boolean) {
+
+  /** Dimensions come from a live JDBC database when a URL is configured;
+    * otherwise from the `dataDir` CSV fixtures.
+    */
+  def jdbcDims: Boolean = mysqlUrl.nonEmpty
+}
 
 object CandyConfig {
   private val fmt = DateTimeFormatter.ofPattern("yyyyMMdd")
@@ -47,6 +57,15 @@ object CandyConfig {
       mysqlUrl = get("MYSQL_URL", ""),
       mysqlUser = get("MYSQL_USER", ""),
       mysqlPassword = get("MYSQL_PASSWORD", ""),
+      // the reference hardcodes the MySQL driver class
+      // (data_processor.py:94); configurable here so tests can run the
+      // SAME format("jdbc") code path against an embedded database
+      mysqlDriver = get("MYSQL_DRIVER", "com.mysql.cj.jdbc.Driver"),
+      mysqlDb = get("MYSQL_DB", "candy_store"),
+      // reference .env.example:5 — the connector jar is a spark-submit
+      // --jars concern, carried for config-surface parity only
+      mysqlConnectorPath = get("MYSQL_CONNECTOR_PATH", ""),
+      datasetNumber = get("DATASET_NUMBER", ""),
       customersTable = get("CUSTOMERS_TABLE", "customers"),
       productsTable = get("PRODUCTS_TABLE", "products"),
       reloadInventoryDaily =

@@ -28,7 +28,8 @@ class CandyPipeline(
     start: LocalDate,
     endInclusive: LocalDate,
     forecastDays: Int = 1,
-    reloadInventoryDaily: Boolean = false) {
+    reloadInventoryDaily: Boolean = false,
+    dimConfig: Option[CandyConfig] = None) {
 
   final case class Result(
       orderLineItems: DataFrame,
@@ -43,7 +44,12 @@ class CandyPipeline(
     val transactions = CandySources
       .transactions(spark, dataDir, start, endInclusive)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val products = CandySources.products(spark, dataDir)
+    // dimensions go through live JDBC when the config carries a URL
+    // (reference data_processor.py:87-101), CSV fixtures otherwise
+    val products = dimConfig match {
+      case Some(cfg) if cfg.jdbcDims => CandySources.products(spark, cfg)
+      case _ => CandySources.products(spark, dataDir)
+    }
 
     val allocated = CandyEtl
       .allocate(CandyEtl.pricedLines(transactions, products), reloadInventoryDaily)
@@ -120,5 +126,6 @@ object CandyPipeline {
       cfg: CandyConfig): CandyPipeline =
     new CandyPipeline(
       spark, cfg.dataDir, cfg.outputPath, cfg.startDate, cfg.endDate,
-      reloadInventoryDaily = cfg.reloadInventoryDaily)
+      reloadInventoryDaily = cfg.reloadInventoryDaily,
+      dimConfig = Some(cfg))
 }

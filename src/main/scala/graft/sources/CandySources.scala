@@ -74,4 +74,54 @@ object CandySources {
       .schema(CandyModel.customerSchema)
       .option("header", "true")
       .csv(s"$dataDir/customers.csv")
+
+  /** Whole-table dimension scan over JDBC — the reference's
+    * `load_mysql_data` (data_processor.py:87-101): url/driver/dbtable/
+    * user/password options, schema from database metadata. Dimension
+    * tables are small by definition; no partitioning options needed (a
+    * fact-sized JDBC read would add partitionColumn/numPartitions).
+    */
+  def dimensionJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      driver: String): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+    (if (driver.nonEmpty) r.option("driver", driver) else r).load()
+  }
+
+  /** Conform a metadata-inferred JDBC frame to the engine's explicit
+    * schema: case-insensitive column resolution (Derby/MySQL fold
+    * unquoted identifiers), declared order, declared types.
+    */
+  private def conform(
+      df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+
+  /** products via the configured source: live JDBC when `cfg.jdbcDims`,
+    * CSV fixture otherwise.
+    */
+  def products(spark: SparkSession, cfg: graft.pipeline.CandyConfig): DataFrame =
+    if (cfg.jdbcDims)
+      conform(
+        dimensionJdbc(spark, cfg.mysqlUrl, cfg.productsTable,
+          cfg.mysqlUser, cfg.mysqlPassword, cfg.mysqlDriver),
+        CandyModel.productSchema)
+    else products(spark, cfg.dataDir)
+
+  /** customers via the configured source (cf. [[products]]). */
+  def customers(spark: SparkSession, cfg: graft.pipeline.CandyConfig): DataFrame =
+    if (cfg.jdbcDims)
+      conform(
+        dimensionJdbc(spark, cfg.mysqlUrl, cfg.customersTable,
+          cfg.mysqlUser, cfg.mysqlPassword, cfg.mysqlDriver),
+        CandyModel.customerSchema)
+    else customers(spark, cfg.dataDir)
 }
