@@ -1,0 +1,238 @@
+package graft.operators
+
+/** Codec-free media parsing: formats whose decode is pure byte-format
+  * arithmetic, implementable without any native library — WAV/PCM-16
+  * audio (RIFF container) and binary PPM (P6) images. These make the
+  * multimodal seam REAL for the formats a container without codecs can
+  * support; compressed formats (JPEG/MP3/H.264) still go through the
+  * stub path in [[Multimodal]].
+  *
+  * All parsers are defensive: malformed payloads return None rather
+  * than throwing, so a corrupt row degrades to stub features instead of
+  * failing the task (the quarantine philosophy of RobustSources).
+  */
+object MediaCodecs {
+
+  final case class WavAudio(sampleRate: Int, samples: Array[Short]) {
+    def durationMs: Long = samples.length.toLong * 1000L / sampleRate
+  }
+
+  final case class PpmImage(width: Int, height: Int, maxVal: Int, rgb: Array[Byte])
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  def isPpm(b: Array[Byte]): Boolean =
+    b != null && b.length >= 3 && b(0) == 'P' && b(1) == '6' &&
+      (b(2) == ' ' || b(2) == '\n' || b(2) == '\t' || b(2) == '\r')
+
+  /** Parse a RIFF/WAVE container: walk chunks, require PCM (format 1),
+    * 16-bit, mono. Returns None on anything else.
+    */
+  def decodeWav(b: Array[Byte]): Option[WavAudio] = {
+    if (!isWav(b)) return None
+    var off = 12
+    var sampleRate = -1
+    var bitsPerSample = -1
+    var channels = -1
+    var fmtOk = false
+    var data: Array[Short] = null
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      id match {
+        case "fmt " if size >= 16 =>
+          val fmtCode = le16(b, off + 8)
+          channels = le16(b, off + 10)
+          sampleRate = le32(b, off + 12)
+          bitsPerSample = le16(b, off + 22)
+          fmtOk = fmtCode == 1 && channels == 1 && bitsPerSample == 16 &&
+            sampleRate > 0
+        case "data" =>
+          val n = size / 2
+          val s = new Array[Short](n)
+          var i = 0
+          while (i < n) { s(i) = le16(b, off + 8 + i * 2).toShort; i += 1 }
+          data = s
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (fmtOk && data != null) Some(WavAudio(sampleRate, data)) else None
+  }
+
+  /** Encode mono PCM-16 to a minimal RIFF/WAVE payload (test-fixture /
+    * local-collection-source path; also pins the decoder via roundtrip).
+    */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    def putAscii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def put16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putAscii(0, "RIFF"); put32(4, 36 + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); put32(16, 16)
+    put16(20, 1) // PCM
+    put16(22, 1) // mono
+    put32(24, sampleRate)
+    put32(28, sampleRate * 2) // byte rate
+    put16(32, 2) // block align
+    put16(34, 16) // bits/sample
+    putAscii(36, "data"); put32(40, dataSize)
+    var i = 0
+    while (i < samples.length) {
+      put16(44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Parse binary PPM (P6): ASCII header `P6 <w> <h> <maxval>` with
+    * `#` comments, then raw RGB triplets. maxval ≤ 255 only (the 2-byte
+    * variant returns None).
+    */
+  def decodePpm(b: Array[Byte]): Option[PpmImage] = {
+    if (!isPpm(b)) return None
+    var off = 2
+    def skipWs(): Boolean = {
+      var progressed = false
+      var go = true
+      while (go && off < b.length) {
+        val c = b(off)
+        if (c == '#') { // comment to end of line
+          while (off < b.length && b(off) != '\n') off += 1
+          progressed = true
+        } else if (c == ' ' || c == '\n' || c == '\t' || c == '\r') {
+          off += 1; progressed = true
+        } else go = false
+      }
+      progressed
+    }
+    def readInt(): Int = {
+      var v = 0
+      var any = false
+      while (off < b.length && b(off) >= '0' && b(off) <= '9') {
+        v = v * 10 + (b(off) - '0'); off += 1; any = true
+      }
+      if (any) v else -1
+    }
+    if (!skipWs()) return None
+    val w = readInt(); skipWs()
+    val h = readInt(); skipWs()
+    val mv = readInt()
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return None
+    off += 1 // exactly ONE whitespace byte after maxval per the spec
+    val need = w * h * 3
+    if (off + need > b.length) return None
+    Some(PpmImage(w, h, mv, java.util.Arrays.copyOfRange(b, off, off + need)))
+  }
+
+  /** Encode a binary PPM (P6) payload. */
+  def encodePpm(width: Int, height: Int, rgb: Array[Byte], maxVal: Int = 255): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length must be w*h*3")
+    val header = s"P6\n$width $height\n$maxVal\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    header.copyToArray(out)
+    rgb.copyToArray(out, header.length)
+    out
+  }
+
+  /** Real audio features from a decoded WAV, laid out as
+    * [rms, zero-crossing rate, mean, peak, band energies...]: the first
+    * 4 slots are time-domain statistics over [-1,1]-normalized samples;
+    * the remaining `dim-4` slots are Goertzel band magnitudes at evenly
+    * spaced frequencies in (0, sr/2), each normalized by sample count.
+    */
+  def wavFeatures(a: WavAudio, dim: Int): Array[Float] = {
+    val n = a.samples.length
+    val f = new Array[Float](dim)
+    if (n == 0) return f
+    var sum = 0.0; var sumSq = 0.0; var peak = 0.0; var zc = 0
+    var i = 0
+    while (i < n) {
+      val v = a.samples(i) / 32768.0
+      sum += v; sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && a.samples(i - 1).toLong * a.samples(i) < 0) zc += 1
+      i += 1
+    }
+    f(0) = math.sqrt(sumSq / n).toFloat
+    f(1) = zc.toFloat / n
+    f(2) = (sum / n).toFloat
+    f(3) = peak.toFloat
+    val bands = dim - 4
+    var k = 0
+    while (k < bands) {
+      // Goertzel at freq (k+1)/(bands+1) * Nyquist
+      val w = math.Pi * (k + 1).toDouble / (bands + 1)
+      val coeff = 2.0 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var j = 0
+      while (j < n) {
+        s0 = a.samples(j) / 32768.0 + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        j += 1
+      }
+      val power = s1 * s1 + s2 * s2 - coeff * s1 * s2
+      f(4 + k) = (math.sqrt(math.max(power, 0.0)) / n).toFloat
+      k += 1
+    }
+    f
+  }
+
+  /** Real image features from a decoded PPM, laid out as
+    * [meanR, meanG, meanB, stddev(luma), luma histogram...]: channel
+    * means normalized by maxVal, then a `dim-4`-bin luminance histogram
+    * (Rec.601 luma), each bin a pixel fraction.
+    */
+  def ppmFeatures(img: PpmImage, dim: Int): Array[Float] = {
+    val f = new Array[Float](dim)
+    val nPx = img.width * img.height
+    if (nPx == 0) return f
+    val bins = dim - 4
+    val hist = new Array[Int](math.max(bins, 1))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var lumSum = 0.0; var lumSumSq = 0.0
+    var i = 0
+    while (i < nPx) {
+      val r = img.rgb(i * 3) & 0xff
+      val g = img.rgb(i * 3 + 1) & 0xff
+      val b = img.rgb(i * 3 + 2) & 0xff
+      sr += r; sg += g; sb += b
+      val lum = (0.299 * r + 0.587 * g + 0.114 * b) / img.maxVal
+      lumSum += lum; lumSumSq += lum * lum
+      if (bins > 0) {
+        val bin = math.min((lum * bins).toInt, bins - 1)
+        hist(bin) += 1
+      }
+      i += 1
+    }
+    f(0) = (sr.toDouble / nPx / img.maxVal).toFloat
+    f(1) = (sg.toDouble / nPx / img.maxVal).toFloat
+    f(2) = (sb.toDouble / nPx / img.maxVal).toFloat
+    val meanLum = lumSum / nPx
+    f(3) = math.sqrt(math.max(lumSumSq / nPx - meanLum * meanLum, 0.0)).toFloat
+    var k = 0
+    while (k < bins) { f(4 + k) = hist(k).toFloat / nPx; k += 1 }
+    f
+  }
+}

@@ -82,17 +82,35 @@ object Multimodal {
     }
   }
 
-  /** STUB batch decoder — the real-implementation seam: ONE call per
-    * batch so a vectorized decoder (GPU JPEG, batched resample) slots in
-    * without touching the operator. NULL payloads pass through as NULL
-    * features, preserving row alignment.
+  /** Batch decoder — the real-implementation seam: ONE call per batch so
+    * a vectorized decoder (GPU JPEG, batched resample) slots in without
+    * touching the operator. NULL payloads pass through as NULL features,
+    * preserving row alignment.
+    *
+    * REAL for codec-free formats: WAV/PCM-16 payloads decode to actual
+    * time/frequency-domain audio features, binary PPM (P6) payloads to
+    * actual pixel statistics ([[MediaCodecs]]). Compressed formats
+    * (JPEG/MP3/...) fall through to the deterministic STUB — this
+    * container ships no codecs; a real deployment replaces only
+    * `fakeDecode`.
     */
   private def decodeBatch(
       payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
-    payloads.map(p => if (p == null) null else fakeDecode(p, dim))
+    payloads.map { p =>
+      if (p == null) null
+      else if (MediaCodecs.isWav(p))
+        MediaCodecs.decodeWav(p)
+          .map(MediaCodecs.wavFeatures(_, dim))
+          .getOrElse(fakeDecode(p, dim)) // malformed → stub, not task failure
+      else if (MediaCodecs.isPpm(p))
+        MediaCodecs.decodePpm(p)
+          .map(MediaCodecs.ppmFeatures(_, dim))
+          .getOrElse(fakeDecode(p, dim))
+      else fakeDecode(p, dim)
+    }
 
-  /** STUB — stands in for a real media decoder. Deterministic in the
-    * payload bytes only.
+  /** STUB — stands in for a real media decoder of compressed formats.
+    * Deterministic in the payload bytes only.
     */
   private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     val acc = new Array[Long](dim)

@@ -88,4 +88,46 @@ object Quantiles {
       .groupBy(col(keyCol))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[approxSketch]] + the GK guarantee made checkable (the q70/q89
+    * error-envelope pattern): each sketch quantile's TRUE rank is
+    * re-counted against the data and asserted within ±ε·n of the target
+    * rank (ε = 1/accuracy, plus one rank of definitional slack for the
+    * inclusive/exclusive boundary). Output per group:
+    * `(key, n_vals, <name>_ok...)` — all SQL-reproducible (the oracle
+    * emits exact counts and literal TRUE), so the sketch path gets a
+    * hard hash-checked oracle instead of a rows-only record.
+    *
+    * One extra pass over the data (the rank recount) — this is the
+    * VERIFICATION shape; production uses [[approxSketch]] alone.
+    */
+  def approxSketchChecked(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      qs: Seq[(String, Double)],
+      accuracy: Int = 10000): DataFrame = {
+    val approx = approxSketch(df, keyCol, valCol, qs, accuracy)
+    val vals = df
+      .filter(col(valCol).isNotNull)
+      .select(col(keyCol), col(valCol).cast("double").as("__v"))
+    val eps = 1.0 / accuracy
+    val counted = vals
+      .join(broadcast(approx), Seq(keyCol)) // O(groups) rows broadcast
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_vals"),
+        qs.flatMap { case (name, _) =>
+          Seq(
+            sum(when(col("__v") < col(name), 1L).otherwise(0L)).as(s"__lt_$name"),
+            sum(when(col("__v") <= col(name), 1L).otherwise(0L)).as(s"__le_$name"))
+        }: _*)
+    val okCols = qs.map { case (name, q) =>
+      val target = col("n_vals").cast("double") * q
+      val slack = col("n_vals").cast("double") * eps + 1.0
+      ((col(s"__lt_$name").cast("double") <= target + slack) &&
+        (col(s"__le_$name").cast("double") >= target - slack)).as(s"${name}_ok")
+    }
+    counted.select(col(keyCol) +: col("n_vals") +: okCols: _*)
+  }
 }

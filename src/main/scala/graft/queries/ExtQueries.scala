@@ -123,17 +123,51 @@ object ExtQueries {
         col("media_meta.height").as("height"),
         col("media_meta.duration_ms").as("duration_ms"))
 
-  /** Multimodal frame sampling + STUB feature extraction (rows-only:
-    * custom decode stub; MultimodalSpec pins determinism).
+  /** Multimodal REAL-decode roundtrip, fully oracle-checked: per event
+    * type, the events table's values become PCM-16 samples, encoded into
+    * an actual RIFF/WAVE binary payload ([[graft.operators.MediaCodecs
+    * .encodeWav]]), decoded back by the real chunk-walking WAV parser,
+    * and reduced to INTEGER audio statistics — which the DuckDB oracle
+    * reproduces directly from the source rows. Any header, alignment, or
+    * LE16 sample-decode bug breaks the hash match. (Stub-path feature
+    * determinism for codec-less formats stays pinned in MultimodalSpec.)
+    *
+    * Scale note: one WAV per group via collect_list — the payload is
+    * bounded by the group's row count; this is the fixture/roundtrip
+    * path, not a corpus-wide pattern (real payloads arrive as binary
+    * columns, cf. [[Multimodal.extractFeatures]]).
     */
   private def q28(s: SparkSession, d: String): DataFrame = {
-    val withPayload = Multimodal.synthesizePayload(
-      Tables.documents(s, d), "text", "video")
-    Multimodal.extractFeatures(withPayload, "content", dim = 8)
+    import s.implicits._
+    val sr = 8000
+    val samples = Tables.events(s, d)
+      .filter(col("value").isNotNull && col("event_id").isNotNull)
       .select(
-        col("doc_id"),
-        size(col("features")).as("n_features"),
-        r6(element_at(col("features"), 1).cast("double")).as("f0"))
+        col("event_type"),
+        col("event_id"),
+        ((floor(col("value") * 100).cast("long") % 2000L) - 1000L)
+          .cast("int").as("v"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("event_id"), col("v")))).as("sv"))
+      .select(col("event_type"), expr("transform(sv, x -> x.v)").as("vs"))
+      .as[(String, Seq[Int])]
+    samples.map { case (et, vs) =>
+      val wav = graft.operators.MediaCodecs.encodeWav(sr, vs.map(_.toShort).toArray)
+      val audio = graft.operators.MediaCodecs.decodeWav(wav)
+        .getOrElse(sys.error(s"roundtrip decode failed for $et"))
+      val n = audio.samples.length
+      var sum = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+      var i = 0
+      while (i < n) {
+        val v = audio.samples(i).toLong
+        sum += v; sumSq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && audio.samples(i - 1) * v < 0) zc += 1
+        i += 1
+      }
+      (et, audio.sampleRate, n.toLong, audio.durationMs, sum, sumSq, peak, zc)
+    }.toDF("event_type", "sample_rate", "n_samples", "duration_ms",
+      "sum_s", "sum_sq", "peak", "zero_crossings")
   }
 
   /** LSH-bucketed approximate cosine top-k (scale path; rows-only —
@@ -229,12 +263,15 @@ object ExtQueries {
     * every group value in memory — see [[Quantiles]] scaladoc).
     */
   /** Sketch quantiles (q36's 100 TB path): Greenwald–Khanna via
-    * percentile_approx — one combinable pass, no global sort. Rows-only
-    * check (sketch values are algorithm-specific, not SQL-reproducible);
-    * QuantilesSpec pins the rank-error bound against the exact path.
+    * percentile_approx — one combinable pass, no global sort. The sketch
+    * VALUES are algorithm-specific, so the query emits the GK rank
+    * guarantee re-counted against the data (error-envelope pattern, cf.
+    * q89) — hash-checked against a DuckDB oracle of exact counts +
+    * literal TRUE; QuantilesSpec additionally pins the bound vs the
+    * exact path.
     */
   private def q64(s: SparkSession, d: String): DataFrame =
-    Quantiles.approxSketch(
+    Quantiles.approxSketchChecked(
       Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
       Seq("p50" -> 0.5, "p95" -> 0.95, "p99" -> 0.99))
 
@@ -250,8 +287,9 @@ object ExtQueries {
 
   /** Corpus-overlap estimation: per-source union MinHash signatures via
     * the typed Aggregator (map-side combinable, k longs of state per
-    * group), then pairwise source-vs-source Jaccard estimates. Custom
-    * sketch ⇒ rows-only; MinHashAggSpec pins the algebra.
+    * group), then pairwise source-vs-source Jaccard estimates, checked
+    * against the exact shingle Jaccard within the sketch's error bound
+    * (hash-checked oracle; MinHashAggSpec pins the algebra).
     */
   private def q37(s: SparkSession, d: String): DataFrame = {
     graft.functions.MinHashSig.register(s)
@@ -264,14 +302,47 @@ object ExtQueries {
       .mapValues(_._2)
       .agg(graft.functions.MinHashAgg.unionSignature(64).name("usig"))
       .toDF("source", "usig")
-    grouped.alias("a")
+    val est = grouped.alias("a")
       .join(grouped.alias("b"), col("a.source") < col("b.source"))
       .select(
         col("a.source").as("source_a"),
         col("b.source").as("source_b"),
-        r6(expr(
-          "size(filter(zip_with(a.usig, b.usig, (x, y) -> x = y), m -> m)) / 64.0"))
+        expr(
+          "size(filter(zip_with(a.usig, b.usig, (x, y) -> x = y), m -> m)) / 64.0")
           .as("est_jaccard"))
+    // Exact per-source-pair shingle Jaccard (error-envelope pattern):
+    // the sketch estimate itself is not SQL-reproducible, but its k=64
+    // error bound is checkable — the oracle recomputes the EXACT value
+    // and emits literal TRUE for the bound. ±0.25 = 4σ at k=64
+    // (σ = √(J(1−J)/64) ≤ 0.0625); deterministic given the seeded
+    // permutations, verified with margin at both driver SFs.
+    val sh = Tables.documents(s, d)
+      .select(
+        col("source"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, greatest(length(text) - 4, 1))," +
+            " i -> substring(text, i, 5)))")).as("sh"))
+      .distinct()
+    val cnt = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.alias("x")
+      .join(sh.alias("y"),
+        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("ni"))
+    est
+      .join(broadcast(cnt.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(cnt.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(
+        col("source_a"),
+        col("source_b"),
+        r6(coalesce(col("ni"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).cast("double"))
+          .as("exact_jaccard"),
+        (abs(col("est_jaccard") -
+          coalesce(col("ni"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("ni"), lit(0L))).cast("double"))
+          <= 0.25).as("within_bound"))
   }
 
   /** SimHash near-dup pairs with the Manku banding recall guarantee
@@ -384,6 +455,58 @@ object ExtQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // q21: the LSH banding is a candidate generator; every emitted pair
+    // is exact-Jaccard-verified, and banding recall over this corpus's
+    // planted near-dups is complete — so brute force IS the oracle.
+    "q21_minhash_pairs" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, greatest(length(text) - 3, 2)),
+        |    i -> substring(text, CAST(i AS INT), 5))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.50001) / 1000000
+        |  AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin,
+    "q28_multimodal_features" ->
+      """WITH s AS (SELECT event_type, event_id,
+        |    (CAST(floor(value * 100) AS BIGINT) % 2000) - 1000 AS v
+        |  FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |x AS (SELECT event_type, v,
+        |    lag(v) OVER (PARTITION BY event_type ORDER BY event_id) AS pv
+        |  FROM s)
+        |SELECT event_type, 8000 AS sample_rate, count(*) AS n_samples,
+        |  count(*) * 1000 // 8000 AS duration_ms,
+        |  CAST(sum(v) AS BIGINT) AS sum_s, CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  max(abs(v)) AS peak,
+        |  CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS zero_crossings
+        |FROM x GROUP BY event_type""".stripMargin,
+    "q37_corpus_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 3, 2)),
+        |    i -> substring(text, CAST(i AS INT), 5)))) AS sh
+        |  FROM documents),
+        |cnt AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |pr AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+        |       FROM cnt a JOIN cnt b ON a.source < b.source),
+        |iv AS (SELECT x.source AS sa, y.source AS sb, count(*) AS ni
+        |       FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+        |       GROUP BY 1, 2)
+        |SELECT pr.sa AS source_a, pr.sb AS source_b,
+        |  floor(CAST(coalesce(iv.ni, 0) AS DOUBLE)
+        |    / (pr.na + pr.nb - coalesce(iv.ni, 0)) * 1000000 + 0.50001) / 1000000
+        |    AS exact_jaccard,
+        |  TRUE AS within_bound
+        |FROM pr LEFT JOIN iv ON pr.sa = iv.sa AND pr.sb = iv.sb""".stripMargin,
+    "q64_quantiles_sketch" ->
+      """SELECT l_returnflag, count(*) AS n_vals,
+        |  TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY l_returnflag""".stripMargin,
     "q16_explode_tokens" ->
       """SELECT doc_id, token FROM (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
