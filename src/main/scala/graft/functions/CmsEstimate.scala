@@ -58,12 +58,31 @@ object CmsEstimate {
   private val lastSketch = new ThreadLocal[java.lang.ref.SoftReference[
     (Array[Byte], org.apache.spark.util.sketch.CountMinSketch)]]
 
+  /** Memo hit test ordered cheapest-first: reference equality, then
+    * length + 16-byte prefix/suffix probes (a different sketch of the
+    * same shape almost surely differs in its first counters), and only
+    * then the full Arrays.equals — so a memo MISS costs O(1), not a
+    * scan of the ~MB serialized sketch.
+    */
+  private def sameSketch(a: Array[Byte], b: Array[Byte]): Boolean = {
+    if (a eq b) return true
+    val n = a.length
+    if (n != b.length) return false
+    var i = 0
+    val probe = math.min(16, n)
+    while (i < probe) {
+      if (a(i) != b(i) || a(n - 1 - i) != b(n - 1 - i)) return false
+      i += 1
+    }
+    java.util.Arrays.equals(a, b)
+  }
+
   /** Static entry point shared by interpreted eval and generated code. */
   def estimate(bytes: Array[Byte], value: Long): Long = {
     val ref = lastSketch.get()
     val cached = if (ref == null) null else ref.get()
     val cms =
-      if (cached != null && java.util.Arrays.equals(cached._1, bytes)) cached._2
+      if (cached != null && sameSketch(cached._1, bytes)) cached._2
       else {
         val parsed = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(bytes))

@@ -42,23 +42,32 @@ object PageRank {
       .distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    // out-degree rides with each edge so an iteration needs no extra join
+    // Out-degree rides with each edge so an iteration needs no extra
+    // join; hash-partitioned on src ONCE before the checkpoint so every
+    // round's ranks-join reuses that layout (ranks leave each round
+    // partitioned by id, which alias-propagates through the src rename —
+    // the per-round join plans with zero exchanges).
     val withDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("__outd")), "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    // Every node contributes its damped base mass through the SAME
+    // aggregate that sums edge contributions (union, then one groupBy) —
+    // a round is one join + one shuffle. The earlier nodes-LEFT-JOIN-
+    // contribs formulation spent a second shuffle join per round only to
+    // re-attach nodes that received no mass.
+    val base = nodes
+      .select(col("id"), lit((1 - damping) / n).as("__c"))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
       val contribs = withDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), (col("rank") / col("__outd")).as("__c"))
+        .select(col("dst").as("id"),
+          (lit(damping) * col("rank") / col("__outd")).as("__c"))
+      val next = base.unionAll(contribs)
         .groupBy("id")
-        .agg(sum("__c").as("__c"))
-      val next = nodes
-        .join(contribs, Seq("id"), "left")
-        .select(
-          col("id"),
-          (lit((1 - damping) / n) +
-            lit(damping) * coalesce(col("__c"), lit(0.0))).as("rank"))
+        .agg(sum("__c").as("rank"))
       ranks = if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true) else next
     }
     ranks

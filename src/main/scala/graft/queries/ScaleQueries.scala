@@ -298,22 +298,59 @@ object ScaleQueries {
   }
 
   /** Sequence-gap detection (data-quality audit): ranges of missing ids
-    * in the event_id sequence via lead() over the sorted ids — one sort
-    * shuffle, output is the gap list (start, end, width).
+    * in the event_id sequence, as (start, end, width) rows.
+    *
+    * Two-level lead(), never a global sort: a plain
+    * `Window.orderBy(event_id)` plans Exchange SinglePartition — the
+    * whole table through one task, the exact failure mode this file
+    * exists to avoid. Instead ids are bucketed by range (id-div-width),
+    * lead() runs per bucket in parallel, and only the per-bucket
+    * (min, max) boundary rows — one row per ~4M ids — go through a
+    * single-partition window to catch gaps that straddle a bucket edge.
+    * At 10¹² ids that boundary frame is ~250k rows of three longs.
     */
   private def q93(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
-    Tables.events(s, d)
+    val present = Tables.events(s, d)
       // synthesized gaps (same predicate in the oracle): drop id ranges
       // ending in 13 or 14 mod 100
       .filter(col("event_id") % 100 =!= 13 && col("event_id") % 100 =!= 14)
       .select(col("event_id"))
-      .withColumn("__next", lead(col("event_id"), 1).over(w))
+    val bounds = present
+      .agg(min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+      .head()
+    val empty = present.select(
+      (col("event_id") + 1).as("gap_start"),
+      (col("event_id") + 1).as("gap_end"),
+      (col("event_id") + 1).as("gap_width")).limit(0)
+    if (bounds.isNullAt(0)) return empty
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    // ~4M ids per bucket, floor 32 buckets so small inputs still spread
+    val span = mx - mn + 1
+    val width = math.max(1L, span / math.max(32L, span / 4000000L))
+    // `div` (integral division), not `/`: float quotients of 64-bit ids
+    // can round across a bucket edge
+    val withB = present.withColumn("__b", expr(s"(event_id - $mn) div $width"))
+    val wb = Window.partitionBy(col("__b")).orderBy(col("event_id"))
+    val inner = withB
+      .withColumn("__next", lead(col("event_id"), 1).over(wb))
       .filter(col("__next") > col("event_id") + 1)
       .select(
         (col("event_id") + 1).as("gap_start"),
         (col("__next") - 1).as("gap_end"),
         (col("__next") - col("event_id") - 1).as("gap_width"))
+    // cross-bucket gaps: each bucket's max vs the NEXT non-empty
+    // bucket's min (lead over buckets handles empty buckets for free)
+    val wo = Window.orderBy(col("__b")) // one row per bucket — tiny by construction
+    val edge = withB
+      .groupBy(col("__b"))
+      .agg(max(col("event_id")).as("__bmax"), min(col("event_id")).as("__bmin"))
+      .withColumn("__nmin", lead(col("__bmin"), 1).over(wo))
+      .filter(col("__nmin") > col("__bmax") + 1)
+      .select(
+        (col("__bmax") + 1).as("gap_start"),
+        (col("__nmin") - 1).as("gap_end"),
+        (col("__nmin") - col("__bmax") - 1).as("gap_width"))
+    inner.unionAll(edge)
   }
 
   /** The blocked (IVF-cell) SemDeDup — q82's production-scale sibling:

@@ -45,7 +45,25 @@ object RobustSources {
       // corrupt column over raw files is rejected (it would re-parse),
       // so the parsed frame is cached before good/quarantine split it —
       // which is also what you want operationally: ONE parse feeds both.
+      // The cache is the CALLER's to release: unpersist() once both
+      // splits are materialized, or use [[withQuarantine]] which scopes
+      // the cache to a block.
       .cache()
+  }
+
+  /** Loan-pattern ingestion: parse once, hand the (good, quarantine)
+    * pair to `f`, and unpersist when `f` returns — repeated ingestion
+    * calls can't pin parsed corpora in executor memory for the
+    * application lifetime. `f` must MATERIALIZE what it keeps (write, or
+    * collect); frames that escape `f` lazily will silently re-parse.
+    */
+  def withQuarantine[T](
+      spark: SparkSession,
+      path: String,
+      schema: StructType)(f: (DataFrame, DataFrame) => T): T = {
+    val parsed = jsonLinesWithQuarantine(spark, path, schema)
+    try f(good(parsed), quarantine(parsed))
+    finally parsed.unpersist()
   }
 
   /** Clean rows only, corrupt column dropped. */
