@@ -72,11 +72,11 @@ case class NGramDistinctCount(child: Expression, n: Int)
   override def prettyName: String = "ngram_distinct_count"
 
   override protected def nullSafeEval(a: Any): Any =
-    NGramJaccard.shingleHashes(a.asInstanceOf[UTF8String].toString, n).length
+    NGramJaccard.distinctCount(a.asInstanceOf[UTF8String].toString, n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
-      s"graft.functions.NGramJaccard.shingleHashes($a.toString(), $n).length")
+      s"graft.functions.NGramJaccard.distinctCount($a.toString(), $n)")
 
   override protected def withNewChildInternal(newChild: Expression): NGramDistinctCount =
     copy(child = newChild)
@@ -115,6 +115,16 @@ object NGramJaccard {
     }
     java.util.Arrays.copyOf(hs, w)
   }
+
+  /** Static entry point shared by interpreted eval and generated code.
+    * MUST be public: qualified-private (`private[functions]`) members get
+    * no static forwarder on the companion class, so Janino can't resolve
+    * them — the generated projection then fails to compile and the WHOLE
+    * enclosing projection falls back to interpreted mode (this exact
+    * regression shipped once: `shingleHashes` called directly from
+    * `NGramDistinctCount.doGenCode`).
+    */
+  def distinctCount(text: String, n: Int): Int = shingleHashes(text, n).length
 
   /** Static entry point shared by interpreted eval and generated code. */
   def compute(a: String, b: String, n: Int): Double = {

@@ -19,5 +19,12 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // A projection that fails to compile must FAIL the suite, not fall
+    // back to interpreted mode: a silent fallback once cost the
+    // ngram_distinct_count hot path its codegen (missing static
+    // forwarder) and no spec noticed. CODEGEN_ONLY makes Janino errors
+    // loud in every suite that touches a native expression.
+    .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    .config("spark.sql.codegen.fallback", "false")
     .getOrCreate()
 }
