@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, EngineQueries, ExtQueries, PipelineQueries, ScaleQueries, TrainQueries}
+import graft.queries.{CoreQueries, EngineQueries, ExtQueries, PipelineQueries, ScaleQueries, StorageQueries, TrainQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ExtQueries.defs ++ PipelineQueries.defs ++
-      TrainQueries.defs ++ EngineQueries.defs ++ ScaleQueries.defs
+      TrainQueries.defs ++ EngineQueries.defs ++ ScaleQueries.defs ++
+      StorageQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtQueries.oracles ++ PipelineQueries.oracles ++
-      TrainQueries.oracles ++ EngineQueries.oracles ++ ScaleQueries.oracles
+      TrainQueries.oracles ++ EngineQueries.oracles ++ ScaleQueries.oracles ++
+      StorageQueries.oracles
 }

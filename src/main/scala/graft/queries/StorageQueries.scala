@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import graft.sinks.{BucketedTables, PartitionedParquetSink}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage-layout operators — the physical-design levers that decide
+  * whether a 100 TB job shuffles petabytes or nothing at all. Each is
+  * exposed as a bench/correctness query whose RESULT is layout-invariant
+  * (hash-matches the plain-layout DuckDB oracle) while its PLAN carries
+  * the scale behavior, asserted in `StorageQueriesSpec`:
+  *
+  *  - q96: bucketed fact-fact join — both tables written bucketed+sorted
+  *    on the join key, so the sort-merge join runs with ZERO exchanges
+  *    and ZERO sorts (bucket pairs join locally; the bench time includes
+  *    the one-off bucketed write, the cost that buys every later join).
+  *  - q97: day-partitioned layout — a 3-of-30-day filter becomes
+  *    partition PRUNING (27 days of files are never opened).
+  *  - q98: runtime bloom-filter join pruning — a selective dimension
+  *    filter is turned into a bloom probe on the fact scan, dropping
+  *    non-joining rows BEFORE the shuffle.
+  *  - q99: incremental dedup — a new batch is deduplicated against the
+  *    corpus's stored fingerprint index without ever re-shuffling the
+  *    historical corpus (semi-join against the index; at 100 TB the
+  *    index is a bucketed table and the probe co-locates).
+  */
+object StorageQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def r2(c: Column): Column = floor(c * 100 + lit(0.50001)) / 100
+
+  /** Layout roots live under java.io.tmpdir, scoped by sf dir so
+    * different scale factors never read each other's layouts.
+    */
+  private def layoutRoot(d: String): String = {
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+    s"${sys.props("java.io.tmpdir")}/graft_layout_$tag"
+  }
+
+  /** One-off layout writes, keyed by (sessionUUID, sf, layout): a JVM
+    * re-running the query (bench loops, spec + verify in one process)
+    * pays the write once — exactly like production, where the layout is
+    * written once and amortized over every query that reads it.
+    */
+  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def once(s: SparkSession, d: String, what: String)(write: => Unit): Unit = {
+    val key = s"${s.sparkContext.applicationId}|$d|$what"
+    if (!written.contains(key)) synchronized {
+      if (!written.contains(key)) { write; written.add(key) }
+    }
+  }
+
+  /** Bucketed co-located join: orders ⋈ lineitem on the order key, both
+    * sides bucketed AND sorted by that key — the catalog's bucket spec
+    * replaces both exchanges and both sorts of a plain sort-merge join.
+    * The aggregation groups on the same key, so it rides the bucket
+    * distribution too: the whole plan is exchange-free.
+    */
+  private def q96(sParent: SparkSession, d: String): DataFrame = {
+    // Child session: Spark ≥3.0 ignores bucket sortBy metadata unless
+    // the legacy flag is on (a bucket with >1 file would need a merge
+    // read). writeBucketed repartitions to exactly one file per bucket,
+    // which is precisely the regime where the flag is sound — scope it
+    // here instead of mutating the caller's session.
+    val s = sParent.newSession()
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val root = layoutRoot(d)
+    val tag = root.substring(root.lastIndexOf('_') + 1)
+    val (ot, lt) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    once(s, d, "bucketed") {
+      BucketedTables.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus"),
+        ot, "o_orderkey", 8, sortCol = Some("o_orderkey"),
+        path = Some(s"$root/$ot"))
+      BucketedTables.writeBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+        lt, "l_orderkey", 8, sortCol = Some("l_orderkey"),
+        path = Some(s"$root/$lt"))
+    }
+    BucketedTables.table(s, ot)
+      .join(
+        BucketedTables.table(s, lt).hint("merge"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("net_total"))
+  }
+
+  /** Partition-pruned scan: events written day-partitioned, then a
+    * 3-of-30-day rollup — the filter is resolved against the directory
+    * listing, not the data (27/30 of the files are never opened).
+    */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val path = s"${layoutRoot(d)}/events_by_day"
+    once(s, d, "daypart") {
+      PartitionedParquetSink.writeDayPartitioned(Tables.events(s, d), "ts", path)
+    }
+    // keep the partition column a STRING on read: inference would type
+    // `date=20240105` as INT and the output schema would depend on the
+    // layout, not the data
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    PartitionedParquetSink.readDayRange(s, path, "20240105", "20240107")
+      .groupBy(col("date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("total_value"))
+  }
+
+  /** Runtime bloom-filter join pruning, exercised at bench scale: the
+    * selective part-side filter becomes a bloom probe on the lineitem
+    * scan (visible as `might_contain` in the scan's filters), so
+    * non-joining fact rows are dropped before the join's shuffle. Runs
+    * in a child session: the injection thresholds default to 10 GB and
+    * broadcast joins bypass injection, so both knobs are scoped there
+    * rather than mutated on the caller's session.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dim = Tables.part(s2, d)
+      .filter(col("p_size") === 1)
+      .select(col("p_partkey"), col("p_type"))
+    Tables.lineitem(s2, d)
+      .select(col("l_partkey"), col("l_quantity"))
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity")).cast("long").as("total_qty"))
+  }
+
+  /** Incremental dedup: new-batch documents (doc_id ≡ 0 mod 10) checked
+    * against the historical corpus's fingerprint index and against
+    * earlier rows of the same batch. The history is touched ONLY through
+    * its (hash → min doc_id) index — one distinct-agg to build here, a
+    * stored bucketed table in production — so ingesting a 1 TB batch
+    * into a 100 TB corpus shuffles ~1 TB, not 101 TB.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), md5(col("text")).as("h"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val index = docs.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("hist_id"))
+    val wBatch = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    batch
+      .withColumn("batch_first", min(col("doc_id")).over(
+        Window.partitionBy(col("h"))))
+      .withColumn("rn", row_number().over(wBatch))
+      .join(index, Seq("h"), "left")
+      .select(
+        col("doc_id"),
+        when(col("hist_id").isNotNull, lit("dup_of_history"))
+          .when(col("rn") > 1, lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("hist_id"),
+          when(col("rn") > 1, col("batch_first"))).as("dup_of"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q96_bucketed_join" -> q96,
+    "q97_partition_prune" -> q97,
+    "q98_bloom_prune_join" -> q98,
+    "q99_incremental_dedup" -> q99)
+
+  val oracles: Map[String, String] = Map(
+    "q96_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
+        |floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) / 100
+        |  AS net_total
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q97_partition_prune" ->
+      """SELECT strftime(ts, '%Y%m%d') AS date, event_type,
+        |count(*) AS n_events,
+        |floor(sum(value) * 100 + 0.50001) / 100 AS total_value
+        |FROM events
+        |WHERE strftime(ts, '%Y%m%d') BETWEEN '20240105' AND '20240107'
+        |GROUP BY 1, 2""".stripMargin,
+    "q98_bloom_prune_join" ->
+      """SELECT p_type, count(*) AS n_lines,
+        |CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_type""".stripMargin,
+    "q99_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |batch AS (SELECT doc_id, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+        |    min(doc_id) OVER (PARTITION BY h) AS batch_first
+        |  FROM d WHERE doc_id % 10 = 0),
+        |idx AS (SELECT h, min(doc_id) AS hist_id
+        |  FROM d WHERE doc_id % 10 <> 0 GROUP BY h)
+        |SELECT b.doc_id,
+        |  CASE WHEN i.hist_id IS NOT NULL THEN 'dup_of_history'
+        |       WHEN b.rn > 1 THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS status,
+        |  coalesce(i.hist_id, CASE WHEN b.rn > 1 THEN b.batch_first END)
+        |    AS dup_of
+        |FROM batch b LEFT JOIN idx i ON b.h = i.h""".stripMargin)
+}

@@ -13,19 +13,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTables {
 
+  /** @param path when set, the table is EXTERNAL with its data at `path`
+    *              (keeps bench/test layouts out of the session's
+    *              warehouse directory); when None, it is managed.
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
       numBuckets: Int,
-      sortCol: Option[String] = None): Unit = {
-    val w = df.write
+      sortCol: Option[String] = None,
+      path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    // one file per bucket: Spark only plans bucket-sorted reads (no Sort
+    // before a sort-merge join) when each bucket holds a single file —
+    // without this repartition every input partition writes its own
+    // per-bucket file and the sortBy metadata is silently unusable
+    val byBucket = df.repartition(numBuckets, df.col(bucketCol))
+    val w = byBucket.write
       .mode("overwrite")
       .format("parquet")
       .bucketBy(numBuckets, bucketCol)
-    (sortCol match {
-      case Some(s) => w.sortBy(s)
+    val wp = path match {
+      case Some(p) => w.option("path", p)
       case None => w
+    }
+    (sortCol match {
+      case Some(s) => wp.sortBy(s)
+      case None => wp
     }).saveAsTable(table)
   }
 

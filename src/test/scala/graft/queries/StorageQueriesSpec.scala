@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The storage-layout queries' RESULTS are oracle-checked by the driver;
+  * what needs asserting here is the PLAN — the layout must actually buy
+  * what the Scaladoc claims (no exchanges, pruned partitions, a bloom
+  * probe on the fact scan), or the queries are just slow re-spellings of
+  * their oracles.
+  */
+class StorageQueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q96: bucketed join plans with ZERO exchanges and ZERO sorts") {
+    val plan = planOf("q96_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketing failed to remove exchanges:\n$plan")
+    // bucket-sorted on the join key: SMJ needs no Sort operators either
+    assert(!plan.contains("+- Sort "), s"sortBy metadata unused:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan not bucket-aware:\n$plan")
+  }
+
+  test("q96: result matches the plain (non-bucketed) join exactly") {
+    import org.apache.spark.sql.functions._
+    val bucketed = SparkEntry.queries("q96_bucketed_join")(spark, sf)
+    val plain = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus")
+      .join(
+        graft.Tables.lineitem(spark, sf)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100
+          + lit(0.50001)) / 100).as("net_total"))
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+  }
+
+  test("q97: the day filter prunes partitions at the directory level") {
+    val plan = planOf("q97_partition_prune")
+    // partition filters resolved against the listing, not the data
+    assert(plan.contains("PartitionFilters"), plan)
+    // 3 of 30 days survive: the scan's input files must be the pruned set
+    val df = SparkEntry.queries("q97_partition_prune")(spark, sf)
+    val files = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(files.nonEmpty && files.forall(_ == 3),
+      s"expected 3 surviving day-partitions, got $files")
+  }
+
+  test("q98: a bloom probe from the dimension side lands on the fact scan") {
+    val plan = planOf("q98_bloom_prune_join")
+    assert(plan.contains("might_contain"),
+      s"runtime bloom filter was not injected:\n$plan")
+  }
+
+  test("q99: planted duplicates are attributed to history, batch, or kept") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q99_incremental_dedup")(spark, sf)
+      .as[(Long, String, Option[Long])].collect()
+    assert(out.nonEmpty)
+    // every batch doc is classified, and dup targets are never in-batch
+    // rows that come later than the duplicate
+    assert(out.forall(r => Set("kept", "dup_of_history", "dup_in_batch")(r._2)))
+    out.filter(_._2 == "dup_in_batch").foreach { r =>
+      assert(r._3.exists(_ < r._1), s"batch dup $r must point to an earlier row")
+    }
+    out.filter(_._2 == "kept").foreach(r => assert(r._3.isEmpty))
+  }
+}
