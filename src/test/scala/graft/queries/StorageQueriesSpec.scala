@@ -64,6 +64,33 @@ class StorageQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"runtime bloom filter was not injected:\n$plan")
   }
 
+  test("q100: the range-sorted layout decodes a fraction of the plain layout's rows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      df.collect() // run THIS QueryExecution so its scan metrics populate
+      val plan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.sum
+    }
+    val filt = col("l_extendedprice") >= 900.0 && col("l_extendedprice") < 5000.0
+    val total = graft.Tables.lineitem(spark, sf).count()
+    // plain layout: every row group's band spans the whole price range,
+    // footer stats prune nothing, the scan decodes the full table
+    val plain = scanRows(graft.Tables.lineitem(spark, sf)
+      .select("l_extendedprice", "l_quantity").filter(filt))
+    val sorted = scanRows(SparkEntry.queries("q100_range_layout")(spark, sf))
+    assert(plain == total, s"plain layout should decode all $total rows, got $plain")
+    assert(sorted < total / 2,
+      s"range-sorted layout should skip most row groups: decoded $sorted of $total")
+  }
+
   test("q99: planted duplicates are attributed to history, batch, or kept") {
     import spark.implicits._
     val out = SparkEntry.queries("q99_incremental_dedup")(spark, sf)
