@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-side operators: the index/ranking primitives a training-data
+  * platform needs next to its curation ops (benchmark decontamination
+  * wants exact lookups; data exploration and eval-set mining want ranked
+  * full-text search; RAG corpus prep wants posting lists).
+  *
+  * Scale design: everything reduces to count tables keyed by token —
+  * vocabulary-sized, orders of magnitude smaller than the corpus — built
+  * with map-side-combinable aggregates from ONE tokenized pass, then
+  * broadcast back. No corpus-sized shuffle carries strings: the corpus
+  * pass explodes, filters to the query terms (q101) or aggregates to
+  * (token, doc) partials (q102) before anything moves.
+  */
+object RetrievalQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
+
+  /** BM25 (Robertson k1=1.2, b=0.75, Lucene idf) top-20 documents for a
+    * fixed conjunctive query. Scores are rounded BEFORE ranking and tied
+    * on doc_id — `ln` is not IEEE-pinned across engines, so ranking raw
+    * doubles could flip on ulp drift (same discipline as q42).
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "merge", "window")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(
+      col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    // per-document length and corpus stats: one combinable agg each
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true) // reused for avgdl AND the score join
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // tf restricted to the query terms BEFORE the aggregation shuffles
+    val tf = toks.filter(col("token").isInCollection(terms))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)))
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(r6(sum(col("part"))).as("bm25"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"), col("bm25"), col("rank"))
+  }
+
+  /** Inverted index: token → document frequency, total term frequency,
+    * and the `docid:tf` posting list ordered by doc id — built with ONE
+    * corpus shuffle ((doc, token) partial counts) plus one
+    * vocabulary-keyed agg; the posting string is assembled inside the
+    * aggregation (sorted struct array → transform → join), never on the
+    * driver.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+            e => concat_ws(":", e("doc_id"), e("tf"))),
+          ",").as("postings"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q101_bm25_topk" -> q101,
+    "q102_inverted_index" -> q102)
+
+  val oracles: Map[String, String] = Map(
+    "q101_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  WHERE length(token) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    floor(sum(
+        |      ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |    ) * 1000000 + 0.50001) / 1000000 AS bm25
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY 1),
+        |ranked AS (SELECT doc_id, bm25,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 20""".stripMargin,
+    "q102_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  WHERE length(token) > 0 GROUP BY 1, 2)
+        |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY token""".stripMargin)
+}

@@ -23,8 +23,11 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     "q82_semdedup_survivors", // exact SemDeDup: all-pairs cosine edges feed
                               // the components closure (recall yardstick for
                               // the IVF-blocked variant)
-    "q37_corpus_overlap"     // source-pair sketch compare: rows = #sources²,
+    "q37_corpus_overlap",    // source-pair sketch compare: rows = #sources²,
                              // independent of corpus size (group aggregates)
+    "q101_bm25_topk"         // ONE-ROW corpus stats (N, avgdl) broadcast
+                             // against the per-doc scores — a scalar
+                             // attach, not a combinatorial product
   )
 
   test("column pruning reaches the parquet scans (spot checks)") {
