@@ -85,9 +85,36 @@ object RetrievalQueries {
           ",").as("postings"))
   }
 
+  /** Per-label embedding centroids (prototype vectors — SemDeDup cluster
+    * seeds, label prototypes, k-means init). Spark-first shape: the
+    * vectors aggregate WITHOUT a dimension explode — `Summarizer.mean`
+    * is one map-side-combinable pass whose state is a single running
+    * (sum[dim], count) per group, so a 64-dim corpus shuffles one row
+    * per partition per label, not 64 rows per vector. The centroid is
+    * posexploded only at the very end (one row per label × dim) to stay
+    * hash-comparable against the SQL oracle.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    Tables.embeddings(s, d)
+      .select(
+        col("label"),
+        array_to_vector(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .as("v"))
+      .groupBy(col("label"))
+      .agg(Summarizer.mean(col("v")).as("centroid"))
+      .select(col("label"), posexplode(vector_to_array(col("centroid"))))
+      .select(
+        col("label"),
+        col("pos").as("dim"),
+        r6(col("col")).as("mean_val"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q101_bm25_topk" -> q101,
-    "q102_inverted_index" -> q102)
+    "q102_inverted_index" -> q102,
+    "q103_embed_centroids" -> q103)
 
   val oracles: Map[String, String] = Map(
     "q101_bm25_topk" ->
@@ -123,5 +150,14 @@ object RetrievalQueries {
         |  WHERE length(token) > 0 GROUP BY 1, 2)
         |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
         |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
-        |FROM tf GROUP BY token""".stripMargin)
+        |FROM tf GROUP BY token""".stripMargin,
+    "q103_embed_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(range(len(embedding))) AS dim
+        |  FROM embeddings)
+        |SELECT label, dim,
+        |  floor(avg(v) * 1000000 + 0.50001) / 1000000 AS mean_val
+        |FROM x GROUP BY 1, 2""".stripMargin)
 }

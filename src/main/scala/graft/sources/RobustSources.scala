@@ -95,4 +95,22 @@ object RobustSources {
         col("path"),
         col("length"),
         col("content"))
+
+  /** Read a parquet dataset whose files were written under EVOLVING
+    * schemas (a long-lived ingestion directory: new pipeline versions
+    * add columns, old files stay). `mergeSchema` unions all file footers
+    * into one schema; rows from files predating a column read it as
+    * NULL. Schema merge is a listing-time footer pass — off by default
+    * in Spark because it touches every footer, which is exactly the
+    * price a mixed-vintage directory has to pay ONCE per query rather
+    * than failing or silently dropping the new columns (the default
+    * picks an arbitrary file's schema).
+    *
+    * Only additive evolution is supported (parquet refuses diverging
+    * types for a shared column name) — enforce widening rewrites
+    * upstream; this reader will surface such files as a read error, not
+    * a silent cast.
+    */
+  def evolvedParquet(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
 }

@@ -67,4 +67,28 @@ class RobustSourcesSpec extends AnyFunSuite with SparkTestBase {
     val b = back.collect().map(_.toSeq.map(String.valueOf(_)).mkString("|")).sorted
     assert(a.toSeq == b.toSeq)
   }
+
+  test("evolvedParquet: mixed-vintage directory reads under the merged schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve")
+    dir.toFile.deleteOnExit()
+    // v1 files: (id, name); v2 files add a quality score
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .write.mode("append").parquet(dir.toString)
+    Seq((3L, "gamma", 0.9), (4L, "delta", 0.2)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir.toString)
+
+    val merged = RobustSources.evolvedParquet(spark, dir.toString)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id")
+      .select("id", "score").as[(Long, Option[Double])].collect()
+    assert(rows.toSeq == Seq(
+      1L -> None, 2L -> None, 3L -> Some(0.9), 4L -> Some(0.2)))
+
+    // the DEFAULT read must not silently drop the evolved column in a
+    // mixed directory... it may or may not, depending on which footer
+    // wins — which is exactly why evolvedParquet pins mergeSchema on.
+    val defaultCols = spark.read.parquet(dir.toString).columns.toSet
+    assert(defaultCols.contains("id"))
+  }
 }
