@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, EngineQueries, ExtQueries, PipelineQueries, RetrievalQueries, ScaleQueries, StorageQueries, TrainQueries}
+import graft.queries.{CoreQueries, CurationQueries, EngineQueries, ExtQueries, GraphQueries, PipelineQueries, RetrievalQueries, ScaleQueries, StorageQueries, TrainQueries, WarehouseQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ ExtQueries.defs ++ PipelineQueries.defs ++
       TrainQueries.defs ++ EngineQueries.defs ++ ScaleQueries.defs ++
-      StorageQueries.defs ++ RetrievalQueries.defs
+      StorageQueries.defs ++ RetrievalQueries.defs ++ CurationQueries.defs ++
+      GraphQueries.defs ++ WarehouseQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtQueries.oracles ++ PipelineQueries.oracles ++
       TrainQueries.oracles ++ EngineQueries.oracles ++ ScaleQueries.oracles ++
-      StorageQueries.oracles ++ RetrievalQueries.oracles
+      StorageQueries.oracles ++ RetrievalQueries.oracles ++ CurationQueries.oracles ++
+      GraphQueries.oracles ++ WarehouseQueries.oracles
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016), the way
+  * it actually scales: every iteration runs on the WORD-FREQUENCY table,
+  * not the corpus. Zipf's law makes that table vocabulary-sized — a
+  * 100 TB corpus compresses to a few million (word, freq) rows in one
+  * combinable aggregation, after which each merge iteration is one tiny
+  * pair-count aggregation plus one map over the vocab frame.
+  *
+  * The only driver-side data is ONE row per iteration (the argmax pair) —
+  * the same bounded-by-construction pattern as the IVF quantizer sample.
+  * The merge application itself is a pure Catalyst `aggregate` HOF fold:
+  * no UDF, no collect of the vocabulary.
+  *
+  * Matches the reference algorithm exactly: merges apply left-to-right,
+  * non-overlapping (after `a b → ab` in `a b b`, the remaining `b` does
+  * NOT re-pair with the new `ab`s tail within the same pass), ties on
+  * pair count break by (left, right) lexicographic order, and words carry
+  * a `</w>` end marker so prefixes and whole words stay distinct tokens.
+  */
+object Bpe {
+
+  /** Word-frequency table for a text column: one combinable agg pass. */
+  def wordFreq(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Train `numMerges` BPE merge rules over a (w, freq) vocabulary frame.
+    * Returns the merges in training order. Stops early when no pair
+    * occurs at least `minFreq` times.
+    */
+  def train(
+      vocab: DataFrame,
+      numMerges: Int,
+      minFreq: Long = 2L): Seq[(String, String)] = {
+    var syms = vocab
+      .select(
+        concat(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          array(lit("</w>"))).as("syms"),
+        col("freq").cast("long").as("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var it = 0
+    while (it < numMerges && !done) {
+      val top = pairCounts(syms)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect() // exactly one row — the argmax merge rule
+      if (top.isEmpty || top(0).getLong(2) < minFreq) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val old = syms
+        syms = syms
+          .select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
+          .localCheckpoint(true) // vocab-sized; truncates the per-iteration lineage
+        old.unpersist()
+      }
+      it += 1
+    }
+    syms.unpersist()
+    merges.toSeq
+  }
+
+  /** Frequency-weighted adjacent-pair counts over a (syms, freq) frame. */
+  private[operators] def pairCounts(syms: DataFrame): DataFrame =
+    syms
+      .filter(size(col("syms")) >= 2)
+      .select(
+        col("freq"),
+        explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One left-to-right, non-overlapping merge pass `(a, b) → ab` over a
+    * symbol array, as a Catalyst fold: state = (emitted prefix, pending
+    * symbol). A match emits the merged token and clears the pending slot,
+    * so the merged token cannot chain into the next pair within this
+    * pass — exactly the reference BPE semantics. The empty-string
+    * sentinel is safe: every symbol is a non-empty character or a prior
+    * merge of non-empty symbols.
+    */
+  private[operators] def applyMerge(syms: Column, a: String, b: String): Column = {
+    val empty = slice(syms, 1, 0) // typed empty array<string>
+    aggregate(
+      syms,
+      struct(empty.as("acc"), lit("").as("prev")),
+      (st, x) => {
+        val acc = st.getField("acc")
+        val prev = st.getField("prev")
+        when(prev === lit(a) && x === lit(b),
+          struct(concat(acc, array(lit(a + b))).as("acc"), lit("").as("prev")))
+          .otherwise(struct(
+            when(prev === lit(""), acc).otherwise(concat(acc, array(prev))).as("acc"),
+            x.as("prev")))
+      },
+      st =>
+        when(st.getField("prev") === lit(""), st.getField("acc"))
+          .otherwise(concat(st.getField("acc"), array(st.getField("prev")))))
+  }
+
+  /** Segment a text column with a trained merge list: chars + `</w>`,
+    * then every merge applied in training order. The merge rules are
+    * literals compiled into the expression tree — broadcast-by-construction.
+    */
+  def segment(corpus: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    // sequence(1, 0) would count DOWN ([1, 0]); empty text gets just the marker
+    val base = when(length(col(textCol)) === 0, array(lit("</w>")))
+      .otherwise(concat(
+        expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"),
+        array(lit("</w>"))))
+    val tokens = merges.foldLeft(base: Column) { case (c, (a, b)) => applyMerge(c, a, b) }
+    corpus.withColumn("bpe_tokens", tokens)
+  }
+}

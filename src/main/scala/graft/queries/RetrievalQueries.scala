@@ -111,10 +111,69 @@ object RetrievalQueries {
         r6(col("col")).as("mean_val"))
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    * k=60): the BM25 ranking fused with a TF-cosine ranking of the same
+    * conjunctive query. The two rankers disagree exactly where hybrid
+    * search earns its keep — BM25 rewards rare-term hits, cosine rewards
+    * concentrated ones — and RRF needs only their RANKS, so the fusion
+    * is immune to score-scale mismatch. Both lists cover precisely the
+    * docs containing ≥1 query term (a TF dot product is nonzero iff a
+    * term is shared), so the fusion join is an inner equi-join. Scores
+    * are rounded before every ranking (the q101/q42 discipline) and the
+    * RRF sum — pure rational arithmetic on small ints — is bit-stable
+    * across engines.
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "merge", "window")
+    val k1 = 1.2
+    val b = 0.75
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tfAll = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true) // reused: query-term tf, doc norms
+    val tf = tfAll.filter(col("token").isInCollection(terms))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val bm25 = tf
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1)))
+      .withColumn("part",
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(r6(sum(col("part"))).as("bm25"))
+      .withColumn("r_bm25",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val norms = tfAll.groupBy("doc_id")
+      .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
+    val cosine = tf.groupBy("doc_id").agg(sum(col("tf")).as("dot"))
+      .join(norms, "doc_id")
+      .select(
+        col("doc_id"),
+        r6(col("dot") / (col("nrm") * sqrt(lit(3.0)))).as("cos"))
+      .withColumn("r_cos",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+    bm25.join(cosine, "doc_id")
+      .withColumn("rrf",
+        r6(lit(1.0) / (lit(60) + col("r_bm25")) + lit(1.0) / (lit(60) + col("r_cos"))))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"), col("rrf"), col("rank"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q101_bm25_topk" -> q101,
     "q102_inverted_index" -> q102,
-    "q103_embed_centroids" -> q103)
+    "q103_embed_centroids" -> q103,
+    "q104_hybrid_rrf" -> q104)
 
   val oracles: Map[String, String] = Map(
     "q101_bm25_topk" ->
@@ -151,6 +210,49 @@ object RetrievalQueries {
         |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
         |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY token""".stripMargin,
+    "q104_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  WHERE length(token) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf_all AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tf AS (SELECT * FROM tf_all
+        |       WHERE token IN ('spark', 'merge', 'window')),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |bm25s AS (
+        |  SELECT tf.doc_id,
+        |    floor(sum(
+        |      ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |    ) * 1000000 + 0.50001) / 1000000 AS bm25
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY 1),
+        |bm25r AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM bm25s),
+        |norms AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS BIGINT)) AS nrm
+        |          FROM tf_all GROUP BY 1),
+        |coss AS (
+        |  SELECT t.doc_id,
+        |    floor(CAST(sum(t.tf) AS BIGINT) / (n.nrm * sqrt(3.0))
+        |      * 1000000 + 0.50001) / 1000000 AS cos
+        |  FROM tf t JOIN norms n ON t.doc_id = n.doc_id
+        |  GROUP BY t.doc_id, n.nrm),
+        |cosr AS (SELECT doc_id, row_number() OVER (
+        |    ORDER BY cos DESC, doc_id) AS r_cos FROM coss),
+        |fused AS (
+        |  SELECT b.doc_id,
+        |    floor((1.0 / (60 + b.r_bm25) + 1.0 / (60 + c.r_cos))
+        |      * 1000000 + 0.50001) / 1000000 AS rrf
+        |  FROM bm25r b JOIN cosr c ON b.doc_id = c.doc_id),
+        |ranked AS (SELECT doc_id, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT doc_id, rrf, rank FROM ranked WHERE rank <= 20""".stripMargin,
     "q103_embed_centroids" ->
       """WITH x AS (
         |  SELECT label,

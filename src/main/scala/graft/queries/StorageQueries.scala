@@ -190,12 +190,57 @@ object StorageQueries {
         r2(sum(col("l_extendedprice"))).as("total_price"))
   }
 
+  /** Bit-interleave the low 16 bits of two keys into a Morton (Z-order)
+    * value — pure codegen'd bitwise column arithmetic, no UDF. The
+    * classic parallel bit-spread: each OR-shift-mask stage doubles the
+    * gap between payload bits.
+    */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-order-clustered layout: lineitem laid out along the Morton curve
+    * of (l_partkey, l_suppkey), so each file and row group covers a
+    * narrow range in BOTH dimensions at once — the multi-column
+    * generalization of q100's single-column range clustering. A 2-D box
+    * predicate then skips most row groups on plain per-column min/max
+    * footer stats; no special reader needed, the LAYOUT carries the
+    * information. 16-bit lanes cover this dataset's key domains;
+    * production keys interleave 32-bit lanes into the same long. The
+    * spec proves the skipping (decoded-row fraction vs the plain
+    * layout); the oracle proves the result is layout-invariant.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val path = s"${layoutRoot(d)}/lineitem_zorder"
+    once(s, d, "zorder") {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .withColumn("z",
+          spread16(col("l_partkey")).bitwiseOR(shiftleft(spread16(col("l_suppkey")), 1)))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+      .filter(col("l_partkey") < 60 && col("l_suppkey") < 4)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        r2(sum(col("l_quantity"))).as("total_qty"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q96_bucketed_join" -> q96,
     "q97_partition_prune" -> q97,
     "q98_bloom_prune_join" -> q98,
     "q99_incremental_dedup" -> q99,
-    "q100_range_layout" -> q100)
+    "q100_range_layout" -> q100,
+    "q109_zorder_layout" -> q109)
 
   val oracles: Map[String, String] = Map(
     "q96_bucketed_join" ->
@@ -237,5 +282,11 @@ object StorageQueries {
         |floor(sum(l_extendedprice) * 100 + 0.50001) / 100 AS total_price
         |FROM lineitem
         |WHERE l_extendedprice >= 900.0 AND l_extendedprice < 5000.0
-        |GROUP BY l_quantity""".stripMargin)
+        |GROUP BY l_quantity""".stripMargin,
+    "q109_zorder_layout" ->
+      """SELECT l_suppkey, count(*) AS n_lines,
+        |floor(sum(l_quantity) * 100 + 0.50001) / 100 AS total_qty
+        |FROM lineitem
+        |WHERE l_partkey < 60 AND l_suppkey < 4
+        |GROUP BY l_suppkey""".stripMargin)
 }

@@ -25,9 +25,10 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
                               // the IVF-blocked variant)
     "q37_corpus_overlap",    // source-pair sketch compare: rows = #sources²,
                              // independent of corpus size (group aggregates)
-    "q101_bm25_topk"         // ONE-ROW corpus stats (N, avgdl) broadcast
+    "q101_bm25_topk",        // ONE-ROW corpus stats (N, avgdl) broadcast
                              // against the per-doc scores — a scalar
                              // attach, not a combinatorial product
+    "q104_hybrid_rrf"        // same ONE-ROW stats attach inside its BM25 leg
   )
 
   test("column pruning reaches the parquet scans (spot checks)") {

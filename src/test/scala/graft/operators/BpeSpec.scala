@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer pinned against an INDEPENDENT in-memory implementation —
+  * plain Scala maps and string ops, sharing no code with the Spark path.
+  */
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Reference BPE (Sennrich et al. 2016 pseudocode, verbatim): vocab as
+    * symbol sequences, argmax pair by (count desc, pair asc), merges
+    * applied left-to-right non-overlapping.
+    */
+  private def referenceBpe(
+      words: Map[String, Long],
+      numMerges: Int,
+      minFreq: Long): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] = words.map { case (w, f) =>
+      (w.map(_.toString).toVector :+ "</w>") -> f
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var halt = false
+    while (merges.length < numMerges && !halt) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) halt = true
+      else {
+        val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        if (cnt < minFreq) halt = true
+        else {
+          merges += pair
+          vocab = vocab.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+                out += (pair._1 + pair._2); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.result() -> f
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  private def corpusDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.toDF("text")
+  }
+
+  test("train matches the reference implementation on a hand corpus") {
+    val texts = Seq(
+      "low low low low low",
+      "lower lower newest newest newest newest newest newest",
+      "widest widest widest",
+      "low lower newest")
+    val vocab = Bpe.wordFreq(corpusDf(texts), "text")
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Bpe.train(vocab, numMerges = 10, minFreq = 2L)
+    val want = referenceBpe(words, numMerges = 10, minFreq = 2L)
+    assert(got == want, s"merge sequences diverge:\n got $got\nwant $want")
+    assert(got.nonEmpty)
+  }
+
+  test("train matches the reference on real documents (sf0.001)") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = Bpe.wordFreq(docs, "text")
+    import spark.implicits._
+    val words = vocab.as[(String, Long)].collect().toMap
+    val got = Bpe.train(vocab, numMerges = 8, minFreq = 2L)
+    val want = referenceBpe(words, numMerges = 8, minFreq = 2L)
+    assert(got == want, s"merge sequences diverge:\n got $got\nwant $want")
+    assert(got.length == 8)
+  }
+
+  test("applyMerge is left-to-right non-overlapping (the aaa case)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // "aaa</w>" under merge (a,a): [aa, a, </w>], NOT [a, aa, </w>]
+    // and never [aa, aa...] chaining into the merged token
+    val df = Seq(Seq("a", "a", "a", "</w>"), Seq("a", "a", "a", "a", "</w>"))
+      .toDF("syms")
+    val out = df.select(Bpe.applyMerge(col("syms"), "a", "a").as("m"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("aa", "a", "</w>"))
+    assert(out(1) == Seq("aa", "aa", "</w>"))
+  }
+
+  test("segment applies trained merges and reassembles to the original text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq("low lower", "newest", "")
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val out = Bpe.segment(corpusDf(texts).withColumn("w", col("text")), "w", merges)
+      .select(col("w"), col("bpe_tokens")).as[(String, Seq[String])].collect()
+    out.foreach { case (w, toks) =>
+      assert(toks.last == "</w>" || (w.isEmpty && toks == Seq("</w>")))
+      // lossless: concatenating tokens (minus the marker) restores the text
+      assert(toks.filterNot(_ == "</w>").mkString == w)
+    }
+    // the trained merges actually fire
+    val low = out.find(_._1 == "low lower").get._2
+    assert(low.contains("low") || low.contains("lo"))
+  }
+}

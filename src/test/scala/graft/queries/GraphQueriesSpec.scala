@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Triangle counting pinned against brute-force enumeration of the same
+  * co-purchase graph — adjacency sets in plain Scala, no shared code
+  * with the degree-ordered Spark pipeline.
+  */
+class GraphQueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q110: per-node counts match brute-force triangle enumeration") {
+    import spark.implicits._
+    val co = Tables.lineitem(spark, sf)
+      .selectExpr("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+      .distinct
+    val edges = co.groupBy(_._1).values.flatMap { parts =>
+      val ps = parts.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) =>
+      // common neighbors ABOVE v close a (u, v, w) triangle exactly once
+      (adj(u) & adj(v)).filter(_ > v).foreach { w =>
+        counts(u) += 1; counts(v) += 1; counts(w) += 1
+      }
+    }
+    val got = SparkEntry.queries("q110_triangle_count")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == counts.toMap, {
+      val onlyGot = got.keySet -- counts.keySet
+      val onlyWant = counts.keySet -- got.keySet
+      s"mismatch: extra=$onlyGot missing=$onlyWant " +
+        s"diff=${got.collect { case (k, v) if counts(k) != v => (k, v, counts(k)) }.take(5)}"
+    })
+    assert(got.values.sum % 3 == 0, "each triangle contributes exactly 3 node counts")
+    assert(got.nonEmpty, "fixture graph has no triangles — test is vacuous")
+  }
+}

@@ -91,6 +91,32 @@ class StorageQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"range-sorted layout should skip most row groups: decoded $sorted of $total")
   }
 
+  test("q109: the Z-order layout decodes a fraction of the plain layout under a 2-D box") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      val qe = df.queryExecution
+      df.collect()
+      val plan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case f: FileSourceScanExec => f.metrics("numOutputRows").value
+      }.sum
+    }
+    val box = col("l_partkey") < 60 && col("l_suppkey") < 4
+    val total = graft.Tables.lineitem(spark, sf).count()
+    val plain = scanRows(graft.Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey", "l_quantity").filter(box))
+    val zordered = scanRows(SparkEntry.queries("q109_zorder_layout")(spark, sf))
+    // the plain single-file layout has one all-covering row group: no skip
+    assert(plain == total, s"plain layout should decode all $total rows, got $plain")
+    assert(zordered < total / 2,
+      s"Z-order layout should skip most row groups under the box: decoded $zordered of $total")
+  }
+
   test("q99: planted duplicates are attributed to history, batch, or kept") {
     import spark.implicits._
     val out = SparkEntry.queries("q99_incremental_dedup")(spark, sf)
