@@ -20,6 +20,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // see GraftSession: the stock 128-key fallback turns collect_list/
+      // collect_set aggs into external sorts
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

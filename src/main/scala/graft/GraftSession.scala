@@ -28,6 +28,16 @@ object GraftSession {
       // input split size: 128 MB keeps scan tasks large enough to amortize
       // open costs but small enough to spread across executors
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // collect_list/collect_set/percentile aggregates run via
+      // ObjectHashAggregate, which silently degrades to SORT-based
+      // aggregation after this many distinct keys per partition. The
+      // stock default (128!) turns every adjacency/posting-list build
+      // into an external sort — measured 20-60× slower on the triangle
+      // query's adjacency aggregation. 2M entries ≈ hundreds of MB per
+      // task worst-case; size DOWN (or size executors up) where
+      // per-partition group cardinality × buffer width approaches
+      // executor memory — the fallback is the OOM guard.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .config("spark.sql.session.timeZone", "UTC")
       // custom expressions (simhash64, minhash_sig, ngram_jaccard,
       // lang_id, cosine_sim) available in SQL everywhere. BOTH forms:

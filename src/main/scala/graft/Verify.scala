@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see GraftSession: the stock 128-key fallback turns collect_list/
+      // collect_set aggs into external sorts
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

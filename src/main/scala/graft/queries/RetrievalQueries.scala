@@ -36,9 +36,12 @@ object RetrievalQueries {
       col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    // per-document length and corpus stats: one combinable agg each
+    // per-document length and corpus stats: one combinable agg each.
+    // count is map-side combinable, so this shuffle carries per-partition
+    // partials, not the token stream; no checkpoint — the doc scan is
+    // column-pruned and re-reading it twice (dl leg, tf leg) is cheaper
+    // than a materialization job at every scale.
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint(true) // reused for avgdl AND the score join
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     // tf restricted to the query terms BEFORE the aggregation shuffles
     val tf = toks.filter(col("token").isInCollection(terms))
@@ -131,11 +134,15 @@ object RetrievalQueries {
       col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .localCheckpoint(true)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // ONE corpus-scale shuffle: (doc, token) partial counts. Document
+    // length, corpus stats, norms, and the query-term tf all derive from
+    // this frame, so the token stream never shuffles twice — and with no
+    // checkpoints the whole query is one action whose three tfAll
+    // consumers share the exchange via ReuseExchange instead of paying a
+    // materialization job each.
     val tfAll = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true) // reused: query-term tf, doc norms
+    val dl = tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = tfAll.filter(col("token").isInCollection(terms))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val bm25 = tf

@@ -26,5 +26,8 @@ object SparkTestBase {
     // loud in every suite that touches a native expression.
     .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     .config("spark.sql.codegen.fallback", "false")
+    // see GraftSession: the stock 128-key fallback turns collect_list/
+    // collect_set aggs into external sorts
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
     .getOrCreate()
 }
