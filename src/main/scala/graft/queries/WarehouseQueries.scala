@@ -29,7 +29,11 @@ object WarehouseQueries {
     * pass through; brand-new users insert. Exactly the upsert a
     * dimension table takes every load cycle.
     */
-  private def q111(s: SparkSession, d: String): DataFrame = {
+  /** The SCD2 history shared by q111 (merge) and q113 (point-in-time
+    * join): per-user event_type validity intervals from pre-cutoff
+    * events.
+    */
+  private def history(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -40,11 +44,17 @@ object WarehouseQueries {
           .otherwise(0L))
       .withColumn("run_id", sum(col("chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val hist = runs
+    runs
       .groupBy(col("user_id"), col("run_id"), col("event_type"))
       .agg(min(col("ts")).as("valid_from"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(
         Window.partitionBy(col("user_id")).orderBy(col("run_id"))))
+  }
+
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val hist = history(s, d)
     val closed = hist.filter(col("valid_to").isNotNull)
       .select(col("user_id"), col("event_type"), col("valid_from"),
         col("valid_to"), lit(false).as("is_current"))
@@ -82,6 +92,59 @@ object WarehouseQueries {
     closed.unionAll(merged)
   }
 
+  /** Point-in-time (feature-store) join: every post-cutoff event is
+    * enriched with the SCD2 dimension version that was valid AT ITS
+    * TIMESTAMP — the join that makes training data leakage-free. The
+    * Spark-first plan is the as-of UNION trick, not an interval join:
+    * version rows and event rows merge into one stream, one window pass
+    * per user carries the last-seen version forward, and events read it
+    * off — a single sort shuffle keyed by user, no inequality-join blowup
+    * and no per-event history probe. Version rows order BEFORE events at
+    * an equal timestamp (sentinel event_id −1), which pins the
+    * `valid_from <= ts < valid_to` boundary semantics exactly.
+    */
+  private def q113(s: SparkSession, d: String): DataFrame = {
+    val dimSide = history(s, d).select(
+      col("user_id"), col("valid_from").as("ts"),
+      lit(-1L).as("event_id"), col("event_type").as("dim_type"))
+    val evSide = Tables.events(s, d)
+      .filter(col("ts") >= lit(cutoff).cast("timestamp"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(null).cast("string").as("dim_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    dimSide.unionAll(evSide)
+      .withColumn("type_at", last(col("dim_type"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("event_id") >= 0)
+      .select(col("user_id"), col("event_id"), col("ts"), col("type_at"))
+  }
+
+  /** Incremental aggregate maintenance (the IVM merge): a materialized
+    * per-part rollup is brought current by combining it with the signed
+    * aggregate of a CDC batch — inserts count +1, retractions (returned
+    * lines) −1 — WITHOUT rescanning the base facts. Both sides reduce to
+    * group-count-sized frames before they meet, groups whose live count
+    * reaches zero vanish, and sum's associativity is the correctness
+    * argument: merge(agg(base), agg(delta)) ≡ agg(base ∪ delta), which is
+    * exactly what the oracle recomputes.
+    */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val ivmCut = "2000-06-01"
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+    val baseAgg = li.filter(col("l_shipdate") < lit(ivmCut).cast("timestamp_ntz"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n_live"))
+    val deltaAgg = li.filter(col("l_shipdate") >= lit(ivmCut).cast("timestamp_ntz"))
+      .withColumn("sign", when(col("l_returnflag") === "R", -1L).otherwise(1L))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity") * col("sign")).as("qty"), sum(col("sign")).as("n_live"))
+    baseAgg.unionByName(deltaAgg)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("qty"), sum(col("n_live")).as("n_live"))
+      .filter(col("n_live") > 0)
+  }
+
   /** Top-3 orders by total price per priority class via the bounded
     * top-k aggregate — identical output to the window `row_number`
     * spelling (pinned in the spec and by the q112 oracle), without the
@@ -102,7 +165,9 @@ object WarehouseQueries {
 
   val defs: Map[String, Q] = Map(
     "q111_scd2_apply" -> q111,
-    "q112_topk_agg" -> q112)
+    "q112_topk_agg" -> q112,
+    "q113_pit_join" -> q113,
+    "q115_ivm_merge" -> q115)
 
   val oracles: Map[String, String] = Map(
     "q111_scd2_apply" ->
@@ -156,5 +221,46 @@ object WarehouseQueries {
         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
         |  FROM orders)
-        |WHERE rank <= 3""".stripMargin)
+        |WHERE rank <= 3""".stripMargin,
+    "q113_pit_join" ->
+      // the interval-join spelling of the same point-in-time semantics:
+      // the version valid at the event's timestamp, half-open intervals
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |runs AS (
+        |  SELECT *,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |              OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM ev WHERE ts < TIMESTAMP '2024-01-25'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |runid AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run_id
+        |  FROM runs),
+        |hist AS (
+        |  SELECT user_id, event_type, min(ts) AS valid_from,
+        |    lead(min(ts)) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to
+        |  FROM runid GROUP BY user_id, run_id, event_type)
+        |SELECT e.user_id, e.event_id, e.ts, h.event_type AS type_at
+        |FROM (SELECT user_id, event_id, ts FROM ev
+        |      WHERE ts >= TIMESTAMP '2024-01-25') e
+        |LEFT JOIN hist h ON h.user_id = e.user_id
+        |  AND e.ts >= h.valid_from
+        |  AND (h.valid_to IS NULL OR e.ts < h.valid_to)""".stripMargin,
+    "q115_ivm_merge" ->
+      // full signed recompute — equal to the incremental merge because
+      // sum is associative over the base/delta split
+      """SELECT * FROM (
+        |  SELECT l_partkey,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-06-01'
+        |               AND l_returnflag = 'R'
+        |             THEN -l_quantity ELSE l_quantity END) AS qty,
+        |    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '2000-06-01'
+        |               AND l_returnflag = 'R'
+        |             THEN -1 ELSE 1 END) AS BIGINT) AS n_live
+        |  FROM lineitem
+        |  GROUP BY l_partkey)
+        |WHERE n_live > 0""".stripMargin)
 }

@@ -95,4 +95,59 @@ class WarehouseQueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count(_._5) == byUser.size, "every user ends with one current row")
     assert(batchUsers.nonEmpty, "no batch users in fixture — test is vacuous")
   }
+
+  test("q113: point-in-time join matches a per-event linear history probe") {
+    import spark.implicits._
+    val cutoffMicros =
+      java.time.LocalDate.parse("2024-01-25").atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS tsu", "event_id")
+      .as[(Long, String, Long, Long)].collect()
+    // replay: per user, run-collapse the pre-cutoff stream into versions,
+    // then probe each post-cutoff event with valid_from <= ts < valid_to
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Option[String])]
+    ev.groupBy(_._1).foreach { case (user, rows) =>
+      val past = rows.filter(_._3 < cutoffMicros).sortBy(r => (r._3, r._4))
+      val runs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      past.foreach { r =>
+        if (runs.isEmpty || runs.last._1 != r._2) runs += ((r._2, r._3))
+      }
+      rows.filter(_._3 >= cutoffMicros).foreach { e =>
+        val at = runs.zipWithIndex.find { case ((_, from), i) =>
+          val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+          e._3 >= from && to.forall(e._3 < _)
+        }.map(_._1._1)
+        want += ((user, e._4, e._3, at))
+      }
+    }
+    val got = SparkEntry.queries("q113_pit_join")(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts)", "type_at")
+      .as[(Long, Long, Long, Option[String])].collect()
+    assert(got.sorted.toSeq == want.sortBy(t => (t._1, t._2, t._3)).toSeq)
+    assert(want.exists(_._4.nonEmpty), "no enriched events — test is vacuous")
+  }
+
+  test("q115: incremental merge equals a full signed recompute") {
+    import spark.implicits._
+    val cutMicros =
+      java.time.LocalDate.parse("2000-06-01").atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L
+    val rows = Tables.lineitem(spark, sf)
+      .selectExpr("l_partkey", "l_quantity", "l_returnflag",
+        "unix_micros(CAST(l_shipdate AS TIMESTAMP))")
+      .as[(Long, Double, String, Long)].collect()
+    val want = rows.groupBy(_._1).view.mapValues { vs =>
+      val signed = vs.map { case (_, q, rf, ship) =>
+        if (ship >= cutMicros && rf == "R") (-q, -1L) else (q, 1L)
+      }
+      (signed.map(_._1).sum, signed.map(_._2).sum)
+    }.filter(_._2._2 > 0).toMap
+    val got = SparkEntry.queries("q115_ivm_merge")(spark, sf)
+      .as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == want)
+    assert(rows.exists(r => r._4 >= cutMicros && r._3 == "R"),
+      "no retractions in fixture — test is vacuous")
+  }
 }
