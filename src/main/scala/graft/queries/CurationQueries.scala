@@ -180,13 +180,45 @@ object CurationQueries {
       .select(col("pair"), col("cnt"), col("rank"))
   }
 
+  /** Blocklist scan: which blocklisted phrases occur in each document,
+    * as substrings, matched by ONE Aho-Corasick pass over the text
+    * regardless of blocklist size (`functions.AhoMatches` — the
+    * `OR contains` spelling rescans the document per pattern and dies at
+    * real blocklist sizes). The pattern set exercises all three match
+    * shapes: multi-word phrases, a high-frequency single token, and a
+    * phrase absent from the corpus.
+    */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val blocklist = Seq("table table", "fast merge", "agg row scan", "spark", "quantum")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.AhoMatches.toCol(col("text"), blocklist).as("m"))
+      .filter(size(col("m")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("m")).as("n_matched"),
+        array_join(col("m"), ",").as("matched"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q105_span_dedup" -> q105,
     "q106_quality_audit" -> q106,
     "q107_anomaly_mad" -> q107,
-    "q108_bpe_pairs" -> q108)
+    "q108_bpe_pairs" -> q108,
+    "q116_blocklist_scan" -> q116)
 
   val oracles: Map[String, String] = Map(
+    "q116_blocklist_scan" ->
+      """WITH pats AS (
+        |  SELECT p FROM (VALUES ('table table'), ('fast merge'),
+        |    ('agg row scan'), ('spark'), ('quantum')) t(p)),
+        |m AS (
+        |  SELECT d.doc_id, pats.p
+        |  FROM documents d CROSS JOIN pats
+        |  WHERE position(pats.p IN d.text) > 0)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
+        |  string_agg(p, ',' ORDER BY p) AS matched
+        |FROM m GROUP BY doc_id""".stripMargin,
     "q105_span_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(arr) AS token,
