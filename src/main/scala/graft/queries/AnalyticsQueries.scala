@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-objective and journey analytics: the Pareto frontier (skyline)
+  * and the first-order Markov transition matrix over user event streams.
+  *
+  * Scale shapes: q117 never runs the O(N²) dominance join — the frontier
+  * of (maximize, maximize) is computable from per-x-value maxima with
+  * one running-max pass, so the quadratic test collapses to a
+  * DISTINCT-X-sized sort (the oracle keeps the NOT EXISTS spelling as
+  * the independent semantic definition). q118 is one window pass keyed
+  * by user plus a vocabulary²-bounded aggregation — the transition
+  * matrix is event-type² rows regardless of corpus size.
+  */
+object AnalyticsQueries {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
+
+  /** 2-D skyline: orders not dominated in (o_totalprice, o_orderdate),
+    * both maximized — "no other order is at least as expensive AND at
+    * least as recent, and strictly better in one". Per-date maxima
+    * first (date-count-sized), then a running max over strictly later
+    * dates decides survival; survivors re-attach every order at their
+    * (date, price) point, so ties on both axes all surface. The global
+    * window runs over DISTINCT DATES, not rows — at 100 TB that frame is
+    * calendar-sized; a fully general skyline would range-partition by x
+    * and exchange per-partition maxima, the same two-phase shape.
+    */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("negday",
+        -unix_micros(col("o_orderdate").cast("timestamp")))
+    val perDate = o.groupBy(col("negday")).agg(max(col("o_totalprice")).as("best"))
+    val later = Window.orderBy(col("negday"))
+      .rangeBetween(Window.unboundedPreceding, -1) // strictly later dates
+    val frontier = perDate
+      .withColumn("max_later", max(col("best")).over(later))
+      .filter(col("max_later").isNull || col("best") > col("max_later"))
+      .select(col("negday"), col("best"))
+    o.join(frontier,
+        o("negday") === frontier("negday") && col("o_totalprice") === col("best"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+  }
+
+  /** First-order Markov transition matrix between event types: per-user
+    * consecutive event pairs (ordered by ts, then event_id) counted and
+    * normalized into row-stochastic probabilities. Probabilities are
+    * rounded before output (the q42/q101 discipline) and the count/total
+    * division is exact small-integer arithmetic in doubles — bit-stable
+    * across engines.
+    */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("prob", r6(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(Window.partitionBy(col("from_type")))))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q117_skyline" -> q117,
+    "q118_transitions" -> q118)
+
+  val oracles: Map[String, String] = Map(
+    "q117_skyline" ->
+      // the independent semantic definition: quadratic NOT EXISTS
+      // dominance, feasible at oracle scale
+      """SELECT o_orderkey, o_totalprice, o_orderdate
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders q
+        |  WHERE q.o_totalprice >= o.o_totalprice
+        |    AND q.o_orderdate >= o.o_orderdate
+        |    AND (q.o_totalprice > o.o_totalprice
+        |         OR q.o_orderdate > o.o_orderdate))""".stripMargin,
+    "q118_transitions" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM ev),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_trans,
+        |  floor((CAST(n_trans AS DOUBLE)
+        |    / sum(n_trans) OVER (PARTITION BY from_type)) * 1000000
+        |    + 0.50001) / 1000000 AS prob
+        |FROM c""".stripMargin)
+}

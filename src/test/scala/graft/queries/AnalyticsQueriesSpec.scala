@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsQueriesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q117: window skyline equals brute-force dominance") {
+    import spark.implicits._
+    val pts = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey",  "o_totalprice",
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS day")
+      .as[(Long, Double, Long)].collect()
+    val want = pts.filter { p =>
+      !pts.exists(q =>
+        q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    }.map(_._1).toSet
+    val got = SparkEntry.queries("q117_skyline")(spark, sf)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < pts.length,
+      "degenerate frontier — test is vacuous")
+  }
+
+  test("q118: transition matrix equals an in-memory replay and is row-stochastic") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "unix_micros(ts)", "event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      ordered.zip(ordered.drop(1))
+    }.toSeq
+    val want = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = SparkEntry.queries("q118_transitions")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap == want)
+    // probabilities sum to ~1 per from_type (rounding leaves ≤ 1e-4 slack)
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      val s = rows.map(_._4).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"from=$from sums to $s")
+    }
+  }
+}
