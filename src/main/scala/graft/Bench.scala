@@ -21,8 +21,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       // see GraftSession: the stock 128-key fallback turns collect_list/
-      // collect_set aggs into external sorts
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+      // collect_set aggs into external sorts. Env-overridable for A/B
+      // measurement of the memory/GC tradeoff.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "2000000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
