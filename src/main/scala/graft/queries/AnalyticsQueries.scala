@@ -5,8 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Multi-objective and journey analytics: the Pareto frontier (skyline)
-  * and the first-order Markov transition matrix over user event streams.
+/** Multi-objective, journey, and mixture analytics: the Pareto frontier
+  * (skyline), the first-order Markov transition matrix over user event
+  * streams, and per-source distribution-drift (KL) monitoring.
   *
   * Scale shapes: q117 never runs the O(N²) dominance join — the frontier
   * of (maximize, maximize) is computable from per-x-value maxima with
@@ -68,9 +69,42 @@ object AnalyticsQueries {
         sum(col("n_trans")).over(Window.partitionBy(col("from_type")))))
   }
 
+  /** Data-mixture drift: per-source KL divergence between the source's
+    * doc-length distribution (log2 buckets) and the corpus-wide one —
+    * the monitoring query a training pipeline runs to catch a source
+    * whose composition shifted. One map-combinable shuffle builds the
+    * (source, bucket) counts; every marginal (per-source totals, per-
+    * bucket corpus counts, grand total) derives from that frame with
+    * window passes, so the corpus is scanned ONCE and nothing after the
+    * first aggregation exceeds |sources| × |buckets| rows (~40 buckets
+    * ever; KL terms only over buckets the source occupies, so p > 0 and
+    * q > 0 by construction).
+    */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val sb = Tables.documents(s, d)
+      .select(col("source"), floor(log2(col("n_chars"))).cast("long").as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_sb"))
+    val bySource = Window.partitionBy(col("source"))
+    val byBucket = Window.partitionBy(col("bucket"))
+    val all = Window.partitionBy()
+    sb
+      .withColumn("n_s", sum(col("n_sb")).over(bySource))
+      .withColumn("n_b", sum(col("n_sb")).over(byBucket))
+      .withColumn("n", sum(col("n_sb")).over(all))
+      .withColumn("term",
+        (col("n_sb") / col("n_s")) *
+          log((col("n_sb") / col("n_s")) / (col("n_b") / col("n"))))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_docs"),
+        r6(sum(col("term"))).as("kl"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q117_skyline" -> q117,
-    "q118_transitions" -> q118)
+    "q118_transitions" -> q118,
+    "q120_source_kl" -> q120)
 
   val oracles: Map[String, String] = Map(
     "q117_skyline" ->
@@ -84,6 +118,22 @@ object AnalyticsQueries {
         |    AND q.o_orderdate >= o.o_orderdate
         |    AND (q.o_totalprice > o.o_totalprice
         |         OR q.o_orderdate > o.o_orderdate))""".stripMargin,
+    "q120_source_kl" ->
+      """WITH sb AS (
+        |  SELECT source, CAST(floor(log2(n_chars)) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_sb
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (
+        |  SELECT source, bucket, n_sb,
+        |    sum(n_sb) OVER (PARTITION BY source) AS n_s,
+        |    sum(n_sb) OVER (PARTITION BY bucket) AS n_b,
+        |    sum(n_sb) OVER () AS n
+        |  FROM sb)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        |  floor(sum((CAST(n_sb AS DOUBLE)/n_s) *
+        |    ln((CAST(n_sb AS DOUBLE)/n_s) / (CAST(n_b AS DOUBLE)/n)))
+        |    * 1000000 + 0.50001) / 1000000 AS kl
+        |FROM m GROUP BY source""".stripMargin,
     "q118_transitions" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id

@@ -200,14 +200,110 @@ object CurationQueries {
         array_join(col("m"), ",").as("matched"))
   }
 
+  /** URL canonicalization + per-host collapse stats. The corpus has no
+    * URL column, so raw URLs are synthesized deterministically from
+    * (source, doc_id) with the variant shapes that plague real crawls —
+    * scheme/case/www/port/trailing-slash/tracking-param/fragment noise —
+    * and the operator under test is `UrlOps.canonicalUrl`
+    * (graft/operators/UrlOps.scala), which must collapse them. The
+    * oracle re-canonicalizes with an independent regexp spelling (no
+    * parse_url in DuckDB), so the java.net.URL-based path is
+    * cross-checked, not mirrored.
+    *
+    * Scale shape: per-row string expressions (codegen'd, map-side) +
+    * ONE aggregation shuffle keyed by host. distinct-counts are exact
+    * and per-host-bounded; host cardinality is web-scale-bounded
+    * (~10⁸), a fine hash-agg key space.
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    val id = col("doc_id")
+    val raw = concat(
+      when(id % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(id % 3 === 0, lit("www.")).otherwise(lit("")),
+      when(id % 7 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example.com"),
+      when(id % 2 === 0 && id % 11 === 0, lit(":443")).otherwise(lit("")),
+      lit("/articles/"), expr("CAST(doc_id DIV 10 AS STRING)"),
+      when(id % 5 === 0, lit("/")).otherwise(lit("")),
+      when(id % 4 === 0,
+        concat(lit("?utm_source=feed"),
+          when(id % 8 === 0,
+            concat(lit("&page="), expr("CAST((doc_id DIV 8) % 5 AS STRING)")))
+            .otherwise(lit(""))))
+        .otherwise(lit("")),
+      when(id % 6 === 0, lit("#s2")).otherwise(lit("")))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(
+        col("raw"),
+        graft.operators.UrlOps.canonicalHost(col("raw")).as("host"),
+        graft.operators.UrlOps.canonicalUrl(col("raw")).as("canon"))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw")).as("n_raw"),
+        countDistinct(col("canon")).as("n_canon"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q105_span_dedup" -> q105,
     "q106_quality_audit" -> q106,
     "q107_anomaly_mad" -> q107,
     "q108_bpe_pairs" -> q108,
-    "q116_blocklist_scan" -> q116)
+    "q116_blocklist_scan" -> q116,
+    "q119_url_canonical" -> q119)
 
   val oracles: Map[String, String] = Map(
+    "q119_url_canonical" ->
+      // independent canonicalization: regexp surgery on the raw string
+      // (DuckDB has no parse_url), same rules
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id%2=0 THEN 'https://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id%3=0 THEN 'www.' ELSE '' END) ||
+        |    (CASE WHEN doc_id%7=0 THEN upper(source) ELSE source END) ||
+        |    '.example.com' ||
+        |    (CASE WHEN doc_id%2=0 AND doc_id%11=0 THEN ':443' ELSE '' END) ||
+        |    '/articles/' || CAST(doc_id//10 AS VARCHAR) ||
+        |    (CASE WHEN doc_id%5=0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id%4=0 THEN '?utm_source=feed' ||
+        |       (CASE WHEN doc_id%8=0
+        |        THEN '&page=' || CAST((doc_id//8)%5 AS VARCHAR) ELSE '' END)
+        |     ELSE '' END) ||
+        |    (CASE WHEN doc_id%6=0 THEN '#s2' ELSE '' END) AS raw
+        |  FROM documents),
+        |parts AS (
+        |  SELECT raw,
+        |    regexp_replace(regexp_replace(raw, '#.*$', ''),
+        |      '^[a-zA-Z]+://', '') AS hier
+        |  FROM u),
+        |split AS (
+        |  SELECT raw,
+        |    regexp_extract(hier, '^[^/?]+') AS auth,
+        |    substr(hier, length(regexp_extract(hier, '^[^/?]+')) + 1) AS rest
+        |  FROM parts),
+        |canon AS (
+        |  SELECT raw,
+        |    regexp_replace(regexp_replace(lower(auth), ':[0-9]+$', ''),
+        |      '^www\.', '') AS host,
+        |    CASE WHEN regexp_replace(regexp_extract(rest, '^[^?]*'),
+        |                             '/+$', '') = ''
+        |         THEN '/'
+        |         ELSE regexp_replace(regexp_extract(rest, '^[^?]*'),
+        |                             '/+$', '') END AS path,
+        |    array_to_string(list_filter(
+        |      string_split(CASE WHEN rest LIKE '%?%'
+        |        THEN regexp_replace(rest, '^[^?]*\?', '') ELSE '' END, '&'),
+        |      p -> NOT starts_with(p, 'utm_')
+        |           AND NOT starts_with(p, 'ref=') AND p <> ''), '&') AS qs
+        |  FROM split)
+        |SELECT host,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT host || path ||
+        |    (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)) AS BIGINT)
+        |    AS n_canon
+        |FROM canon GROUP BY host""".stripMargin,
     "q116_blocklist_scan" ->
       """WITH pats AS (
         |  SELECT p FROM (VALUES ('table table'), ('fast merge'),

@@ -24,6 +24,28 @@ class AnalyticsQueriesSpec extends AnyFunSuite with SparkTestBase {
       "degenerate frontier — test is vacuous")
   }
 
+  test("q120: per-source KL equals an in-memory replay; uniform-corpus KL is zero") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "CAST(floor(log2(n_chars)) AS LONG)")
+      .as[(String, Long)].collect()
+    val n = docs.length.toDouble
+    val byBucket = docs.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val ns = rows.size.toDouble
+      val kl = rows.groupBy(_._2).values.map { b =>
+        val p = b.size / ns
+        p * math.log(p / (byBucket(b.head._2) / n))
+      }.sum
+      src -> (rows.size.toLong, math.floor(kl * 1e6 + 0.50001) / 1e6)
+    }
+    val got = SparkEntry.queries("q120_source_kl")(spark, sf)
+      .as[(String, Long, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0), "all-zero KL — test is vacuous")
+  }
+
   test("q118: transition matrix equals an in-memory replay and is row-stochastic") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
