@@ -101,10 +101,35 @@ object AnalyticsQueries {
         r6(sum(col("term"))).as("kl"))
   }
 
+  /** Per-key linear trend fitting — thousands of micro-forecasts in one
+    * pass: daily event counts per type, then OLS slope/intercept/R² per
+    * key via the built-in `regr_*` aggregates. The shape a fleet-wide
+    * metrics pipeline needs: NO per-key fit loop, no collect — both
+    * levels are map-side-combinable aggregations (the regr moments are
+    * sums), so 10⁶ keys cost the same two shuffles as 5. The daily
+    * rollup frame is keys × days — bounded and tiny relative to raw
+    * events at every scale.
+    */
+  private def q121(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("double").as("x"),
+        col("n").cast("double").as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        r6(expr("regr_slope(y, x)")).as("slope"),
+        r6(expr("regr_intercept(y, x)")).as("intercept"),
+        r6(expr("regr_r2(y, x)")).as("r2"))
+
   val defs: Map[String, Q] = Map(
     "q117_skyline" -> q117,
     "q118_transitions" -> q118,
-    "q120_source_kl" -> q120)
+    "q120_source_kl" -> q120,
+    "q121_trend_fit" -> q121)
 
   val oracles: Map[String, String] = Map(
     "q117_skyline" ->
@@ -118,6 +143,21 @@ object AnalyticsQueries {
         |    AND q.o_orderdate >= o.o_orderdate
         |    AND (q.o_totalprice > o.o_totalprice
         |         OR q.o_orderdate > o.o_orderdate))""".stripMargin,
+    "q121_trend_fit" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS DOUBLE) AS x, y
+        |  FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  floor(regr_slope(y, x) * 1000000 + 0.50001) / 1000000 AS slope,
+        |  floor(regr_intercept(y, x) * 1000000 + 0.50001) / 1000000
+        |    AS intercept,
+        |  floor(regr_r2(y, x) * 1000000 + 0.50001) / 1000000 AS r2
+        |FROM xy GROUP BY event_type""".stripMargin,
     "q120_source_kl" ->
       """WITH sb AS (
         |  SELECT source, CAST(floor(log2(n_chars)) AS BIGINT) AS bucket,

@@ -46,6 +46,32 @@ class AnalyticsQueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._2 > 0), "all-zero KL — test is vacuous")
   }
 
+  test("q121: per-key OLS matches a closed-form in-memory fit") {
+    import spark.implicits._
+    val daily = Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day")
+      .groupBy("event_type", "day").count()
+      .selectExpr("event_type",
+        "CAST(datediff(day, DATE'2024-01-01') AS DOUBLE)",
+        "CAST(count AS DOUBLE)")
+      .as[(String, Double, Double)].collect()
+    def r6(v: Double) = math.floor(v * 1e6 + 0.50001) / 1e6
+    val want = daily.groupBy(_._1).map { case (k, rows) =>
+      val n = rows.length.toDouble
+      val (mx, my) = (rows.map(_._2).sum / n, rows.map(_._3).sum / n)
+      val sxy = rows.map(r => (r._2 - mx) * (r._3 - my)).sum
+      val sxx = rows.map(r => (r._2 - mx) * (r._2 - mx)).sum
+      val syy = rows.map(r => (r._3 - my) * (r._3 - my)).sum
+      val slope = sxy / sxx
+      k -> ((rows.length.toLong, r6(slope), r6(my - slope * mx),
+        r6(sxy * sxy / (sxx * syy))))
+    }
+    val got = SparkEntry.queries("q121_trend_fit")(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(got == want)
+  }
+
   test("q118: transition matrix equals an in-memory replay and is row-stochastic") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
