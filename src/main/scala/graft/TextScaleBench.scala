@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence bench for the text/retrieval family (the companion to
+  * `CrossoverBench`'s SemDeDup artifact): the per-round bench corpus is
+  * 5,000 docs at sf0.1, far too small to show whether the one-pass BM25
+  * (q101), inverted-index build (q102), span dedup (q105), and TF-IDF
+  * (q42) designs hold as the corpus grows. This main generates a
+  * deterministic Zipf-skewed corpus at several N (docs of 40–200 words,
+  * ~1% planted occurrences of the fixed BM25 query terms so the scoring
+  * legs stay non-degenerate), writes it in the driver's testdata layout,
+  * and times the REGISTERED queries against it — the exact code paths
+  * the driver checks, not bench-only variants. Prints ONE JSON line;
+  * linear sec-vs-N (flat ms/doc) is the pass criterion, because every
+  * one of these plans is a constant number of corpus passes plus
+  * vocabulary-bounded shuffles.
+  */
+object TextScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_TEXT_NS", "5000,50000,200000")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val queries = Seq("q101_bm25_topk", "q102_inverted_index",
+      "q105_span_dedup", "q42_tfidf_top_term")
+
+    def gen(n: Int): String = {
+      val dir = s"/tmp/graft_textscale_$n"
+      // Zipf-ish vocab via cubed uniform hash; fixed BM25/TF-IDF query
+      // terms planted at ~1% so the term-restricted legs see real hits.
+      def u(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c), lit(100000L)).cast("double") / 100000.0
+      spark.range(n.toLong).select(col("id").as("doc_id"))
+        .withColumn("len", (lit(40) + pmod(xxhash64(col("doc_id")), lit(161L))).cast("int"))
+        .select(
+          col("doc_id"),
+          concat_ws(" ",
+            transform(sequence(lit(0), col("len") - 1),
+              j => {
+                val pos = col("doc_id") * 1009L + j
+                val r = u(pos)
+                when(r < 0.004, lit("spark"))
+                  .when(r < 0.008, lit("merge"))
+                  .when(r < 0.012, lit("window"))
+                  .when(r < 0.016, lit("table"))
+                  .otherwise(concat(lit("w"),
+                    floor(lit(5000.0) * pow(u(pos * 7L + 3L), 3.0))
+                      .cast("long").cast("string")))
+              })).as("text"),
+          lit("en").as("lang"),
+          concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")).as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup JIT on the smallest corpus
+    val warmDir = gen(sizes.head)
+    queries.foreach(q =>
+      SparkEntry.queries(q)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save())
+
+    val points = sizes.map { n =>
+      val dir = gen(n)
+      val times = queries.map { q =>
+        q -> time(SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save())
+      }
+      (n, times)
+    }
+    val json = points.map { case (n, ts) =>
+      val qs = ts.map { case (q, s) => f""""$q":$s%.2f""" }.mkString(",")
+      f"""{"n_docs":$n,$qs}"""
+    }.mkString("[", ",\n ", "]")
+    println(s"""{"metric":"text_scale","queries_timed":${queries.size},"points":$json}""")
+    spark.stop()
+  }
+}

@@ -397,6 +397,18 @@ object ExtQueries {
   /** TF-IDF: top-scoring term per document. Scores are rounded BEFORE
     * ranking on both sides — `ln` is not IEEE-exact across engines, so
     * ranking raw scores could flip on cross-engine ulp differences.
+    *
+    * ONE tokenize pass: document frequency comes from a count window
+    * over the (doc, token) tf frame — the same count-window-not-
+    * join-back shape as the q58 sim-join — because a `dfreq` built by
+    * re-aggregating `tf` makes `tf` a two-consumer subtree and Spark
+    * re-runs the whole explode+aggregate per consumer (checkpointing
+    * is no fix here: tf is corpus-sized, unlike q101's per-doc frame).
+    * The argmax is `min_by` — a map-side-combinable aggregate carrying
+    * one candidate per doc — not a per-doc row_number window, which
+    * would full-sort the corpus-sized frame a second time. Identical
+    * output: (score desc, token asc) = lexicographic min of
+    * (-score, token).
     */
   private def q42(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -404,21 +416,18 @@ object ExtQueries {
     val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    val tf = tokens.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    // document frequency from tf (one row per doc/token already) — not
-    // from `tokens`, which would re-scan and re-tokenize the corpus
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(dfreq, Seq("token"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("token")
+    tokens
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(w))
       .withColumn("score",
         r6(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id")
-      .orderBy(col("score").desc, col("token").asc)
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("token").as("top_term"), col("score"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(
+        struct(col("token"), col("score")),
+        struct((-col("score")).as("ns"), col("token"))).as("top"))
+      .select(col("doc_id"), col("top.token").as("top_term"),
+        col("top.score").as("score"))
   }
 
   /** Sub-document overlap via content-defined chunking (rolling hash):
