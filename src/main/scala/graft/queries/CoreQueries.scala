@@ -78,18 +78,21 @@ object CoreQueries {
 
   /** D1 keyed dedup with a DETERMINISTIC survivor (first order per
     * customer by orderkey) — `dropDuplicates`' arbitrary survivor can't be
-    * oracle-compared, so survivor choice is pinned with a window.
+    * oracle-compared, so survivor choice is pinned. `min_by`, not a
+    * row_number window: the aggregate is map-side-combinable (one
+    * candidate per customer rides the shuffle), while the window
+    * full-sorts the orders frame.
     */
-  private def q05(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+  private def q05(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("o_custkey"))
+      .agg(min_by(
+        struct(col("o_orderkey"), col("o_totalprice")),
+        col("o_orderkey")).as("f"))
       .select(
         col("o_custkey").as("custkey"),
-        col("o_orderkey").as("first_orderkey"),
-        r2(col("o_totalprice")).as("first_totalprice"))
-  }
+        col("f.o_orderkey").as("first_orderkey"),
+        r2(col("f.o_totalprice")).as("first_totalprice"))
 
   /** U1 bag union (UNION ALL semantics, like PySpark `.union`). */
   private def q06(s: SparkSession, d: String): DataFrame = {

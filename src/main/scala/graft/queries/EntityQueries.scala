@@ -54,13 +54,16 @@ object EntityQueries {
       .distinct() // a pair may share several blocking tokens
       .withColumn("dist", levenshtein(col("descr_a"), col("descr_b")))
       .filter(col("dist") <= maxDist)
+    // best match per descriptor via min_by (combinable), not a
+    // row_number window over the candidate frame
     cand
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("descr_a")).orderBy(col("dist"), col("descr_b"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("descr_a"))
+      .agg(min_by(
+        struct(col("descr_b"), col("dist")),
+        struct(col("dist"), col("descr_b"))).as("b"))
       .join(dict, col("descr_a") === col("descr"))
-      .select(col("descr_a"), col("descr_b").as("best_match"),
-        col("dist"), col("n_parts"))
+      .select(col("descr_a"), col("b.descr_b").as("best_match"),
+        col("b.dist").as("dist"), col("n_parts"))
   }
 
   /** Best fuzzy match (edit distance ≤ 10) per distinct part descriptor. */

@@ -60,12 +60,15 @@ object WarehouseQueries {
         col("valid_to"), lit(false).as("is_current"))
     val cur = hist.filter(col("valid_to").isNull)
       .select(col("user_id"), col("event_type"), col("valid_from"))
+    // latest batch event per user via max_by (combinable one-candidate
+    // aggregate), not a row_number window (full sort of the batch)
     val batch = ev.filter(col("ts") >= lit(cutoff).cast("timestamp"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("user_id"))
-          .orderBy(col("ts").desc, col("event_id").desc)))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type").as("new_type"), col("ts").as("new_ts"))
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("new_type"),
+        col("m.ts").as("new_ts"))
     val changed = col("new_type").isNotNull && col("event_type").isNotNull &&
       col("new_type") =!= col("event_type")
     val merged = cur.join(batch, Seq("user_id"), "full_outer")
