@@ -125,11 +125,53 @@ object AnalyticsQueries {
         r6(expr("regr_intercept(y, x)")).as("intercept"),
         r6(expr("regr_r2(y, x)")).as("r2"))
 
+  /** Conversion attribution (first/last touch): every view/click is
+    * attributed to the user's NEXT purchase — the path resets at each
+    * conversion, the standard multi-touch model. No range join and no
+    * per-purchase scan: one window pass assigns every event its path id
+    * (= running count of strictly-earlier purchases for that user),
+    * touches then collapse to one row per (user, path) via combinable
+    * min_by/max_by/count, and a single equi-join attaches them to the
+    * path's closing purchase. Purchases with no touches in their path
+    * drop out (inner join).
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("path_id", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(ord),
+        lit(0L)))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id"), col("path_id"))
+      .agg(
+        min_by(struct(col("event_type"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("first"),
+        max_by(struct(col("event_type"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_touches"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("path_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .join(touches, Seq("user_id", "path_id"))
+      .select(
+        col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("first.event_type").as("first_touch_type"),
+        col("first.ts").as("first_touch_ts"),
+        col("last.event_type").as("last_touch_type"),
+        col("last.ts").as("last_touch_ts"),
+        col("n_touches"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q117_skyline" -> q117,
     "q118_transitions" -> q118,
     "q120_source_kl" -> q120,
-    "q121_trend_fit" -> q121)
+    "q121_trend_fit" -> q121,
+    "q122_attribution" -> q122)
 
   val oracles: Map[String, String] = Map(
     "q117_skyline" ->
@@ -143,6 +185,36 @@ object AnalyticsQueries {
         |    AND q.o_orderdate >= o.o_orderdate
         |    AND (q.o_totalprice > o.o_totalprice
         |         OR q.o_orderdate > o.o_orderdate))""".stripMargin,
+    "q122_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS path_id
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |t AS (
+        |  -- DuckDB's min_by/max_by take no struct ordering key: encode
+        |  -- (ts, event_id) as a zero-padded sortable string instead
+        |  SELECT user_id, path_id,
+        |    min_by(event_type,
+        |      printf('%020d:%012d', epoch_us(ts), event_id))
+        |      AS first_touch_type,
+        |    min(ts) AS first_touch_ts,
+        |    max_by(event_type,
+        |      printf('%020d:%012d', epoch_us(ts), event_id))
+        |      AS last_touch_type,
+        |    max(ts) AS last_touch_ts,
+        |    CAST(count(*) AS BIGINT) AS n_touches
+        |  FROM ev WHERE event_type <> 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+        |  t.first_touch_type, t.first_touch_ts,
+        |  t.last_touch_type, t.last_touch_ts, t.n_touches
+        |FROM ev p
+        |JOIN t ON p.user_id = t.user_id AND p.path_id = t.path_id
+        |WHERE p.event_type = 'purchase'""".stripMargin,
     "q121_trend_fit" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

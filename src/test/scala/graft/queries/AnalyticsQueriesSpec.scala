@@ -72,6 +72,32 @@ class AnalyticsQueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("q122: attribution equals a per-user path replay") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .filter("event_type IN ('view','click','purchase')")
+      .selectExpr("user_id", "event_type", "unix_micros(ts)", "event_id")
+      .as[(Long, String, Long, Long)].collect()
+    val want = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._4))
+      // split into paths ending at each purchase; attribute the touches
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var touches = List.empty[(String, Long, Long)]
+      ordered.foreach {
+        case (u, "purchase", _, id) =>
+          if (touches.nonEmpty) out += ((id, touches.size.toLong))
+          touches = Nil
+        case (_, t, ts, id) => touches = touches :+ ((t, ts, id))
+      }
+      out
+    }.toMap
+    val got = SparkEntry.queries("q122_attribution")(spark, sf)
+      .selectExpr("purchase_id", "n_touches")
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    assert(want.nonEmpty, "no attributed purchases — test is vacuous")
+  }
+
   test("q118: transition matrix equals an in-memory replay and is row-stochastic") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
