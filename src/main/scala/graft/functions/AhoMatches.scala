@@ -19,13 +19,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * object (the NearestCells pattern), so matching participates in
   * whole-stage codegen via a single static call.
   */
-case class AhoMatches(child: Expression, patterns: Array[String])
+case class AhoMatches(child: Expression, patterns: Seq[String])
     extends UnaryExpression {
+  // Seq, not Array: case-class equality on an Array field is reference
+  // equality, which would make two identical aho_matches expressions
+  // never compare equal — silently defeating canonicalization, CSE and
+  // plan-cache matching. The automaton build converts internally.
 
   require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
     "aho_matches requires at least one non-empty pattern")
 
-  private val automaton: AhoAutomaton = AhoAutomaton.build(patterns)
+  private val automaton: AhoAutomaton = AhoAutomaton.build(patterns.toArray)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -52,7 +56,7 @@ case class AhoMatches(child: Expression, patterns: Array[String])
 object AhoMatches {
   def toCol(text: org.apache.spark.sql.Column, patterns: Seq[String]): org.apache.spark.sql.Column =
     graft.internal.Cols.of(
-      AhoMatches(graft.internal.Cols.expressionOf(text), patterns.toArray))
+      AhoMatches(graft.internal.Cols.expressionOf(text), patterns.toList))
 }
 
 /** Classic Aho-Corasick automaton over Java chars (UTF-16 code units —

@@ -50,6 +50,13 @@ object Bpe {
     var done = false
     var it = 0
     while (it < numMerges && !done) {
+      // tie-break order is (l, r) in Spark's UTF8String comparison =
+      // UTF-8 byte order = Unicode CODE POINT order. Note for BMP-only
+      // corpora this equals Java String order too; past the BMP the two
+      // diverge (UTF-16 code units sort surrogates low) — the spec's
+      // independent reference implementation therefore also ties on code
+      // points, and the character split itself assumes BMP input (both
+      // sides would split a surrogate pair differently).
       val top = pairCounts(syms)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1)

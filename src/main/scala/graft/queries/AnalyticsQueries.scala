@@ -82,7 +82,11 @@ object AnalyticsQueries {
     */
   private def q120(s: SparkSession, d: String): DataFrame = {
     val sb = Tables.documents(s, d)
-      .select(col("source"), floor(log2(col("n_chars"))).cast("long").as("bucket"))
+      // greatest(n_chars, 1): Spark's log2(0) is NULL but DuckDB's is
+      // -inf (whose BIGINT cast errors) — clamping on BOTH sides keeps an
+      // empty document in a well-defined bucket 0 instead of diverging
+      .select(col("source"),
+        floor(log2(greatest(col("n_chars"), lit(1)))).cast("long").as("bucket"))
       .groupBy(col("source"), col("bucket"))
       .agg(count(lit(1)).as("n_sb"))
     val bySource = Window.partitionBy(col("source"))
@@ -232,7 +236,7 @@ object AnalyticsQueries {
         |FROM xy GROUP BY event_type""".stripMargin,
     "q120_source_kl" ->
       """WITH sb AS (
-        |  SELECT source, CAST(floor(log2(n_chars)) AS BIGINT) AS bucket,
+        |  SELECT source, CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS bucket,
         |    CAST(count(*) AS BIGINT) AS n_sb
         |  FROM documents GROUP BY 1, 2),
         |m AS (

@@ -103,13 +103,20 @@ object WarehouseQueries {
     * per user carries the last-seen version forward, and events read it
     * off — a single sort shuffle keyed by user, no inequality-join blowup
     * and no per-event history probe. Version rows order BEFORE events at
-    * an equal timestamp (sentinel event_id −1), which pins the
-    * `valid_from <= ts < valid_to` boundary semantics exactly.
+    * an equal timestamp (negative sentinel event_id), which pins the
+    * `valid_from <= ts < valid_to` boundary semantics exactly. The
+    * sentinel is `Long.MinValue + run_id`, not a constant: if two SCD2
+    * runs ever share a valid_from (possible when distinct-nanos source
+    * timestamps collide after µs truncation), the later run's version
+    * row must sort LAST so `last(dim_type)` picks it — matching the
+    * oracle's half-open interval join, where the earlier run's interval
+    * is empty.
     */
   private def q113(s: SparkSession, d: String): DataFrame = {
     val dimSide = history(s, d).select(
       col("user_id"), col("valid_from").as("ts"),
-      lit(-1L).as("event_id"), col("event_type").as("dim_type"))
+      (lit(Long.MinValue) + col("run_id")).as("event_id"),
+      col("event_type").as("dim_type"))
     val evSide = Tables.events(s, d)
       .filter(col("ts") >= lit(cutoff).cast("timestamp"))
       .select(col("user_id"), col("ts"), col("event_id"),

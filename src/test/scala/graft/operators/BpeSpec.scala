@@ -8,9 +8,26 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BpeSpec extends AnyFunSuite with SparkTestBase {
 
+  /** Code-point lexicographic string order (== UTF-8 byte order), the
+    * order Spark's UTF8String comparison uses.
+    */
+  private val cpOrdering: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val xi = x.codePoints().toArray
+      val yi = y.codePoints().toArray
+      val n = math.min(xi.length, yi.length)
+      var i = 0
+      while (i < n) {
+        if (xi(i) != yi(i)) return Integer.compare(xi(i), yi(i))
+        i += 1
+      }
+      Integer.compare(xi.length, yi.length)
+    }
+  }
+
   /** Reference BPE (Sennrich et al. 2016 pseudocode, verbatim): vocab as
-    * symbol sequences, argmax pair by (count desc, pair asc), merges
-    * applied left-to-right non-overlapping.
+    * symbol sequences, argmax pair by (count desc, pair asc in code-point
+    * order), merges applied left-to-right non-overlapping.
     */
   private def referenceBpe(
       words: Map[String, Long],
@@ -31,7 +48,11 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       }
       if (counts.isEmpty) halt = true
       else {
-        val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        // ties break on (l, r) in CODE POINT order — matching Spark's
+        // UTF8String (UTF-8 byte) comparison rather than Java String's
+        // UTF-16 code-unit order, which diverges past the BMP
+        val (pair, cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, cpOrdering, cpOrdering))
         if (cnt < minFreq) halt = true
         else {
           merges += pair
