@@ -167,16 +167,18 @@ object CurationQueries {
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    words
+    val counts = words
       .select(
         col("freq"),
         explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
           .as("pair"))
       .groupBy(col("pair"))
       .agg(sum(col("freq")).as("cnt"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
-      .filter(col("rank") <= 50)
+    // top-50 via TakeOrderedAndProject, not a global row_number window —
+    // the pair vocabulary is Zipf-small but still grows with the corpus,
+    // and a single-partition sort of it is a needless scale ceiling
+    graft.operators.Ranking
+      .topK(counts, 50, Seq(col("cnt").desc, col("pair")), "rank")
       .select(col("pair"), col("cnt"), col("rank"))
   }
 

@@ -72,10 +72,12 @@ object RetrievalQueries {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(r6(sum(col("part"))).as("bm25"))
-    scored
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
-      .filter(col("rank") <= 20)
+    // top-20 via TakeOrderedAndProject (per-partition heaps), rank
+    // stamped on the 20 survivors — NOT a global row_number window,
+    // which is an Exchange SinglePartition of every scored doc and the
+    // one-task bottleneck at scale
+    graft.operators.Ranking
+      .topK(scored, 20, Seq(col("bm25").desc, col("doc_id")), "rank")
       .select(col("doc_id"), col("bm25"), col("rank"))
   }
 
@@ -159,8 +161,17 @@ object RetrievalQueries {
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = tfAll.filter(col("token").isInCollection(terms))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val bm25 = tf
-      .join(broadcast(dfreq), "token")
+    // RRF consumes the FULL rankings (a fused top-20 doc may sit at rank
+    // 5 in one list and rank 5000 in the other, and 1/(60+r) needs the
+    // exact 5000), so the ranks come from the distributed global ranking
+    // — range-partitioned, every stage parallel — never a
+    // single-partition row_number window over the corpus-fraction scored
+    // frame. Both lists rank in ONE pass: the (doc, score) frames union
+    // with a list tag ordered FIRST, so each list occupies a contiguous
+    // global-rank span and the within-list rank is the global rank minus
+    // the list's base — halving the fixed per-ranking cost (one range
+    // exchange + checkpoint instead of two).
+    val bm25 = tf.join(broadcast(dfreq), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
@@ -170,8 +181,6 @@ object RetrievalQueries {
           (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
       .agg(r6(sum(col("part"))).as("bm25"))
-      .withColumn("r_bm25",
-        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
     val norms = tfAll.groupBy("doc_id")
       .agg(sqrt(sum(col("tf") * col("tf"))).as("nrm"))
     val cosine = tf.groupBy("doc_id").agg(sum(col("tf")).as("dot"))
@@ -179,14 +188,26 @@ object RetrievalQueries {
       .select(
         col("doc_id"),
         r6(col("dot") / (col("nrm") * sqrt(lit(3.0)))).as("cos"))
-      .withColumn("r_cos",
-        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
-    bm25.join(cosine, "doc_id")
+    val ranked = graft.operators.Ranking.globalRowNumber(
+      bm25.select(col("doc_id"), lit("b").as("lst"), col("bm25").as("score"))
+        .unionAll(cosine.select(col("doc_id"), lit("c").as("lst"), col("cos").as("score"))),
+      Seq(col("lst"), col("score").desc, col("doc_id")), "gr")
+    val bases = ranked.groupBy(col("lst")).agg(min(col("gr")).as("g0"))
+    val inList = ranked.join(broadcast(bases), "lst")
+      .withColumn("r", (col("gr") - col("g0") + 1).cast("int"))
+    // re-pair each doc's two ranks by PIVOTING (conditional aggregation
+    // on doc_id) rather than self-joining two filtered slices — one
+    // map-side-combinable exchange instead of two slice subtrees plus a
+    // shuffle join, and the ranked frame is consumed exactly once
+    val fused = inList.groupBy(col("doc_id"))
+      .agg(
+        max(when(col("lst") === "b", col("score"))).as("bm25"),
+        max(when(col("lst") === "b", col("r"))).as("r_bm25"),
+        max(when(col("lst") === "c", col("r"))).as("r_cos"))
       .withColumn("rrf",
         r6(lit(1.0) / (lit(60) + col("r_bm25")) + lit(1.0) / (lit(60) + col("r_cos"))))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
-      .filter(col("rank") <= 20)
+    graft.operators.Ranking
+      .topK(fused, 20, Seq(col("rrf").desc, col("doc_id")), "rank")
       .select(col("doc_id"), col("rrf"), col("rank"))
   }
 

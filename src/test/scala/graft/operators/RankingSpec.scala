@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed ranking primitives pinned against the window
+  * spelling they replace — same values, scale-safe plan.
+  */
+class RankingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def df = {
+    import spark.implicits._
+    // deliberately skewed values + unique tiebreak; enough rows to span
+    // many range partitions
+    (1 to 5000).map(i => (i.toLong, (i * 2654435761L) % 97))
+      .toDF("id", "v")
+  }
+
+  private val order = Seq(col("v").desc, col("id"))
+
+  test("globalRowNumber matches the row_number window exactly") {
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy(order: _*)))
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val got = Ranking.globalRowNumber(df, order, "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(got.size == 5000)
+    assert(got == expected)
+  }
+
+  test("globalRowNumber plan has no single-partition exchange and no BNLJ") {
+    val p = Ranking.globalRowNumber(df, order, "rn")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("topK matches the window spelling's top slice, ranks 1..k") {
+    val expected = df.withColumn("rn",
+      row_number().over(Window.orderBy(order: _*)))
+      .filter(col("rn") <= 17)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val got = Ranking.topK(df, 17, order, "rn")
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("topK plans as TakeOrderedAndProject, no global sort exchange") {
+    val p = Ranking.topK(df, 17, order, "rn")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("topK with k larger than the frame ranks every row") {
+    val small = df.limit(3)
+    val got = Ranking.topK(small, 100, order, "rn").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+  }
+}

@@ -187,6 +187,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("retrieval/BPE top-k never single-partition: TakeOrdered, parallel ranks") {
+    // q101/q104/q108 rank corpus-derived frames; a global row_number
+    // window is a single-partition sort of a corpus-fraction — the
+    // one-task bottleneck the distributed Ranking helpers remove. The
+    // guard forbids ANY window (ranks come from TakeOrdered / the
+    // range-partitioned Ranking.globalRowNumber instead); the one
+    // remaining Exchange SinglePartition in these plans is the one-ROW
+    // global corpus-stats aggregate (partial+final, input = one partial
+    // row per partition — bounded, not data-scale)
+    for (q <- Seq("q101_bm25_topk", "q104_hybrid_rrf", "q108_bpe_pairs")) {
+      val p = simple(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+      val siblingOfPartialAgg = "Exchange SinglePartition[\\s\\S]{0,400}?partial_".r
+      val singles = "Exchange SinglePartition".r.findAllIn(p).size
+      val partials = siblingOfPartialAgg.findAllIn(p).size
+      assert(singles == partials,
+        s"$q has a non-aggregate single-partition exchange:\n$p")
+    }
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
