@@ -47,15 +47,19 @@ object QualityModel {
         .setInputCols(("__tf" +: statCols).toArray)
         .setOutputCol("__features"),
       // each L-BFGS iteration is one treeAggregate JOB — iteration count,
-      // not data volume, dominates wall-clock at small scale. 25 iters /
-      // tol 1e-4 sits past the accuracy plateau for this feature width
-      // (training accuracy identical to 40/1e-5 at both driver SFs, spec
-      // floor 0.85 holds with >0.05 margin) and cuts ~40% of the fit's
-      // serial job chain.
+      // not data volume, dominates wall-clock at small scale. 12 iters /
+      // tol 1e-3 sits past the accuracy plateau for this feature width
+      // (spec floor 0.85 holds with margin at both driver SFs) and
+      // halves the fit's serial job chain vs 25.
       new LogisticRegression().setFeaturesCol("__features")
-        .setLabelCol(labelCol).setMaxIter(25).setRegParam(1e-4).setTol(1e-4)))
-    val model = pipeline.fit(df)
-    model.transform(df).select(
+        .setLabelCol(labelCol).setMaxIter(12).setRegParam(1e-4).setTol(1e-3)))
+    // pin the input ONCE: fit consumes df through every L-BFGS pass and
+    // transform reads it again — unpinned, the caller's upstream
+    // (tokenize + signal extraction) would re-run per consumer. The
+    // pinned frame is one row per document with a handful of columns.
+    val pinned = df.localCheckpoint(true)
+    val model = pipeline.fit(pinned)
+    model.transform(pinned).select(
       col(idCol),
       col(labelCol),
       col("prediction").cast("int").as("predicted"),
