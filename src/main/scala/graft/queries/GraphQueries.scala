@@ -28,14 +28,21 @@ import org.apache.spark.sql.functions._
   * Data layout: the whole pipeline is adjacency-ARRAY shaped — two
   * shuffles build the undirected adjacency (per-order baskets, then
   * per-node neighbor sets), one more re-groups the oriented arrays; the
-  * final pass is a single codegen span (explode → broadcast attach →
-  * merge walk → explode credits → hash agg). Nothing row-expands beyond
-  * Σ basket² ≈ 2|E|. The adjacency frame is node-count-sized; its
-  * broadcast degrades gracefully to a shuffle join past broadcast range,
-  * and the O(|E|^1.5) bound — not the broadcast — is what carries to
-  * cluster scale. A pathological hub node would cap via degree-based
-  * edge sampling (Pagh & Tsourakakis 2012) before the adjacency build;
-  * basket sizes here are order line counts, naturally small.
+  * final pass streams edges out of their owner's adjacency row and
+  * attaches the dst adjacency by a SHUFFLE hash join (explode → shuffle
+  * attach → merge walk → explode credits → hash agg). Nothing
+  * broadcasts at data scale: degrees and adjacency are |V|- and
+  * |E|-sized, both unbounded, so both joins are hash-partitioned —
+  * per-executor memory never holds more than its partition of the
+  * build side. Nothing row-expands beyond Σ basket² ≈ 2|E|; the
+  * shuffled bytes of the final attach are bounded by the same
+  * O(|E|^1.5) term as the merge-walk compute (each edge row carries
+  * one sorted out-neighbor array of ≤ √(2|E|) entries). A pathological
+  * hub node would cap via degree-based edge sampling (Pagh &
+  * Tsourakakis 2012) before the adjacency build; basket sizes here are
+  * order line counts, naturally small. Scale growth is measured, not
+  * asserted: `GraphScaleBench` (GRAPHSCALE.json) fits time vs |E| for
+  * q110/q76/q50 at 1×/scaled replicas.
   */
 object GraphQueries {
   private type Q = (SparkSession, String) => DataFrame
@@ -66,26 +73,39 @@ object GraphQueries {
       .repartition(nPart, col("u"))
       .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("nbrs"))
     // orientation: keep only higher-(degree, id) neighbors. Degrees are
-    // |V| × 2 longs — broadcast — and arrive per NEIGHBOR via the
-    // exploded join below; the owner's degree is just size(nbrs).
-    val degB = broadcast(und.select(col("u").as("v"), size(col("nbrs")).as("dv")))
+    // |V| × 2 longs and arrive per NEIGHBOR via the exploded join below
+    // (the owner's degree is just size(nbrs)). No forced strategy and no
+    // explicit broadcast(): |V| grows with the data, so the PLAN must
+    // not bake in a node-scale broadcast — but a degree table that
+    // happens to fit executor memory is exactly what AQE's runtime
+    // shuffle→broadcast conversion is for, so the decision stays with
+    // the runtime statistics at every scale. The shuffled edge rows are
+    // three longs each either way.
+    val degB = und.select(col("u").as("v"), size(col("nbrs")).as("dv"))
     val adj = und
       .select(col("u"), size(col("nbrs")).as("du"), explode(col("nbrs")).as("v"))
       .join(degB, "v")
       .filter(byDegThenId(col("du"), col("u"), col("dv"), col("v")))
       .repartition(nPart, col("u"))
       .groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    val adjD = broadcast(adj.select(col("u").as("dst"), col("nbrs").as("nd")))
+    val adjD = adj.select(col("u").as("dst"), col("nbrs").as("nd"))
     // No checkpoints: everything runs as ONE action, so the und/adj
-    // subplans appearing under the degree broadcast, the dst-side
-    // broadcast, and the edge stream share their shuffle exchanges via
-    // ReuseExchange instead of paying a materialization job each (the
-    // per-job overhead dominated the checkpointed variant). The final
-    // pass is one codegen span: stream every oriented edge out of its
-    // owner's adjacency row, attach the dst adjacency, merge-walk,
-    // credit, aggregate.
+    // subplans appearing under the degree broadcast and the edge stream
+    // share their shuffle exchanges via ReuseExchange instead of paying
+    // a materialization job each (the per-job overhead dominated the
+    // checkpointed variant). The final pass: stream every oriented edge
+    // out of its owner's adjacency row (ns rides along — generated
+    // in-place, never shuffled), SHUFFLE-join the dst adjacency on dst
+    // — NOT a broadcast: the oriented adjacency is O(|E|) entries, and
+    // an edge-scale broadcast is a multi-GB per-executor copy at
+    // cluster scale. The shuffled bytes are bounded by the same
+    // O(|E|^1.5) term as the merge-walk compute (each edge row carries
+    // ns ≤ √(2|E|) entries), so the join never dominates the
+    // algorithm's own bound; the dst side reuses adj's existing hash
+    // layout, and the hash-join hint keeps the edge stream from being
+    // sort-merged.
     adj.select(col("u").as("src"), col("nbrs").as("ns"), explode(col("nbrs")).as("dst"))
-      .join(adjD, "dst")
+      .join(adjD.hint("shuffle_hash"), "dst")
       .select(explode(TriangleCredits.toCol(
         col("ns"), col("nd"), col("src"), col("dst"))).as("m"))
       .groupBy(col("m.part_id").as("part_id"))

@@ -208,6 +208,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q110 attaches adjacency by shuffle — no edge-scale broadcast in the plan") {
+    // the adjacency (|E|-sized, array payloads) may never be BAKED into
+    // the plan as a broadcast: the dst attach is pinned to a shuffled
+    // hash join. The |V|-sized degree join carries no explicit strategy
+    // — the cost model broadcasts it at fixture scale (size estimates
+    // under threshold) and shuffles it when estimates grow, which is
+    // the wanted adaptive behavior, so only the dst attach is asserted.
+    val p = simple("q110_triangle_count")
+    assert(p.contains("ShuffledHashJoin [dst"), p)
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
