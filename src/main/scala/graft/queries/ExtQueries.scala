@@ -72,7 +72,11 @@ object ExtQueries {
     Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")
       .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
 
-  /** SimHash fingerprints via the custom Catalyst expression. */
+  /** SimHash fingerprints via the custom Catalyst expression. Fully
+    * deterministic given the kernel (whitespace tokens → FNV-1a →
+    * 64 bit votes), so it IS oracle-checked: the DuckDB side recomputes
+    * FNV-1a with list lambdas over UBIGINT/HUGEINT modular arithmetic.
+    */
   private def q22(s: SparkSession, d: String): DataFrame =
     Dedup.simHashFingerprints(Tables.documents(s, d), "doc_id", "text")
 
@@ -436,7 +440,14 @@ object ExtQueries {
     * digests THEMSELVES (pairs sharing ≥ 1 digest — exact for the
     * `overlap > 0` predicate, and far cheaper than the MinHash banding
     * this replaced: no signature pass, no probabilistic recall gap).
-    * Custom chunking ⇒ rows-only; RollingChunksSpec pins the semantics.
+    * Deterministic given the chunking kernel ⇒ oracle-checked: the
+    * DuckDB side replays the chunker per document with list lambdas —
+    * boundary candidates via the windowed character sum (base 257 ≡ 1
+    * mod 64, so the rolling hash's low 6 bits reduce to the window's
+    * char-code sum), the greedy min-length acceptance via list_reduce,
+    * and chunk digests via the same modular FNV-1a as the q22 oracle.
+    * RollingChunksSpec still pins the kernel itself (incl. non-ASCII
+    * and shift-robustness cases the fixture can't cover).
     */
   private def q43(s: SparkSession, d: String): DataFrame = {
     graft.functions.RollingChunks.register(s)
@@ -673,6 +684,91 @@ object ExtQueries {
         |CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
         |CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
         |CAST(octet_length(encode(text)) AS BIGINT) * 10 AS duration_ms
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // independent SimHash replay: whitespace tokens, per-token FNV-1a
+    // (64-bit wraparound emulated with UBIGINT state and a HUGEINT
+    // multiply mod 2^64), +1/-1 votes per bit, sign → bit, then the
+    // unsigned→two's-complement fold to match Spark's LongType
+    "q22_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok AS tok
+        |  FROM documents, unnest(string_split_regex(text, '\s+')) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |        [CAST(ascii(c) AS UBIGINT) FOR c IN string_split(tok, '')]),
+        |      (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+        |                     % 18446744073709551616 AS UBIGINT)) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.b AS b,
+        |    sum(CASE WHEN (h >> CAST(r.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hh, range(64) r(b)
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+        |             ELSE 0 END) AS u
+        |  FROM bits GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN coalesce(f.u, 0) >= 9223372036854775808
+        |            THEN coalesce(f.u, 0) - 18446744073709551616
+        |            ELSE coalesce(f.u, 0) END AS BIGINT) AS simhash
+        |FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id""".stripMargin,
+    // independent content-defined-chunking replay. Boundary candidates:
+    // the rolling hash uses base 257 and cut condition `hash % 64 == 0`;
+    // 257 ≡ 1 (mod 64), so hash mod 64 equals the 16-char window's
+    // character-code sum mod 64 — a provable reduction, used here so
+    // the oracle needs no per-position modular polynomial. The greedy
+    // min-chunk-length (window = 16 ⇒ next cut ≥ last + 17) acceptance
+    // is a list_reduce; the final position always closes the last
+    // chunk; digests are the same modular FNV-1a as q22's oracle; the
+    // pair overlap is Jaccard over distinct digest sets.
+    "q43_chunk_overlap" ->
+      """WITH codes AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    [ascii(c) FOR c IN string_split(text, '')] AS cs
+        |  FROM documents),
+        |cand AS (
+        |  SELECT doc_id, n, cs,
+        |    list_filter(range(16, n),
+        |      i -> list_sum(list_slice(cs, i - 14, i + 1)) % 64 = 0) AS cnd
+        |  FROM codes),
+        |acc AS (
+        |  SELECT doc_id, n, cs,
+        |    CASE WHEN len(cnd) = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE list_reduce([[c] FOR c IN cnd],
+        |           (a, x) -> CASE WHEN x[1] >= a[-1] + 17
+        |                          THEN list_concat(a, x) ELSE a END)
+        |    END AS acpt
+        |  FROM cand),
+        |ends AS (
+        |  SELECT doc_id, cs,
+        |    CASE WHEN len(acpt) > 0 AND acpt[-1] = n - 1 THEN acpt
+        |         ELSE list_append(acpt, n - 1) END AS es
+        |  FROM acc),
+        |digs AS (
+        |  SELECT doc_id,
+        |    list_distinct([
+        |      CAST(CASE WHEN h >= 9223372036854775808
+        |                THEN h - 18446744073709551616 ELSE h END AS BIGINT)
+        |      FOR h IN [
+        |        CAST(list_reduce(
+        |          list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |            [CAST(x AS UBIGINT) FOR x IN list_slice(cs,
+        |              CASE WHEN idx = 1 THEN 1 ELSE es[idx - 1] + 2 END,
+        |              es[idx] + 1)]),
+        |          (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+        |                         % 18446744073709551616 AS UBIGINT)) AS HUGEINT)
+        |        FOR idx IN range(1, len(es) + 1)]]) AS ds
+        |  FROM ends)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  floor(CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)
+        |    / greatest(len(list_distinct(list_concat(a.ds, b.ds))), 1)
+        |    * 1000000 + 0.50001) / 1000000 AS chunk_overlap
+        |FROM digs a JOIN digs b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ds, b.ds)) > 0""".stripMargin
   )
 }
