@@ -32,12 +32,21 @@ final case class CandyConfig(
     datasetNumber: String,
     customersTable: String,
     productsTable: String,
-    reloadInventoryDaily: Boolean) {
+    reloadInventoryDaily: Boolean,
+    mongoEnabled: Boolean) {
 
   /** Dimensions come from a live JDBC database when a URL is configured;
     * otherwise from the `dataDir` CSV fixtures.
     */
   def jdbcDims: Boolean = mysqlUrl.nonEmpty
+
+  /** Day-partitioned transactions come from live MongoDB when opted in
+    * (`MONGO_ENABLED=true`); JSON fixtures otherwise. An explicit flag,
+    * not `mongoUri.nonEmpty`, because the reference defaults the URI to
+    * localhost (reference .env.example:2) — a nonempty URI does not mean
+    * a reachable server.
+    */
+  def mongoTransactions: Boolean = mongoEnabled
 }
 
 object CandyConfig {
@@ -69,6 +78,7 @@ object CandyConfig {
       customersTable = get("CUSTOMERS_TABLE", "customers"),
       productsTable = get("PRODUCTS_TABLE", "products"),
       reloadInventoryDaily =
-        get("RELOAD_INVENTORY_DAILY", "false").toLowerCase == "true")
+        get("RELOAD_INVENTORY_DAILY", "false").toLowerCase == "true",
+      mongoEnabled = get("MONGO_ENABLED", "false").toLowerCase == "true")
   }
 }

@@ -41,9 +41,14 @@ class CandyPipeline(
 
   /** Run all stages and write the five CSV reports. */
   def run(): Result = {
-    val transactions = CandySources
-      .transactions(spark, dataDir, start, endInclusive)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val transactions = (dimConfig match {
+      // live MongoDB when the config opts in (MONGO_ENABLED); the
+      // file-backed path otherwise — same selection shape as dimensions
+      case Some(cfg) if cfg.mongoTransactions =>
+        CandySources.transactions(spark, cfg)
+      case _ =>
+        CandySources.transactions(spark, dataDir, start, endInclusive)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     // dimensions go through live JDBC when the config carries a URL
     // (reference data_processor.py:87-101), CSV fixtures otherwise
     val products = dimConfig match {

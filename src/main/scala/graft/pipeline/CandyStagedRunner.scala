@@ -52,7 +52,7 @@ class CandyStagedRunner(spark: SparkSession, cfg: CandyConfig) {
     */
   def processDailyTransactions(cfg: CandyConfig): TransactionsOut = {
     val transactions = CandySources
-      .transactions(spark, cfg.dataDir, cfg.startDate, cfg.endDate)
+      .transactions(spark, cfg) // mongo when MONGO_ENABLED, fixtures otherwise
       .persist(StorageLevel.MEMORY_AND_DISK)
     val products =
       if (cfg.jdbcDims) CandySources.products(spark, cfg)

@@ -59,6 +59,58 @@ object CandySources {
       .map(transactionsDay(spark, dataDir, _))
       .reduce(_ union _)
 
+  /** Options for the day-collection MongoDB read, factored out so the
+    * composition is testable without a server: URI, database (with the
+    * reference's comment-stripping quirk — `MONGO_DB` values like
+    * `candy_store # prod` keep working, reference data_processor.py:110),
+    * and the per-day collection name `<prefix><yyyyMMdd>`
+    * (data_processor.py:105).
+    */
+  def mongoReadOptions(
+      cfg: graft.pipeline.CandyConfig,
+      day: LocalDate): Map[String, String] = Map(
+    "connection.uri" -> cfg.mongoUri,
+    "database" -> cfg.mongoDb.split("#")(0).trim,
+    "collection" -> s"${cfg.mongoCollectionPrefix}${day.format(dayFmt)}")
+
+  /** One day's transactions over the MongoDB Spark connector — the
+    * production S1 path (reference data_processor.py:103-120, which uses
+    * the v9 `format("mongo")` + single-URI spelling; this is the current
+    * v10 `format("mongodb")` surface with the same semantics). Schema is
+    * declared, not inferred — no sampling pass against the server.
+    *
+    * Config-selected via `MONGO_ENABLED=true`; compile-checked but not
+    * exercisable in this sandbox (no server and no connector jar — the
+    * connector is a `--jars`/`--packages` deployment concern, like the
+    * reference's `MYSQL_CONNECTOR_PATH`). `tx_seq` here numbers rows in
+    * ARRIVAL order, which a Mongo cursor does not guarantee across
+    * partitions; at production scale the processing order must be a real
+    * field (see [[transactionsDay]]'s scale note), so the decoration is
+    * kept only for API parity with the fixture path.
+    */
+  def transactionsDayMongo(
+      spark: SparkSession,
+      cfg: graft.pipeline.CandyConfig,
+      day: LocalDate): DataFrame =
+    spark.read.format("mongodb")
+      .options(mongoReadOptions(cfg, day))
+      .schema(CandyModel.transactionSchema)
+      .load()
+      .withColumn("tx_seq", monotonically_increasing_id())
+      .withColumn("day_idx", lit(day.toEpochDay))
+
+  /** All days via the configured transaction source: live MongoDB when
+    * `cfg.mongoTransactions`, JSON fixtures otherwise.
+    */
+  def transactions(
+      spark: SparkSession,
+      cfg: graft.pipeline.CandyConfig): DataFrame =
+    dateRange(cfg.startDate, cfg.endDate)
+      .map(day =>
+        if (cfg.mongoTransactions) transactionsDayMongo(spark, cfg, day)
+        else transactionsDay(spark, cfg.dataDir, day))
+      .reduce(_ union _)
+
   /** products dimension from CSV fixture (prod: JDBC). */
   def products(spark: SparkSession, dataDir: String): DataFrame =
     spark.read

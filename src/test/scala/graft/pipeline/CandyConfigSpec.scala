@@ -34,7 +34,8 @@ class CandyConfigSpec extends AnyFunSuite {
     // engine-side extensions of the same surface
     "CANDY_DATA_DIR" -> "/data/in",
     "MYSQL_DRIVER" -> "org.apache.derby.jdbc.EmbeddedDriver",
-    "RELOAD_INVENTORY_DAILY" -> "TRUE")
+    "RELOAD_INVENTORY_DAILY" -> "TRUE",
+    "MONGO_ENABLED" -> "true")
 
   test("every reference .env.example variable round-trips") {
     val c = CandyConfig.fromEnv(fullEnv)
@@ -56,6 +57,7 @@ class CandyConfigSpec extends AnyFunSuite {
     assert(c.mysqlDriver == "org.apache.derby.jdbc.EmbeddedDriver")
     assert(c.reloadInventoryDaily)
     assert(c.jdbcDims)
+    assert(c.mongoTransactions)
   }
 
   test("defaults mirror the reference when the environment is empty") {
@@ -67,6 +69,20 @@ class CandyConfigSpec extends AnyFunSuite {
     assert(c.outputPath == "data/output")
     assert(!c.reloadInventoryDaily)
     assert(!c.jdbcDims)
+    // a nonempty default URI must NOT imply a live server: the mongo
+    // source is an explicit opt-in
+    assert(c.mongoUri.nonEmpty && !c.mongoTransactions)
+  }
+
+  test("mongo read options compose uri/db/collection like the reference") {
+    val c = CandyConfig.fromEnv(fullEnv ++ Map(
+      "MONGO_DB" -> "candy_store_5 # production", // comment-stripping quirk
+      "MONGO_COLLECTION_PREFIX" -> "tx_"))
+    val opts = graft.sources.CandySources
+      .mongoReadOptions(c, LocalDate.of(2024, 2, 4))
+    assert(opts("connection.uri") == "mongodb://mongo.example:27017")
+    assert(opts("database") == "candy_store_5")
+    assert(opts("collection") == "tx_20240204")
   }
 
   test("empty-string env values fall back to defaults (reference get-or-default)") {
