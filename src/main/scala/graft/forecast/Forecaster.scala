@@ -53,6 +53,151 @@ object Forecaster {
     }
   }
 
+  /** Prophet-structure additive fit: piecewise-linear trend with
+    * changepoints plus Fourier weekly (and, when the span supports it,
+    * yearly) seasonality — the full model family of the reference's
+    * Prophet call (time_series.py:7-67), estimated deterministically.
+    *
+    * Model (Taylor & Letham 2017, §3):
+    *   y(t) = g(t) + s(t),
+    *   g(t) = k·t + m + Σ_j δ_j·max(0, t − s_j)        (trend, changepoints s_j)
+    *   s(t) = Σ_k a_k sin(2πkt/P) + b_k cos(2πkt/P)    (per seasonal period P)
+    * Prophet fits this by MAP with a Laplace prior on δ via Stan; here the
+    * same design matrix is solved in closed form with a ridge penalty on
+    * the changepoint slopes (the L2 analogue of Prophet's sparsity prior),
+    * which keeps the fit exactly reproducible across platforms. The time
+    * axis is calendar days since the first observation, so gapped series
+    * (business days) phase the Fourier terms correctly, as Prophet does.
+    *
+    * Defaults mirror Prophet's: changepoints uniform over the first 80% of
+    * the history (≤25), weekly order 3, yearly order 6 enabled only when
+    * the span covers ≥ two periods.
+    */
+  final case class SeasonalFitted(
+      beta: Array[Double],
+      changepoints: Array[Double], // in day-offset units
+      weeklyOrder: Int,
+      yearlyOrder: Int,
+      dates: Array[LocalDate],
+      values: Array[Double]) {
+
+    import java.time.temporal.ChronoUnit.DAYS
+
+    private[forecast] def features(t: Double): Array[Double] = {
+      val out = Array.newBuilder[Double]
+      out += 1.0
+      out += t
+      changepoints.foreach(s => out += math.max(0.0, t - s))
+      for (k <- 1 to weeklyOrder) {
+        val w = 2.0 * math.Pi * k * t / 7.0
+        out += math.sin(w); out += math.cos(w)
+      }
+      for (k <- 1 to yearlyOrder) {
+        val w = 2.0 * math.Pi * k * t / 365.25
+        out += math.sin(w); out += math.cos(w)
+      }
+      out.result()
+    }
+
+    private def predictAt(t: Double): Double = {
+      val x = features(t)
+      var acc = 0.0
+      var i = 0
+      while (i < x.length) { acc += x(i) * beta(i); i += 1 }
+      acc
+    }
+
+    /** Forecast `horizon` calendar days past the last training date. */
+    def predict(horizon: Int): Seq[(LocalDate, Double)] = {
+      val t0 = dates.head
+      (1 to horizon).map { i =>
+        val d = dates.last.plusDays(i.toLong)
+        d -> predictAt(DAYS.between(t0, d).toDouble)
+      }
+    }
+
+    /** In-sample MAE/MSE, same contract as [[Fitted.metrics]]. */
+    def metrics: Metrics = {
+      val t0 = dates.head
+      val errs = dates.zip(values).map { case (d, y) =>
+        y - predictAt(DAYS.between(t0, d).toDouble)
+      }
+      Metrics(
+        mae = errs.map(math.abs).sum / errs.length,
+        mse = errs.map(e => e * e).sum / errs.length)
+    }
+  }
+
+  def fitSeasonal(
+      series: Seq[(LocalDate, Double)],
+      maxChangepoints: Int = 25,
+      weeklyOrder: Int = 3,
+      yearlyOrder: Int = 6): SeasonalFitted = {
+    require(series.nonEmpty, "cannot fit an empty series")
+    import java.time.temporal.ChronoUnit.DAYS
+    val sorted = series.sortBy(_._1)
+    val dates = sorted.map(_._1).toArray
+    val values = sorted.map(_._2).toArray
+    val n = values.length
+    val t0 = dates.head
+    val t = dates.map(d => DAYS.between(t0, d).toDouble)
+    val span = t.last
+
+    // Prophet defaults: changepoints uniform over the first 80% of history;
+    // a seasonal component needs ≥ 2 full periods of span to identify.
+    val nCp = math.min(maxChangepoints, math.max(0, n / 4))
+    val cps = Array.tabulate(nCp)(j => span * 0.8 * (j + 1) / (nCp + 1))
+    val wOrd = if (span >= 14.0 && n >= 14) weeklyOrder else 0
+    val yOrd = if (span >= 730.5) yearlyOrder else 0
+
+    val fitted = SeasonalFitted(Array.empty, cps, wOrd, yOrd, dates, values)
+    val x = t.map(fitted.features)
+    val p = x.head.length
+
+    // Normal equations with a tiny ridge on everything but intercept/slope
+    // (identifiability for the near-collinear relu columns); λ scales with
+    // the trace so it is unit-free.
+    val g = Array.ofDim[Double](p, p + 1)
+    for (row <- x.indices; i <- 0 until p) {
+      val xi = x(row)(i)
+      var j = 0
+      while (j < p) { g(i)(j) += xi * x(row)(j); j += 1 }
+      g(i)(p) += xi * values(row)
+    }
+    var trace = 0.0
+    for (i <- 0 until p) trace += g(i)(i)
+    val lambda = 1e-8 * trace / p
+    for (i <- 2 until p) g(i)(i) += lambda
+
+    fitted.copy(beta = solve(g, p))
+  }
+
+  /** Gaussian elimination with partial pivoting on the p×(p+1) augmented
+    * system — deterministic, p ≤ 1+1+25+2·(3+6) = 45 here. Singular pivots
+    * (fully degenerate designs, e.g. n=1) zero their coefficient.
+    */
+  private def solve(g: Array[Array[Double]], p: Int): Array[Double] = {
+    for (col <- 0 until p) {
+      var piv = col
+      for (r <- col + 1 until p)
+        if (math.abs(g(r)(col)) > math.abs(g(piv)(col))) piv = r
+      val tmp = g(col); g(col) = g(piv); g(piv) = tmp
+      val d = g(col)(col)
+      if (math.abs(d) > 1e-12) {
+        for (r <- 0 until p if r != col) {
+          val f = g(r)(col) / d
+          if (f != 0.0) {
+            var j = col
+            while (j <= p) { g(r)(j) -= f * g(col)(j); j += 1 }
+          }
+        }
+      }
+    }
+    Array.tabulate(p) { i =>
+      if (math.abs(g(i)(i)) > 1e-12) g(i)(p) / g(i)(i) else 0.0
+    }
+  }
+
   /** Fit trend + weekly seasonality on (date, value) pairs, ordered by date. */
   def fit(series: Seq[(LocalDate, Double)]): Fitted = {
     require(series.nonEmpty, "cannot fit an empty series")

@@ -105,8 +105,10 @@ class CandyPipeline(
           r.getDecimal(1).doubleValue(),
           r.getDecimal(2).doubleValue())
       }
-      val sales = Forecaster.fit(series.map(x => (x._1, x._2)).toSeq)
-      val profit = Forecaster.fit(series.map(x => (x._1, x._3)).toSeq)
+      // full Prophet model family (piecewise trend + Fourier seasonality),
+      // deterministic closed-form fit — see Forecaster.fitSeasonal
+      val sales = Forecaster.fitSeasonal(series.map(x => (x._1, x._2)).toSeq)
+      val profit = Forecaster.fitSeasonal(series.map(x => (x._1, x._3)).toSeq)
       // in-sample fit metrics, printed like the reference does
       // (reference time_series.py:45-67 — reported, never saved)
       val (sm, pm) = (sales.metrics, profit.metrics)
