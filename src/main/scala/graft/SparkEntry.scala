@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, EngineQueries, EntityQueries, ExtQueries, GraphQueries, PipelineQueries, RetrievalQueries, ScaleQueries, StorageQueries, TrainQueries, WarehouseQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, EngineQueries, EntityQueries, ExtQueries, GraphQueries, PipelineQueries, PqQueries, RetrievalQueries, ScaleQueries, StorageQueries, TrainQueries, WarehouseQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,7 +15,7 @@ object SparkEntry {
       TrainQueries.defs ++ EngineQueries.defs ++ ScaleQueries.defs ++
       StorageQueries.defs ++ RetrievalQueries.defs ++ CurationQueries.defs ++
       GraphQueries.defs ++ WarehouseQueries.defs ++ EntityQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++ PqQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +24,5 @@ object SparkEntry {
       TrainQueries.oracles ++ EngineQueries.oracles ++ ScaleQueries.oracles ++
       StorageQueries.oracles ++ RetrievalQueries.oracles ++ CurationQueries.oracles ++
       GraphQueries.oracles ++ WarehouseQueries.oracles ++ EntityQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ PqQueries.oracles
 }

@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.ProductQuantizer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization search over the embeddings table — the
+  * memory-compression counterpart to the IVF (q32) and LSH (q29)
+  * index paths. Unlike those Lloyd's/hyperplane-based paths (rows-only
+  * checks + recall specs), the PQ pipeline here is built from
+  * exactly-replayable pieces (md5-anchor codebook, left-to-right
+  * distance folds, rank on 1e-6-rounded ADC), so the whole
+  * train→encode→ADC→top-k path is hash-checked against a DuckDB
+  * reimplementation — an end-to-end oracle over a genuinely
+  * approximate-ANN kernel.
+  */
+object PqQueries {
+
+  /** q123: ADC shortlist (50 deep) + exact re-rank to top-5 for the
+    * first 10 vectors as queries. m=16 subspaces × ks=64 anchors over
+    * the 64-dim embeddings: 96-bit codes, 21× compression vs float32;
+    * the shortlist holds 0.92 of the exact top-5 at sf0.01
+    * (`ProductQuantizerSpec`).
+    */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    ProductQuantizer.adcRerankTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, m = 16, ks = 64, shortlist = 50)
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_pq_adc" -> q123)
+
+  def oracles: Map[String, String] = Map(
+    // `dists` is every (vector, subspace, centroid) squared distance; the
+    // per-vector argmin of it is the code assignment, and its restriction
+    // to query rows IS the ADC lookup table — one frame, both roles. The
+    // ADC shortlist ranks on 1e-6-ROUNDED estimates (as does Spark) so
+    // float noise cannot flip shortlist membership cross-engine; the
+    // final rank re-scores the shortlist with exact full-vector L2.
+    "q123_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hb AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h,
+        |         CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+        |              AS BIGINT) % 64 AS c
+        |       FROM e),
+        |cent AS (SELECT c, arg_min(v, h) AS cv FROM hb GROUP BY c),
+        |js AS (SELECT unnest(range(0, 16)) AS j),
+        |dists AS (
+        |  SELECT e.vec_id, js.j, cent.c,
+        |    list_sum(list_transform(range(1, 5),
+        |      i -> (e.v[js.j*4+i] - cent.cv[js.j*4+i])
+        |         * (e.v[js.j*4+i] - cent.cv[js.j*4+i]))) AS d
+        |  FROM e CROSS JOIN js CROSS JOIN cent),
+        |codes AS (
+        |  SELECT vec_id, j, c AS code FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |    FROM dists) t
+        |  WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, j, c, d FROM dists WHERE vec_id < 10),
+        |adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id,
+        |    floor(sum(l.d) * 1000000 + 0.50001) / 1000000 AS adc
+        |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+        |  WHERE cd.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc ASC, neighbor_id ASC) AS rn FROM adc) t
+        |  WHERE rn <= 50),
+        |rer AS (SELECT s.query_id, s.neighbor_id,
+        |    floor(list_sum(list_transform(range(1, 65),
+        |      i -> (q.v[i] - n.v[i]) * (q.v[i] - n.v[i]))) * 1000000 + 0.50001)
+        |      / 1000000 AS l2
+        |  FROM short s
+        |  JOIN e q ON q.vec_id = s.query_id
+        |  JOIN e n ON n.vec_id = s.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY l2 ASC, neighbor_id ASC) AS rank FROM rer)
+        |SELECT query_id, neighbor_id, l2, rank FROM r
+        |WHERE rank <= 5""".stripMargin)
+}

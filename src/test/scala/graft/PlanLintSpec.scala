@@ -28,7 +28,10 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     "q101_bm25_topk",        // ONE-ROW corpus stats (N, avgdl) broadcast
                              // against the per-doc scores — a scalar
                              // attach, not a combinatorial product
-    "q104_hybrid_rrf"        // same ONE-ROW stats attach inside its BM25 leg
+    "q104_hybrid_rrf",       // same ONE-ROW stats attach inside its BM25 leg
+    "q123_pq_adc"            // PQ ADC scan: corpus codes × broadcast query
+                             // LUTs — the compressed-domain analogue of
+                             // q24's broadcast brute force
   )
 
   test("column pruning reaches the parquet scans (spot checks)") {

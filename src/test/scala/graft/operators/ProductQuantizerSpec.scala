@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PQ codebook/encode/ADC checked for shape, determinism, plan, and —
+  * independently of the DuckDB oracle — shortlist recall against a
+  * driver-side exact L2 brute force.
+  */
+class ProductQuantizerSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("codebook: bounded, code-ascending, deterministic") {
+    val cb = ProductQuantizer.trainCodebook(emb, "vec_id", "embedding", ks = 64)
+    assert(cb.size <= 64)
+    assert(cb.map(_._1) == cb.map(_._1).sorted)
+    assert(cb.forall(_._2.length == 64))
+    val cb2 = ProductQuantizer.trainCodebook(emb, "vec_id", "embedding", ks = 64)
+    assert(cb == cb2)
+  }
+
+  test("encode: m codes per vector, all valid positions, shuffle-free plan") {
+    val cb = ProductQuantizer.trainCodebook(emb, "vec_id", "embedding", ks = 64)
+    val coded = ProductQuantizer.encode(emb, "vec_id", "embedding", cb, m = 16)
+    val plan = coded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode must be a pure map pass:\n$plan")
+    val rows = coded.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 16)
+      assert(codes.forall(c => c >= 0 && c < cb.size))
+    }
+  }
+
+  test("ADC shortlist holds >=0.9 of the exact top-5; re-rank orders them exactly") {
+    // driver-side exact L2 ground truth over the 500-vector corpus
+    val all = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val queries = all.filter(_._1 < 10)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exactTop5 = queries.map { case (qid, qv) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, sq(qv, nv)) }
+        .sortBy { case (nid, d) => (d, nid) }.take(5)
+    }.toMap
+
+    val got = ProductQuantizer.adcRerankTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, m = 16, ks = 64, shortlist = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.size == 10)
+    val hits = exactTop5.map { case (qid, top) =>
+      top.count { case (nid, _) => byQuery(qid).exists(_._2 == nid) }
+    }.sum
+    val recall = hits.toDouble / 50
+    assert(recall >= 0.9, s"shortlist recall@5 degraded: $recall")
+
+    // survivors must be ordered by true distance: every returned pair
+    // (rank, l2) is ascending, and l2 matches the ground truth to 1e-6
+    val vecById = all.toMap
+    byQuery.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head <= p.last))
+      sorted.foreach { case (_, nid, l2, _) =>
+        val truth = sq(vecById(qid), vecById(nid))
+        assert(math.abs(l2 - truth) < 2e-6, s"q$qid n$nid l2=$l2 truth=$truth")
+      }
+    }
+  }
+}
