@@ -151,15 +151,29 @@ object ProductQuantizer {
       shortlist: Int = 50): DataFrame = {
     val short = adcTopK(corpus, queries, idCol, vecCol, shortlist, m, ks)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, short, idCol, vecCol, k)
+  }
+
+  /** Exact full-vector re-rank of a (query_id, neighbor_id) shortlist:
+    * candidate vectors fetched by one broadcast hash join over the corpus
+    * scan, query vectors attached the same way, squared L2 rounded to
+    * 1e-6 before the per-query rank.
+    */
+  private def exactRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      short: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
     val qv = queries.select(
       col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"))
     val cand = corpus
       .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__nv"))
       .join(broadcast(short), Seq("neighbor_id"))
       .join(broadcast(qv), Seq("query_id"))
-    val vecLen = size(col("__nv"))
     val l2 = aggregate(
-      sequence(lit(1), vecLen),
+      sequence(lit(1), size(col("__nv"))),
       lit(0.0),
       (s, i) => {
         val d = element_at(col("__qv"), i.cast("int")) -
@@ -173,5 +187,86 @@ object ProductQuantizer {
       .select(col("query_id"), col("neighbor_id"), r6(l2).as("l2"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** IVF-PQ: the full FAISS index shape (Jégou et al. §IV) with both
+    * quantizers md5-anchor-trained, so the ENTIRE index — coarse cells,
+    * residuals, fine codes, probe selection, in-cell ADC, re-rank — is
+    * exactly replayable in SQL (q124's oracle).
+    *
+    *  - Coarse: `cells` anchors over the full vector partition the corpus;
+    *    each vector stores its cell + the `m` fine codes of its RESIDUAL
+    *    (vector − cell centroid), the paper's variance-killing trick.
+    *  - Search: a query ranks cells by (1e-6-rounded) distance, probes the
+    *    `nprobe` nearest, and carries one residual LUT per probed cell.
+    *    The ADC scan is then an EQUI-join corpus.cell = probe.cell — the
+    *    broadcast-cross-product of the flat scan becomes a selective hash
+    *    join touching ~nprobe/cells of the corpus, which is the entire
+    *    point of IVF at 100 TB.
+    *  - Shortlist → exact re-rank as in [[adcRerankTopK]].
+    *
+    * Output: (query_id, neighbor_id, l2, rank), identical contract to
+    * [[adcRerankTopK]] — only the candidate set (and thus recall) differs.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cells: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 16,
+      ks: Int = 64,
+      shortlist: Int = 50): DataFrame = {
+    val coarse = trainCodebook(corpus, idCol, vecCol, cells)
+    val coarseCents = typedlit(coarse.map(_._2))
+    val cellOf = (v: Column) => element_at(
+      graft.functions.PqCodes.toCol(v, coarse.map(_._2), 1), 1)
+    val residOf = (v: Column, cell: Column) =>
+      zip_with(v, element_at(coarseCents, cell + 1), (a, b) => a - b)
+
+    val withCell = corpus.select(
+      col(idCol), toDouble(col(vecCol)).as("__v"),
+      cellOf(toDouble(col(vecCol))).as("cell"))
+    val resid = withCell.withColumn("__rv", residOf(col("__v"), col("cell")))
+
+    // fine codebook over RESIDUALS, same md5-anchor rule
+    val fine = trainCodebook(resid, idCol, "__rv", ks)
+    val coded = resid.select(
+      col(idCol), col("cell"),
+      graft.functions.PqCodes.toCol(col("__rv"), fine.map(_._2), m).as("codes"))
+
+    // probe the nprobe nearest cells per query (rank on rounded distance)
+    val cellDists = element_at(
+      graft.functions.PqLut.toCol(toDouble(col(vecCol)), coarse.map(_._2), 1), 1)
+    val qCells = queries
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("__qv"),
+        posexplode(cellDists).as(Seq("__pos", "__d")))
+      .select(col("query_id"), col("__qv"), col("__pos").as("cell"),
+        r6(col("__d")).as("__dr"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__dr").asc, col("cell").asc)
+    val probes = qCells
+      .withColumn("__pr", row_number().over(pw))
+      .where(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cell"),
+        graft.functions.PqLut.toCol(
+          residOf(col("__qv"), col("cell")), fine.map(_._2), m).as("__lut"))
+
+    val adc = graft.functions.PqAdc.toCol(col("__lut"), col("codes"))
+    val scored = coded
+      .join(broadcast(probes), Seq("cell"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"), r6(adc).as("adc"))
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val short = scored
+      .withColumn("rank", row_number().over(sw))
+      .where(col("rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, short, idCol, vecCol, k)
   }
 }

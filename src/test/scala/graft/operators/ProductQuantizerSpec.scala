@@ -68,6 +68,24 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkTestBase {
     val recall = hits.toDouble / 50
     assert(recall >= 0.9, s"shortlist recall@5 degraded: $recall")
 
+    // IVF-PQ probes 6 of 16 cells: a strict subset of the corpus is
+    // scanned, so recall drops — the nprobe dial. Floor from the measured
+    // 0.70 at sf0.01 (deterministic: the fit has no randomness).
+    val ivf = ProductQuantizer.ivfPqTopK(
+        emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, cells = 16, nprobe = 6, m = 16, ks = 64, shortlist = 50)
+    val ivfPlan = ivf.queryExecution.sparkPlan.toString
+    assert(!ivfPlan.contains("BroadcastNestedLoopJoin") &&
+      !ivfPlan.contains("CartesianProduct"),
+      s"IVF ADC scan must be an equi-join on cell:\n$ivfPlan")
+    val ivfBy = ivf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ivfHits = exactTop5.map { case (qid, top) =>
+      top.count { case (nid, _) => ivfBy(qid).exists(_._2 == nid) }
+    }.sum
+    assert(ivfHits.toDouble / 50 >= 0.65,
+      s"IVF-PQ recall@5 degraded: ${ivfHits / 50.0}")
+
     // survivors must be ordered by true distance: every returned pair
     // (rank, l2) is ascending, and l2 matches the ground truth to 1e-6
     val vecById = all.toMap
