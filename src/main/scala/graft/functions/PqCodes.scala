@@ -65,9 +65,19 @@ object PqCodes {
     var j = 0
     while (j < m) {
       val base = j * sub
-      var best = Double.MaxValue
-      var bp = -1
-      var p = 0
+      // seed from centroid 0, not a sentinel: with a NaN/overflowed
+      // component every comparison is false and a -1 sentinel would
+      // escape into pq_adc's lookup (out-of-bounds). Seeding keeps the
+      // first centroid — which is also what the oracle's all-NaN
+      // tie-break (ORDER BY d, c) resolves to.
+      val c0 = cents(0)
+      var s0 = 0.0
+      var i0 = base
+      val end0 = base + sub
+      while (i0 < end0) { val d = v(i0) - c0(i0); s0 += d * d; i0 += 1 }
+      var best = s0
+      var bp = 0
+      var p = 1
       while (p < cents.length) {
         val cv = cents(p)
         var s = 0.0
@@ -99,6 +109,8 @@ case class PqLut(child: Expression, centroids: Seq[Seq[Double]], m: Int)
     extends UnaryExpression {
 
   require(centroids.nonEmpty && m > 0, "pq_lut needs centroids and m > 0")
+  require(centroids.head.length % m == 0,
+    s"dim ${centroids.head.length} must split evenly into $m subspaces")
 
   private val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
 

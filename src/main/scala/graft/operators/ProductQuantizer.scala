@@ -229,7 +229,15 @@ object ProductQuantizer {
     val withCell = corpus.select(
       col(idCol), toDouble(col(vecCol)).as("__v"),
       cellOf(toDouble(col(vecCol))).as("cell"))
-    val resid = withCell.withColumn("__rv", residOf(col("__v"), col("cell")))
+    // pin: the residual frame is consumed twice — fine-codebook training
+    // (a collect) and the encode pass below. Unpinned, the second
+    // consumer re-runs the corpus scan + cell assignment + residual
+    // compute (the q77/Ranking precedent). At true scale the training
+    // consumer would read a SAMPLE instead; here the full frame is one
+    // row of ~1 KB per vector.
+    val resid = withCell
+      .withColumn("__rv", residOf(col("__v"), col("cell")))
+      .localCheckpoint(true)
 
     // fine codebook over RESIDUALS, same md5-anchor rule
     val fine = trainCodebook(resid, idCol, "__rv", ks)

@@ -59,18 +59,36 @@ object Ranking {
     * non-equi join, no window, nothing driver-side — and broadcast back.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val conf = df.sparkSession.sessionState.conf
+    // Upper bound on the partition ids the range shuffle can produce:
+    // without an explicit count, repartitionByRange starts from
+    // numShufflePartitions — or, under AQE, from
+    // coalescePartitions.initialPartitionNum when that is set HIGHER
+    // (a common tuning). Enumerating offsets past the actual width is
+    // harmless (ghost pids carry no stats row and vanish in the join);
+    // enumerating short of it would silently drop those partitions'
+    // counts from every later offset — wrong ranks, no error.
+    val nPart = math.max(
+      conf.numShufflePartitions,
+      conf.getConf(org.apache.spark.sql.internal.SQLConf
+        .COALESCE_PARTITIONS_INITIAL_PARTITION_NUM).getOrElse(0))
     // the eager localCheckpoint of the INPUT is LOAD-BEARING twice over:
     //  (a) cost — the range exchange's boundary SAMPLING is its own job
     //      over the child; unpinned, it would re-run the caller's whole
     //      upstream (scans, joins, aggs) once more before the shuffle
     //      even starts (measured ~1.9× on q104);
     //  (b) correctness — the sorted frame below is consumed twice
-    //      (per-partition stats + join-back). RangePartitioner's sampler
-    //      is seeded per partition index, so over PINNED input both
-    //      evaluations see identical boundaries, partition layout and
-    //      mono-ids even if ReuseExchange fails to collapse them;
-    //      over unpinned nondeterministic input they might not.
+    //      (per-partition stats + join-back), and the two consumers MUST
+    //      see the same partition layout. RangePartitioner's sample seed
+    //      mixes in the shuffle RDD's id, so two INDEPENDENT exchanges
+    //      would draw different boundaries — correctness rests on the two
+    //      consumer subtrees staying canonically identical so
+    //      ReuseExchange collapses them into ONE exchange. The pin makes
+    //      the shared subtree a leaf (checkpointed scan), removing the
+    //      input nondeterminism that could otherwise break canonical
+    //      equality; any future edit that projects/filters ONE consumer
+    //      before the exchange would re-split them and corrupt ranks —
+    //      keep both consumers reading `sorted` verbatim.
     // Callers rank narrow (key, score) frames, so the pinned bytes are
     // rows × a few columns — corpus-fraction row count, but thin.
     //
@@ -80,7 +98,7 @@ object Ranking {
     // ~0.3 s of pure task overhead per stage); without it AQE coalesces
     // ADJACENT range partitions when bytes are small — contiguity keeps
     // the pid-order-equals-rank-order invariant — and leaves the full
-    // width when the frame is actually large. `nPart` stays the upper
+    // width when the frame is actually large. `nPart` above is the upper
     // bound the prefix-sum explode enumerates against.
     val sorted = df.localCheckpoint(true)
       .repartitionByRange(order: _*)

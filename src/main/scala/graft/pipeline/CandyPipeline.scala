@@ -45,7 +45,7 @@ class CandyPipeline(
       // live MongoDB when the config opts in (MONGO_ENABLED); the
       // file-backed path otherwise — same selection shape as dimensions
       case Some(cfg) if cfg.mongoTransactions =>
-        CandySources.transactions(spark, cfg)
+        CandySources.transactions(spark, cfg, start, endInclusive)
       case _ =>
         CandySources.transactions(spark, dataDir, start, endInclusive)
     }).persist(StorageLevel.MEMORY_AND_DISK)

@@ -52,7 +52,9 @@ class CandyStagedRunner(spark: SparkSession, cfg: CandyConfig) {
     */
   def processDailyTransactions(cfg: CandyConfig): TransactionsOut = {
     val transactions = CandySources
-      .transactions(spark, cfg) // mongo when MONGO_ENABLED, fixtures otherwise
+      // mongo when MONGO_ENABLED, fixtures otherwise; the staged runner
+      // is config-driven end-to-end, so cfg's range IS the range
+      .transactions(spark, cfg, cfg.startDate, cfg.endDate)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val products =
       if (cfg.jdbcDims) CandySources.products(spark, cfg)

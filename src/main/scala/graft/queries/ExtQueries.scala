@@ -76,6 +76,11 @@ object ExtQueries {
     * deterministic given the kernel (whitespace tokens → FNV-1a →
     * 64 bit votes), so it IS oracle-checked: the DuckDB side recomputes
     * FNV-1a with list lambdas over UBIGINT/HUGEINT modular arithmetic.
+    * Parity is exact for BMP text: the oracle's split class spells out
+    * `Character.isWhitespace` (incl. \x0B and \x1C-\x1F), and per-char
+    * hashing matches because a BMP code point IS its single UTF-16 unit;
+    * supplementary-plane text (two units vs one code point) is out of
+    * the oracle's scope and covered by SimHash64's own spec instead.
     */
   private def q22(s: SparkSession, d: String): DataFrame =
     Dedup.simHashFingerprints(Tables.documents(s, d), "doc_id", "text")
@@ -692,7 +697,9 @@ object ExtQueries {
     "q22_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, t.tok AS tok
-        |  FROM documents, unnest(string_split_regex(text, '\s+')) AS t(tok)
+        |  FROM documents, unnest(string_split_regex(text,
+        |    '[\t\n\x0B\f\r\x1C-\x1F\x20\x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'
+        |  )) AS t(tok)
         |  WHERE length(t.tok) > 0),
         |hh AS (
         |  SELECT doc_id,
@@ -746,7 +753,8 @@ object ExtQueries {
         |  FROM cand),
         |ends AS (
         |  SELECT doc_id, cs,
-        |    CASE WHEN len(acpt) > 0 AND acpt[-1] = n - 1 THEN acpt
+        |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+        |         WHEN len(acpt) > 0 AND acpt[-1] = n - 1 THEN acpt
         |         ELSE list_append(acpt, n - 1) END AS es
         |  FROM acc),
         |digs AS (
@@ -764,11 +772,12 @@ object ExtQueries {
         |                         % 18446744073709551616 AS UBIGINT)) AS HUGEINT)
         |        FOR idx IN range(1, len(es) + 1)]]) AS ds
         |  FROM ends)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  floor(CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)
-        |    / greatest(len(list_distinct(list_concat(a.ds, b.ds))), 1)
-        |    * 1000000 + 0.50001) / 1000000 AS chunk_overlap
-        |FROM digs a JOIN digs b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ds, b.ds)) > 0""".stripMargin
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    floor(CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)
+        |      / greatest(len(list_distinct(list_concat(a.ds, b.ds))), 1)
+        |      * 1000000 + 0.50001) / 1000000 AS chunk_overlap
+        |  FROM digs a JOIN digs b ON a.doc_id < b.doc_id) t
+        |WHERE chunk_overlap > 0""".stripMargin
   )
 }

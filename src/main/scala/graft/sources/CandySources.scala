@@ -100,12 +100,18 @@ object CandySources {
       .withColumn("day_idx", lit(day.toEpochDay))
 
   /** All days via the configured transaction source: live MongoDB when
-    * `cfg.mongoTransactions`, JSON fixtures otherwise.
+    * `cfg.mongoTransactions`, JSON fixtures otherwise. The date range is
+    * an explicit parameter (not read from cfg) so both branches of the
+    * pipeline's source selection honor the SAME constructor-supplied
+    * range — `CandyPipeline(spark, dir, out, d1, d2, ...)` must process
+    * d1..d2 regardless of what cfg.startDate/endDate say.
     */
   def transactions(
       spark: SparkSession,
-      cfg: graft.pipeline.CandyConfig): DataFrame =
-    dateRange(cfg.startDate, cfg.endDate)
+      cfg: graft.pipeline.CandyConfig,
+      start: LocalDate,
+      endInclusive: LocalDate): DataFrame =
+    dateRange(start, endInclusive)
       .map(day =>
         if (cfg.mongoTransactions) transactionsDayMongo(spark, cfg, day)
         else transactionsDay(spark, cfg.dataDir, day))

@@ -36,6 +36,25 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("codes stay in-range for NaN/overflow vectors (no -1 sentinel escape)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
+    val nan = graft.functions.PqCodes
+      .compute(Array(Double.NaN, 0.5), cents, 1)
+      .asInstanceOf[ArrayData]
+    assert(nan.getInt(0) == 0, "all-NaN distances must keep centroid 0")
+    val inf = graft.functions.PqCodes
+      .compute(Array(Double.MaxValue, Double.MaxValue), cents, 2)
+      .asInstanceOf[ArrayData]
+    assert(inf.getInt(0) >= 0 && inf.getInt(1) >= 0)
+    // and pq_adc must therefore never see a negative index
+    val lut = graft.functions.PqLut
+      .compute(Array(Double.NaN, 0.5), cents, 1)
+      .asInstanceOf[ArrayData]
+    val adc = graft.functions.PqAdc.compute(lut, nan)
+    assert(adc.isNaN, "NaN propagates through ADC rather than crashing")
+  }
+
   test("ADC shortlist holds >=0.9 of the exact top-5; re-rank orders them exactly") {
     // driver-side exact L2 ground truth over the 500-vector corpus
     val all = emb.select(col("vec_id"),

@@ -30,6 +30,24 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expected)
   }
 
+  test("globalRowNumber survives AQE initialPartitionNum above shuffle partitions") {
+    // repartitionByRange without an explicit count starts from
+    // coalescePartitions.initialPartitionNum when that is set higher —
+    // the offset enumeration must cover those pids or ranks silently
+    // collide (the bound used to be numShufflePartitions alone)
+    val key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    spark.conf.set(key, "37")
+    try {
+      val got = Ranking.globalRowNumber(df, order, "rn")
+        .collect().map(r => (r.getLong(0), r.getInt(2)))
+      assert(got.length == 5000)
+      val ranks = got.map(_._2).sorted
+      assert(ranks.head == 1 && ranks.last == 5000 &&
+        ranks.distinct.length == 5000,
+        "ranks must be the exact permutation 1..n under widened shuffles")
+    } finally spark.conf.unset(key)
+  }
+
   test("globalRowNumber plan has no single-partition exchange and no BNLJ") {
     val p = Ranking.globalRowNumber(df, order, "rn")
       .queryExecution.executedPlan.toString
