@@ -395,9 +395,14 @@ object ExtQueries {
           <= 0.25).as("within_bound"))
   }
 
-  /** SimHash near-dup pairs with the Manku banding recall guarantee
-    * (custom fingerprint ⇒ rows-only; DedupSpec exhaustively cross-checks
-    * recall against brute-force Hamming).
+  /** SimHash near-dup pairs with the Manku banding recall guarantee.
+    * Oracle-checked: the banding is EXACT for hamming ≤ 3 < 4 bands
+    * (pigeonhole — any such pair agrees on a full band) and no fixture
+    * bucket approaches the 10k cap, so the DuckDB side can skip the
+    * banding altogether and brute-force the Hamming join over the
+    * q22-replayed fingerprints — same pairs, same distances, by
+    * construction rather than by luck. DedupSpec still exhaustively
+    * cross-checks the banding kernel itself.
     */
   private def q41(s: SparkSession, d: String): DataFrame =
     Dedup.simHashNearDuplicates(
@@ -724,6 +729,47 @@ object ExtQueries {
         |            THEN coalesce(f.u, 0) - 18446744073709551616
         |            ELSE coalesce(f.u, 0) END AS BIGINT) AS simhash
         |FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id""".stripMargin,
+    // q41: the q22 fingerprint replay + a brute-force Hamming join. No
+    // banding needed on the oracle side: hamming <= 3 with 4 bands is
+    // EXACT by pigeonhole (the pair must agree on one 16-bit band), and
+    // no fixture bucket approaches the 10k overflow cap, so band
+    // candidate generation and brute force select identical pair sets.
+    "q41_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok AS tok
+        |  FROM documents, unnest(string_split_regex(text,
+        |    '[\t\n\x0B\f\r\x1C-\x1F\x20\x{1680}\x{2000}-\x{2006}\x{2008}-\x{200A}\x{2028}\x{2029}\x{205F}\x{3000}]+'
+        |  )) AS t(tok)
+        |  WHERE length(t.tok) > 0),
+        |hh AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |        [CAST(ascii(c) AS UBIGINT) FOR c IN string_split(tok, '')]),
+        |      (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
+        |                     % 18446744073709551616 AS UBIGINT)) AS h
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.b AS b,
+        |    sum(CASE WHEN (h >> CAST(r.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hh, range(64) r(b)
+        |  GROUP BY 1, 2),
+        |fpu AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+        |             ELSE 0 END) AS u
+        |  FROM bits GROUP BY 1),
+        |fp AS (
+        |  SELECT d.doc_id,
+        |    CAST(CASE WHEN coalesce(f.u, 0) >= 9223372036854775808
+        |              THEN coalesce(f.u, 0) - 18446744073709551616
+        |              ELSE coalesce(f.u, 0) END AS BIGINT) AS simhash
+        |  FROM documents d LEFT JOIN fpu f ON d.doc_id = f.doc_id)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id) t
+        |WHERE hamming <= 3""".stripMargin,
     // independent content-defined-chunking replay. Boundary candidates:
     // the rolling hash uses base 257 and cut condition `hash % 64 == 0`;
     // 257 ≡ 1 (mod 64), so hash mod 64 equals the 16-char window's
