@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * dedup, similarity search, multimodal columns, text analysis — plus the
   * streaming-shaped event rollups), expressed over `documents`,
   * `embeddings`, and `events`. DuckDB oracles wherever the semantics are
-  * SQL-expressible; custom-hash operators (MinHash/SimHash/features) are
-  * rows-only here and pinned instead by ScalaTest specs against
-  * independent reference implementations.
+  * deterministic — including the custom-hash and seeded-PRNG operators
+  * (SimHash q22, CDC chunks q43, Manku pairs q41, hyperplane LSH q29),
+  * whose kernels replay in SQL via modular arithmetic; the kernels are
+  * additionally pinned by ScalaTest specs against independent reference
+  * implementations.
   */
 object ExtQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -66,7 +68,10 @@ object ExtQueries {
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
   /** MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.4.
-    * Custom hashing ⇒ no SQL oracle; DedupSpec pins semantics.
+    * Oracle = brute-force Jaccard over the same shingles: exact-verified
+    * candidates mean the pair sets agree whenever banding recall is 1.0
+    * on the fixture's near-identical duplicate groups (hash-checked every
+    * round); the probabilistic banding itself is pinned in DedupSpec.
     */
   private def q21(s: SparkSession, d: String): DataFrame =
     Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")
@@ -179,8 +184,12 @@ object ExtQueries {
       "sum_s", "sum_sq", "peak", "zero_crossings")
   }
 
-  /** LSH-bucketed approximate cosine top-k (scale path; rows-only —
-    * recall vs brute force is asserted in SimilaritySpec).
+  /** LSH-bucketed approximate cosine top-k (scale path). Oracle-checked:
+    * the seeded hyperplanes are counter-based SplitMix64, so the DuckDB
+    * side regenerates the identical plane matrix (no sequential
+    * recursion), replays the sign-bit buckets and bucket-equi candidate
+    * join, and reproduces the exact 150-row result. Recall vs brute
+    * force additionally asserted in SimilaritySpec.
     */
   private def q29(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
@@ -729,6 +738,47 @@ object ExtQueries {
         |            THEN coalesce(f.u, 0) - 18446744073709551616
         |            ELSE coalesce(f.u, 0) END AS BIGINT) AS simhash
         |FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id""".stripMargin,
+    // q29: the hyperplanes are COUNTER-BASED SplitMix64 (state i derives
+    // from seed + (i+1)*golden alone), so the whole plane matrix replays
+    // in SQL without sequential recursion: 64x64-bit multiplies split
+    // into 32-bit halves mod 2^64 (HUGEINT would overflow), signed
+    // reinterpretation + division mirror Long.toDouble/LongMax exactly,
+    // and the sign-bit buckets, bucket-equi candidate join and cosine
+    // top-k replay bit-for-bit (150/150 rows at sf0.01).
+    "q29_cosine_topk_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pidx AS (SELECT t.t, i.i FROM range(8) t(t), range(256) i(i)),
+        |s1 AS (SELECT t, i, CAST(((7 + t) + (CAST(i AS HUGEINT) + 1) * 11400714819323198485)
+        |         % 18446744073709551616 AS UBIGINT) AS x FROM pidx),
+        |s1x AS (SELECT t, i, xor(x, x >> 30) AS y FROM s1),
+        |s2 AS (SELECT t, i, CAST((CAST(y >> 32 AS HUGEINT) * 484763065 % 4294967296 * 4294967296 + CAST(y % 4294967296 AS HUGEINT) * 3210233709 % 4294967296 * 4294967296 + CAST(y % 4294967296 AS HUGEINT) * 484763065) % 18446744073709551616 AS UBIGINT) AS z FROM s1x),
+        |s2x AS (SELECT t, i, xor(z, z >> 27) AS y FROM s2),
+        |s3 AS (SELECT t, i, CAST((CAST(y >> 32 AS HUGEINT) * 321982955 % 4294967296 * 4294967296 + CAST(y % 4294967296 AS HUGEINT) * 2496678331 % 4294967296 * 4294967296 + CAST(y % 4294967296 AS HUGEINT) * 321982955) % 18446744073709551616 AS UBIGINT) AS z FROM s2x),
+        |comp AS (SELECT t, i, CAST(CASE WHEN xor(z, z >> 31) >= 9223372036854775808
+        |    THEN CAST(xor(z, z >> 31) AS HUGEINT) - 18446744073709551616
+        |    ELSE CAST(xor(z, z >> 31) AS HUGEINT) END AS DOUBLE)
+        |    / 9223372036854775807.0 AS c FROM s3),
+        |planes AS (SELECT t, i // 64 AS b, list(c ORDER BY i) AS pl
+        |           FROM comp GROUP BY t, i // 64),
+        |dots AS (SELECT e.vec_id, p.t, p.b,
+        |    list_sum(list_transform(range(1, 65), j -> e.v[j] * p.pl[j])) AS dot
+        |  FROM e CROSS JOIN planes p),
+        |buckets AS (SELECT vec_id, t,
+        |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+        |        ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 30 AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(a.v, b.v) AS cos
+        |  FROM cand JOIN e a ON a.vec_id = cand.query_id
+        |  JOIN e b ON b.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+        |SELECT query_id, neighbor_id,
+        |  floor(cos * 1000000 + 0.50001) / 1000000 AS cosine, rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     // q41: the q22 fingerprint replay + a brute-force Hamming join. No
     // banding needed on the oracle side: hamming <= 3 with 4 bands is
     // EXACT by pigeonhole (the pair must agree on one 16-bit band), and
