@@ -44,6 +44,11 @@ case class PqCodes(child: Expression, centroids: Seq[Seq[Double]], m: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_codes"
 
+  // default case-class toString would embed the full codebook (ks×dim
+  // doubles) into every plan dump and log line
+  override def toString: String =
+    s"$prettyName($child, cents=${centroids.size}x${centroids.head.length}, m=$m)"
+
   override protected def nullSafeEval(input: Any): Any =
     PqCodes.compute(input.asInstanceOf[ArrayData].toDoubleArray(), cents, m)
 
@@ -124,6 +129,9 @@ case class PqLut(child: Expression, centroids: Seq[Seq[Double]], m: Int)
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   override def prettyName: String = "pq_lut"
 
+  override def toString: String =
+    s"$prettyName($child, cents=${centroids.size}x${centroids.head.length}, m=$m)"
+
   override protected def nullSafeEval(input: Any): Any =
     PqLut.compute(input.asInstanceOf[ArrayData].toDoubleArray(), cents, m)
 
@@ -165,6 +173,69 @@ object PqLut {
   def toCol(vec: org.apache.spark.sql.Column, centroids: Seq[Seq[Double]], m: Int): org.apache.spark.sql.Column =
     graft.internal.Cols.of(
       PqLut(graft.internal.Cols.expressionOf(vec), centroids.toList, m))
+}
+
+/** `pq_residual(vec, cell)` — `vec − centroids[cell]`, the IVF residual
+  * (encode and search both quantize the offset from the assigned coarse
+  * centroid, the variance-killing trick of Jégou §IV). A native
+  * expression for the same reason as [[PqLut]]: the `zip_with`/`typedlit`
+  * spelling embeds the cells×dim centroid matrix as a LITERAL in the
+  * plan — bloating every plan dump and the broadcast task binary —
+  * where this ships it once as a reference object.
+  */
+case class PqResidual(left: Expression, right: Expression, centroids: Seq[Seq[Double]])
+    extends BinaryExpression {
+
+  require(centroids.nonEmpty, "pq_residual needs centroids")
+
+  private val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<double>, int), got " +
+        s"(${l.catalogString}, ${r.catalogString})")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_residual"
+
+  override def toString: String =
+    s"$prettyName($left, $right, cents=${centroids.size}x${centroids.head.length})"
+
+  override protected def nullSafeEval(vec: Any, cell: Any): Any =
+    PqResidual.compute(
+      vec.asInstanceOf[ArrayData].toDoubleArray(), cell.asInstanceOf[Int], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCents", cents, "double[][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.PqResidual.compute($v.toDoubleArray(), $c, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqResidual {
+
+  def compute(v: Array[Double], cell: Int, cents: Array[Array[Double]]): ArrayData = {
+    val cv = cents(cell)
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i) - cv(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def toCol(
+      vec: org.apache.spark.sql.Column,
+      cell: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    graft.internal.Cols.of(PqResidual(
+      graft.internal.Cols.expressionOf(vec),
+      graft.internal.Cols.expressionOf(cell),
+      centroids.toList))
 }
 
 /** `pq_adc(lut, codes)` — asymmetric distance: Σⱼ lut[j][codes[j]], the

@@ -220,11 +220,10 @@ object ProductQuantizer {
       ks: Int = 64,
       shortlist: Int = 50): DataFrame = {
     val coarse = trainCodebook(corpus, idCol, vecCol, cells)
-    val coarseCents = typedlit(coarse.map(_._2))
     val cellOf = (v: Column) => element_at(
       graft.functions.PqCodes.toCol(v, coarse.map(_._2), 1), 1)
     val residOf = (v: Column, cell: Column) =>
-      zip_with(v, element_at(coarseCents, cell + 1), (a, b) => a - b)
+      graft.functions.PqResidual.toCol(v, cell, coarse.map(_._2))
 
     val withCell = corpus.select(
       col(idCol), toDouble(col(vecCol)).as("__v"),
