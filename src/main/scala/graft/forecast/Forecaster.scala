@@ -154,9 +154,13 @@ object Forecaster {
     val x = t.map(fitted.features)
     val p = x.head.length
 
-    // Normal equations with a tiny ridge on everything but intercept/slope
-    // (identifiability for the near-collinear relu columns); λ scales with
-    // the trace so it is unit-free.
+    // Normal equations with a two-scale ridge (the L2 analogue of
+    // Prophet's priors): the changepoint slopes get a REAL penalty —
+    // Prophet's changepoint_prior_scale — because nearly-free relu
+    // columns chase seasonal residue and corrupt the final-segment slope
+    // that extrapolation rides on; the Fourier block gets only an
+    // identifiability epsilon (seasonality_prior_scale is loose in
+    // Prophet too). Both scale with the Gram trace so they are unit-free.
     val g = Array.ofDim[Double](p, p + 1)
     for (row <- x.indices; i <- 0 until p) {
       val xi = x(row)(i)
@@ -166,8 +170,10 @@ object Forecaster {
     }
     var trace = 0.0
     for (i <- 0 until p) trace += g(i)(i)
-    val lambda = 1e-8 * trace / p
-    for (i <- 2 until p) g(i)(i) += lambda
+    val cpLambda = 1e-4 * trace / p
+    val fourierLambda = 1e-8 * trace / p
+    for (i <- 2 until 2 + nCp) g(i)(i) += cpLambda
+    for (i <- 2 + nCp until p) g(i)(i) += fourierLambda
 
     fitted.copy(beta = solve(g, p))
   }

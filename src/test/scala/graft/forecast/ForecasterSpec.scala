@@ -81,6 +81,27 @@ class ForecasterSpec extends AnyFunSuite {
     assert(fit.metrics.mae < 1.0, s"gapped weekly fit failed: ${fit.metrics}")
   }
 
+  test("seasonal fit recovers a yearly cycle on a 3-year span") {
+    // value = trend + annual sine; with span >= 2 years the yearly
+    // Fourier block activates and must absorb the cycle
+    val series = (0 until 1096).map { i =>
+      val phase = 2.0 * math.Pi * i / 365.25
+      (start.plusDays(i.toLong), 200.0 + 0.1 * i + 40.0 * math.sin(phase))
+    }
+    val fit = Forecaster.fitSeasonal(series, weeklyOrder = 0)
+    assert(fit.yearlyOrder > 0, "yearly block must activate at 3 years of span")
+    assert(fit.metrics.mae < 4.0, s"annual cycle not absorbed: ${fit.metrics}")
+    val straight = Forecaster.fit(series)
+    assert(fit.metrics.mae < straight.metrics.mae / 3,
+      "yearly Fourier should beat trend+DOW by a wide margin on seasonal data")
+    // forecast half a year out lands on the falling side of the sine:
+    // prediction must track the cycle, not just the trend
+    val pred = fit.predict(183).last._2
+    val t = 1095 + 183
+    val truth = 200.0 + 0.1 * t + 40.0 * math.sin(2.0 * math.Pi * t / 365.25)
+    assert(math.abs(pred - truth) < 15.0, s"6-month-out pred=$pred truth=$truth")
+  }
+
   test("seasonal fit: yearly disabled on short spans, deterministic output") {
     val series = (0 until 90).map(i => (start.plusDays(i.toLong), 50.0 + 0.5 * i))
     val a = Forecaster.fitSeasonal(series)
