@@ -36,6 +36,49 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("kernel properties on seeded random inputs (argmin optimality, ADC consistency, residual identities)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(12345)
+    val dim = 16; val m = 4; val ks = 8
+    for (_ <- 1 to 50) {
+      val cents = Array.fill(ks)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+      val centsSeq = cents.map(_.toSeq).toSeq
+      val v = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val codes = graft.functions.PqCodes.compute(v, cents, m).asInstanceOf[ArrayData]
+      val lutV = graft.functions.PqLut.compute(v, cents, m).asInstanceOf[ArrayData]
+      // argmin optimality: the chosen centroid's own-LUT entry is minimal
+      // per subspace (first-wins ties → also the smallest such position)
+      for (j <- 0 until m) {
+        val row = lutV.getArray(j)
+        val chosen = codes.getInt(j)
+        val dists = (0 until ks).map(row.getDouble)
+        assert(dists(chosen) == dists.min)
+        assert(chosen == dists.indexOf(dists.min))
+      }
+      // ADC consistency: pq_adc over a query's LUT equals the sum of the
+      // independently recomputed subspace distances to the chosen cells
+      val q = Array.fill(dim)(rnd.nextDouble() * 2 - 1)
+      val lutQ = graft.functions.PqLut.compute(q, cents, m).asInstanceOf[ArrayData]
+      val adc = graft.functions.PqAdc.compute(lutQ, codes)
+      val sub = dim / m
+      val expected = (0 until m).map { j =>
+        val cv = cents(codes.getInt(j))
+        (j * sub until (j + 1) * sub).map(i => (q(i) - cv(i)) * (q(i) - cv(i))).sum
+      }.sum
+      assert(math.abs(adc - expected) < 1e-12, s"adc=$adc expected=$expected")
+      // residual identities: residual of a centroid against itself is
+      // exactly zero; residual + centroid returns the input to 1 ulp-ish
+      val cell = rnd.nextInt(ks)
+      val rz = graft.functions.PqResidual.compute(cents(cell), cell, cents)
+        .asInstanceOf[ArrayData].toDoubleArray()
+      assert(rz.forall(_ == 0.0))
+      val rv = graft.functions.PqResidual.compute(v, cell, cents)
+        .asInstanceOf[ArrayData].toDoubleArray()
+      for (i <- 0 until dim)
+        assert(math.abs(rv(i) + cents(cell)(i) - v(i)) < 1e-12)
+    }
+  }
+
   test("codes stay in-range for NaN/overflow vectors (no -1 sentinel escape)") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0))
