@@ -34,7 +34,22 @@ object PageRank {
       edges: DataFrame,
       damping: Double = 0.85,
       iters: Int = 3,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4): DataFrame =
+    runWithNodeCount(edges, damping, iters, checkpointEvery)._1
+
+  /** [[run]], also returning the node count (already computed on the
+    * driver for the base-mass literal). Callers that need |V| — e.g. to
+    * scale ranks to mean 1 — MUST take it from here rather than
+    * re-deriving it with a global window or a count over the rank frame:
+    * `count().over(Window.partitionBy())` funnels the whole |V|-sized
+    * frame through one partition, and a second count re-evaluates the
+    * iteration chain.
+    */
+  def runWithNodeCount(
+      edges: DataFrame,
+      damping: Double = 0.85,
+      iters: Int = 3,
+      checkpointEvery: Int = 4): (DataFrame, Long) = {
     require(iters >= 1 && damping > 0 && damping < 1 && checkpointEvery >= 1)
     val e = edges.toDF("src", "dst").localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
@@ -70,6 +85,6 @@ object PageRank {
         .agg(sum("__c").as("rank"))
       ranks = if (i % checkpointEvery == 0 && i < iters) next.localCheckpoint(true) else next
     }
-    ranks
+    (ranks, n)
   }
 }

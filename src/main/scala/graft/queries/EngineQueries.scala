@@ -185,13 +185,14 @@ object EngineQueries {
         col("l_suppkey").as("src"),
         (col("l_partkey") + 1000000L).as("dst"))
       .distinct()
-    val pr = graft.operators.PageRank.run(edges, damping = 0.85, iters = 3)
-    // scale in ONE pass over the (tiny: one row per node) rank frame — a
-    // crossJoin with pr.agg(count) would evaluate the iteration chain twice
-    val wAll = Window.partitionBy()
+    // The node count rides out of run() (computed there anyway for the
+    // base-mass literal) — scaling is a per-row multiply by a literal, no
+    // global window, no single-partition exchange over the |V|-sized frame.
+    val (pr, n) = graft.operators.PageRank
+      .runWithNodeCount(edges, damping = 0.85, iters = 3)
     pr.select(
       col("id"),
-      r6(col("rank") * count(lit(1)).over(wAll)).as("rank_scaled"))
+      r6(col("rank") * lit(n)).as("rank_scaled"))
   }
 
   /** Model-based quality filter: logistic regression on hashed

@@ -208,6 +208,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("no data-scale single-partition exchange in ANY registered query") {
+    // Round-5 lesson: q76's scale-killer (a global window funnelling the
+    // whole |V|-sized rank frame through one task) survived because this
+    // guard covered only 3 queries. Now every registered query's plan is
+    // checked: each `Exchange SinglePartition` must be either the final
+    // merge of a partial+final aggregate (input = one partial row per
+    // upstream partition — bounded by the cluster, not the data) or on
+    // the named allowlist of frames bounded by construction.
+    val siblingOfPartialAgg = "Exchange SinglePartition[\\s\\S]{0,400}?partial_".r
+    // query -> (extra sanctioned singles, why that frame is bounded)
+    val boundedFrames: Map[String, (Int, String)] = Map(
+      "q120_source_kl" -> (1, "grand-total window over the post-agg " +
+        "(source x ~40 log2-buckets) frame - bounded by construction, " +
+        "never the raw corpus (see AnalyticsQueries.q120 scaladoc)")
+    )
+    val violations = SparkEntry.queries.keys.toSeq.sorted.flatMap { q =>
+      val p = simple(q)
+      val singles = "Exchange SinglePartition".r.findAllIn(p).size
+      if (singles == 0) None
+      else {
+        val partials = siblingOfPartialAgg.findAllIn(p).size
+        val allowed = boundedFrames.get(q).map(_._1).getOrElse(0)
+        if (singles <= partials + allowed) None
+        else Some(s"$q: $singles SinglePartition, $partials partial-agg merges, " +
+          s"$allowed allowlisted")
+      }
+    }
+    assert(violations.isEmpty,
+      "data-scale single-partition exchanges:\n" + violations.mkString("\n"))
+  }
+
   test("q110 attaches adjacency by shuffle — no edge-scale broadcast in the plan") {
     // the adjacency (|E|-sized, array payloads) may never be BAKED into
     // the plan as a broadcast: the dst attach is pinned to a shuffled
