@@ -24,10 +24,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default; read nanos as long and convert to a microsecond timestamp
-    * with INTEGER division (`div`) — `/1000` would go through double,
-    * whose 53-bit mantissa loses 1µs on ~1.5% of ~1.7e18ns values.
+  /** `events.ts` has shipped as BOTH parquet TIMESTAMP(NANOS) (earlier
+    * testdata generations) and plain TIMESTAMP(MICROS) (current) — this
+    * loader normalizes either to a microsecond timestamp so every
+    * consumer sees one schema.
+    *
+    * TIMESTAMP(NANOS) is rejected by Spark 4 by default; with
+    * `nanosAsLong` it surfaces as a Long, converted here with INTEGER
+    * division (`div`) — `/1000` would go through double, whose 53-bit
+    * mantissa loses 1µs on ~1.5% of ~1.7e18ns values.
     *
     * NOTE: setting `nanosAsLong` is session-wide and sticky — any later
     * read of a TIMESTAMP(NANOS) column in the same session sees a Long
@@ -36,10 +41,21 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ;
+        // normalize to TIMESTAMP so downstream instant functions
+        // (unix_micros, to_utc_timestamp, …) resolve. Sessions run in
+        // UTC, so the cast re-labels the same wall-clock values.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw // already an instant timestamp — use as-is
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

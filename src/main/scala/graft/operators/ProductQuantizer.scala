@@ -207,6 +207,17 @@ object ProductQuantizer {
     *
     * Output: (query_id, neighbor_id, l2, rank), identical contract to
     * [[adcRerankTopK]] — only the candidate set (and thus recall) differs.
+    *
+    * `fineSampleMod`: the fine codebook trains on the deterministic
+    * 1/`fineSampleMod` slice of the corpus whose md5(id) hex digits 5–8
+    * are ≡ 0 (mod `fineSampleMod`) — the same cross-engine gate as the
+    * bucket assignment, so the DuckDB oracle replays it exactly. This is
+    * how PQ trains in production anyway (FAISS fits codebooks on a
+    * sample); here it also removes what used to be a full-corpus
+    * `localCheckpoint`: the training job scans only the gated slice, the
+    * encode pass is then the residual frame's single consumer, and no
+    * corpus-sized copy is ever materialized. Raise `fineSampleMod` with
+    * corpus size (the anchors only need each md5 bucket populated).
     */
   def ivfPqTopK(
       corpus: DataFrame,
@@ -218,7 +229,8 @@ object ProductQuantizer {
       nprobe: Int = 4,
       m: Int = 16,
       ks: Int = 64,
-      shortlist: Int = 50): DataFrame = {
+      shortlist: Int = 50,
+      fineSampleMod: Int = 2): DataFrame = {
     val coarse = trainCodebook(corpus, idCol, vecCol, cells)
     val cellOf = (v: Column) => element_at(
       graft.functions.PqCodes.toCol(v, coarse.map(_._2), 1), 1)
@@ -228,18 +240,16 @@ object ProductQuantizer {
     val withCell = corpus.select(
       col(idCol), toDouble(col(vecCol)).as("__v"),
       cellOf(toDouble(col(vecCol))).as("cell"))
-    // pin: the residual frame is consumed twice — fine-codebook training
-    // (a collect) and the encode pass below. Unpinned, the second
-    // consumer re-runs the corpus scan + cell assignment + residual
-    // compute (the q77/Ranking precedent). At true scale the training
-    // consumer would read a SAMPLE instead; here the full frame is one
-    // row of ~1 KB per vector.
     val resid = withCell
       .withColumn("__rv", residOf(col("__v"), col("cell")))
-      .localCheckpoint(true)
 
-    // fine codebook over RESIDUALS, same md5-anchor rule
-    val fine = trainCodebook(resid, idCol, "__rv", ks)
+    // fine codebook over RESIDUALS of the md5-gated sample, same
+    // md5-anchor rule. The gate keeps the training scan (and the bounded
+    // ≤ks collect behind it) proportional to the sample, not the corpus.
+    val sampleGate =
+      conv(substring(md5(col(idCol).cast("string")), 5, 4), 16, 10)
+        .cast("long") % fineSampleMod === 0
+    val fine = trainCodebook(resid.where(sampleGate), idCol, "__rv", ks)
     val coded = resid.select(
       col(idCol), col("cell"),
       graft.functions.PqCodes.toCol(col("__rv"), fine.map(_._2), m).as("codes"))

@@ -119,8 +119,12 @@ object Ranking {
     val offsets = stats.join(contrib, Seq("__pid"), "left")
       .select(col("__pid"), col("__mn"),
         coalesce(col("__off"), lit(0L)).as("__off"))
+    // rank is emitted as LONG: this helper exists for corpus-fraction
+    // frames, where an int rank would overflow negative past 2^31 rows
+    // with no error. Callers that want an int column cast down AFTER
+    // whatever bounds their frame (e.g. q104 subtracts a per-list base).
     sorted.join(broadcast(offsets), "__pid")
-      .withColumn(out, (col("__off") + col("__mid") - col("__mn") + 1L).cast("int"))
+      .withColumn(out, col("__off") + col("__mid") - col("__mn") + 1L)
       .drop("__pid", "__mid", "__mn", "__off")
   }
 }

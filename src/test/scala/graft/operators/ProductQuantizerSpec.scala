@@ -132,7 +132,8 @@ class ProductQuantizerSpec extends AnyFunSuite with SparkTestBase {
 
     // IVF-PQ probes 6 of 16 cells: a strict subset of the corpus is
     // scanned, so recall drops — the nprobe dial. Floor from the measured
-    // 0.70 at sf0.01 (deterministic: the fit has no randomness).
+    // 0.68 at sf0.01 (deterministic: the fit has no randomness; fine
+    // codebook trains on the md5-gated half-sample, the production shape).
     val ivf = ProductQuantizer.ivfPqTopK(
         emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, cells = 16, nprobe = 6, m = 16, ks = 64, shortlist = 50)

@@ -23,9 +23,9 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
   test("globalRowNumber matches the row_number window exactly") {
     val expected = df.withColumn("rn",
       row_number().over(Window.orderBy(order: _*)))
-      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
     val got = Ranking.globalRowNumber(df, order, "rn")
-      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(got.size == 5000)
     assert(got == expected)
   }
@@ -39,7 +39,7 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     spark.conf.set(key, "37")
     try {
       val got = Ranking.globalRowNumber(df, order, "rn")
-        .collect().map(r => (r.getLong(0), r.getInt(2)))
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
       assert(got.length == 5000)
       val ranks = got.map(_._2).sorted
       assert(ranks.head == 1 && ranks.last == 5000 &&
@@ -49,11 +49,32 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("globalRowNumber plan has no single-partition exchange and no BNLJ") {
-    val p = Ranking.globalRowNumber(df, order, "rn")
-      .queryExecution.executedPlan.toString
+    val q = Ranking.globalRowNumber(df, order, "rn")
+    q.collect() // materialize: AQE applies exchange reuse at RUNTIME —
+    // the pre-execution plan still shows one exchange per consumer
+    val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("Exchange rangepartitioning"), p)
+    // EXACTLY one live range exchange: rank correctness rests on the
+    // stats and join-back consumers sharing ONE exchange (independent
+    // exchanges sample different boundaries → corrupted ranks, no
+    // error). The reused consumers print as 'ReusedExchange ..., Exchange
+    // rangepartitioning(...)' on one line, and AQE appends the
+    // pre-reuse '== Initial Plan ==' — count only non-reused exchange
+    // lines in the final section, and fail loudly if a future edit
+    // re-splits the consumers.
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val nRange = finalSection.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    assert(nRange == 1,
+      s"expected exactly one live range exchange (reuse invariant), got $nRange:\n$p")
+  }
+
+  test("globalRowNumber emits long ranks (no 2^31 overflow by schema)") {
+    val schema = Ranking.globalRowNumber(df, order, "rn").schema
+    assert(schema("rn").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "rank column must be long: this helper targets corpus-fraction frames")
   }
 
   test("topK matches the window spelling's top slice, ranks 1..k") {
