@@ -4,7 +4,7 @@ import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.{HashingTF, Tokenizer}
 import org.apache.spark.ml.functions.vector_to_array
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-based document quality scoring — the learned counterpart to the
@@ -64,5 +64,50 @@ object QualityModel {
       col(labelCol),
       col("prediction").cast("int").as("predicted"),
       element_at(vector_to_array(col("probability")), 2).as("p_good"))
+  }
+
+  /** Score with the FROZEN hyperplane in [[graft.model.QualityWeights]] —
+    * a pure deterministic expression pass, no fitting, which is what
+    * makes q77 hash-checkable against a DuckDB replay (the md5-anchor
+    * discipline: train once offline, freeze, score declaratively).
+    *
+    * The text contribution folds token→bucket-weight left-to-right in
+    * document order (`aggregate` over the token array), identically to
+    * the oracle's `list_sum(list_transform(...))`, so the two engines sum
+    * the same doubles in the same order; the margin is 1e-6-rounded
+    * BEFORE the sigmoid so both engines exponentiate an identical value,
+    * and the class threshold tests the rounded margin against 0
+    * (≡ p ≥ 0.5) rather than re-thresholding the rounded probability.
+    *
+    * Scale shape: one codegen'd map pass — the 256-weight array ships as
+    * a plan literal (a broadcast in spirit), no shuffle, no state.
+    *
+    * `statCols` must align with `QualityWeights.statW` order.
+    */
+  def frozenScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      statCols: Seq[String]): DataFrame = {
+    import graft.model.QualityWeights.{intercept, numBuckets, statW, textW}
+    require(statCols.length == statW.length,
+      s"expected ${statW.length} stat columns, got ${statCols.length}")
+    val wArr = array(textW.map(lit): _*)
+    val bucket = (t: Column) =>
+      (conv(substring(md5(t), 1, 4), 16, 10).cast("long") % numBuckets)
+        .cast("int")
+    val textScore = aggregate(
+      QualityRules.spaceTokens(coalesce(col(textCol), lit(""))),
+      lit(0.0),
+      (acc, t) => acc + element_at(wArr, bucket(t) + 1))
+    val statScore = statCols.zip(statW)
+      .map { case (c, w) => col(c) * lit(w) }
+      .reduce(_ + _)
+    val r6 = (c: Column) => floor(c * 1000000 + lit(0.50001)) / 1000000
+    df.withColumn("__m", r6(textScore + statScore + lit(intercept)))
+      .withColumn("predicted", (col("__m") >= 0).cast("int"))
+      .withColumn("p_good", r6(lit(1.0) / (lit(1.0) + exp(-col("__m")))))
+      .drop("__m")
   }
 }

@@ -195,31 +195,37 @@ object EngineQueries {
       r6(col("rank") * lit(n)).as("rank_scaled"))
   }
 
-  /** Model-based quality filter: logistic regression on hashed
-    * bag-of-words, weakly supervised by the Gopher rule outcome — the
-    * learned filter that generalizes past the rules. Probabilities are
-    * optimizer-path-sensitive, so the driver check is rows-only; the
-    * spec pins training accuracy and determinism.
+  /** Model-based quality filter, FROZEN-WEIGHT scoring: the logistic
+    * hyperplane trained offline by
+    * [[graft.model.QualityWeightsTrainer]] (md5-bucket bag-of-words +
+    * Gopher stat features, weakly supervised by the rule outcome) is
+    * applied as a pure expression pass — which makes the whole scoring
+    * semantics hash-checkable against a DuckDB replay. Training itself
+    * (iterative L-BFGS, not SQL-replayable) stays pinned by
+    * `QualityModelSpec`'s accuracy floors — see
+    * [[graft.operators.QualityModel.weaklySupervisedScore]] for the
+    * in-query training path this query deliberately does not use.
+    *
+    * Squared stat terms let the linear model carve the rule's
+    * between-bounds bands; squares are spelled `x*x` (not `pow`) so both
+    * engines compute the identical product.
     */
   private def q77(s: SparkSession, d: String): DataFrame = {
     val labeled = graft.operators.QualityRules
       .gopherSignals(Tables.documents(s, d), "text")
       .select(
         col("doc_id"), col("text"),
-        col("gopher_pass").cast("double").as("weak_label"),
+        col("gopher_pass").cast("int").as("weak_label"),
         col("n_words").cast("double").as("f_nw"),
-        pow(col("n_words"), 2).as("f_nw2"), // squared terms let the linear
-        col("mean_word_len").as("f_mwl"),   // model carve the rule's
-        pow(col("mean_word_len"), 2).as("f_mwl2"), // between-bounds bands
+        (col("n_words") * col("n_words")).cast("double").as("f_nw2"),
+        col("mean_word_len").as("f_mwl"),
+        (col("mean_word_len") * col("mean_word_len")).as("f_mwl2"),
         col("stop_hits").cast("double").as("f_stop"))
     graft.operators.QualityModel
-      .weaklySupervisedScore(
-        labeled, "doc_id", "text", "weak_label",
+      .frozenScore(labeled, "doc_id", "text", "weak_label",
         statCols = Seq("f_nw", "f_nw2", "f_mwl", "f_mwl2", "f_stop"))
       .select(
-        col("doc_id"),
-        col("weak_label").cast("int").as("weak_label"),
-        col("predicted"))
+        col("doc_id"), col("weak_label"), col("predicted"), col("p_good"))
   }
 
   /** Gaps-and-islands / SCD2 interval building: collapse each user's
@@ -327,7 +333,56 @@ object EngineQueries {
     "q73_date_math" -> q73,
     "q74_salted_join" -> q74)
 
+  /** q77's oracle replays the frozen-weight scoring bit-for-bit: same
+    * tokenization as q51's, the 256-weight array inlined as a list
+    * literal (interpolated from [[graft.model.QualityWeights]], so
+    * fixture and oracle can never drift), token weights summed
+    * left-to-right in document order on both engines, margin rounded at
+    * 1e-6 BEFORE the sigmoid, class = sign of rounded margin.
+    */
+  private def q77OracleSql: String = {
+    import graft.model.QualityWeights.{intercept, statW, textW}
+    val tw = textW.mkString("[", ", ", "]")
+    val Array(wNw, wNw2, wMwl, wMwl2, wStop) = statW
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0) AS tk,
+       |    length(regexp_replace(coalesce(text, ''), '[ \\t\\n\\f\\r]', '', 'g')) AS n_nonspace
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, tk, len(tk) AS n_words,
+       |    CASE WHEN len(tk) = 0 THEN 0.0
+       |         ELSE CAST(n_nonspace AS DOUBLE) / len(tk) END AS mwl,
+       |    len(list_intersect(list_distinct(tk),
+       |        ['the', 'a', 'and', 'of', 'to'])) AS stop_hits
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, n_words, mwl, stop_hits,
+       |    coalesce(list_sum(list_transform(tk, x ->
+       |      ($tw)[(CAST(CONCAT('0x', substring(md5(x), 1, 4)) AS BIGINT) % 256) + 1])),
+       |      0.0) AS tscore
+       |  FROM s),
+       |m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_words BETWEEN 20 AND 90
+       |          AND mwl BETWEEN 3.0 AND 4.6 AND stop_hits >= 1
+       |         THEN 1 ELSE 0 END AS weak_label,
+       |    floor(((tscore +
+       |      (((((CAST(n_words AS DOUBLE) * ($wNw)) +
+       |          (CAST(n_words * n_words AS DOUBLE) * ($wNw2))) +
+       |          (mwl * ($wMwl))) +
+       |          ((mwl * mwl) * ($wMwl2))) +
+       |          (CAST(stop_hits AS DOUBLE) * ($wStop)))) +
+       |      ($intercept)) * 1000000 + 0.50001) / 1000000 AS mr
+       |  FROM sc)
+       |SELECT doc_id, weak_label,
+       |  CASE WHEN mr >= 0 THEN 1 ELSE 0 END AS predicted,
+       |  floor((1.0 / (1.0 + exp(-mr))) * 1000000 + 0.50001) / 1000000 AS p_good
+       |FROM m""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q77_quality_model" -> q77OracleSql,
     "q81_heavy_hitters" ->
       """SELECT lang, tok AS term, count(*) AS cnt FROM (
         |  SELECT lang,

@@ -40,6 +40,22 @@ class QualityModelSpec extends AnyFunSuite with SparkTestBase {
     assert(posMean > negMean + 0.2, s"pos=$posMean neg=$negMean")
   }
 
+  test("frozen-weight scoring holds an accuracy floor on held-out data") {
+    // QualityWeights trained at sf0.01; sf0.001 is a disjoint corpus —
+    // this pins GENERALIZATION of the frozen hyperplane (measured 0.884
+    // on the training SF, 0.852 at sf0.1). The scoring semantics
+    // themselves are hash-checked by q77's DuckDB oracle.
+    val scored = QualityModel
+      .frozenScore(labeled, "doc_id", "text", "weak_label", statCols)
+      .select(col("weak_label").cast("int"), col("predicted"), col("p_good"))
+      .as[(Int, Int, Double)].collect()
+    assert(scored.length == 500)
+    val acc = scored.count(r => r._1 == r._2).toDouble / scored.length
+    assert(acc >= 0.80, s"frozen-score held-out accuracy $acc")
+    // margin-threshold and probability agree: predicted == (p_good >= 0.5)
+    assert(scored.forall(r => (r._2 == 1) == (r._3 >= 0.5)))
+  }
+
   test("scoring is deterministic within a session (same data, same fit)") {
     def run() = QualityModel
       .weaklySupervisedScore(labeled, "doc_id", "text", "weak_label", statCols)
