@@ -1,11 +1,16 @@
 package graft.operators
 
-/** Codec-free media parsing: formats whose decode is pure byte-format
-  * arithmetic, implementable without any native library — WAV/PCM-16
-  * audio (RIFF container) and binary PPM (P6) images. These make the
-  * multimodal seam REAL for the formats a container without codecs can
-  * support; compressed formats (JPEG/MP3/H.264) still go through the
-  * stub path in [[Multimodal]].
+/** Media parsing without external native libraries:
+  *
+  *  - WAV/PCM-16 audio (RIFF container) and binary PPM (P6) images are
+  *    decoded by hand — their decode is pure byte-format arithmetic;
+  *  - JPEG and PNG decode through the JDK's built-in `javax.imageio`
+  *    ([[decodeImageIO]]) — real compressed-raster decode with zero new
+  *    dependencies, normalized to the same [[PpmImage]] shape so every
+  *    downstream feature path is format-agnostic.
+  *
+  * Only compressed AUDIO (MP3/AAC/...) still goes through the stub path
+  * in [[Multimodal]] — the JDK ships no codec for it.
   *
   * All parsers are defensive: malformed payloads return None rather
   * than throwing, so a corrupt row degrades to stub features instead of
@@ -154,6 +159,75 @@ object MediaCodecs {
     header.copyToArray(out)
     rgb.copyToArray(out, header.length)
     out
+  }
+
+  def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 3 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
+  /** Decode a compressed raster (JPEG/PNG — anything the JDK's ImageIO
+    * registry reads) to the common [[PpmImage]] shape. `getRGB` hands
+    * back packed sRGB ints regardless of the file's internal layout
+    * (palette, grayscale, BGR, alpha), so channel order is normalized
+    * here once; alpha is dropped. Returns None on undecodable bytes —
+    * same defensive contract as the hand-rolled parsers.
+    */
+  def decodeImageIO(b: Array[Byte]): Option[PpmImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < w * h) {
+          val p = px(i)
+          rgb(i * 3) = ((p >> 16) & 0xff).toByte
+          rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+          rgb(i * 3 + 2) = (p & 0xff).toByte
+          i += 1
+        }
+        Some(PpmImage(w, h, 255, rgb))
+      }
+    } catch { case _: Exception => None }
+
+  private def toBufferedImage(
+      width: Int, height: Int, rgb: Array[Byte]): java.awt.image.BufferedImage = {
+    require(rgb.length == width * height * 3, "rgb length must be w*h*3")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < width * height) {
+      val p = ((rgb(i * 3) & 0xff) << 16) |
+        ((rgb(i * 3 + 1) & 0xff) << 8) | (rgb(i * 3 + 2) & 0xff)
+      img.setRGB(i % width, i / width, p)
+      i += 1
+    }
+    img
+  }
+
+  /** Encode RGB triplets as a real PNG via ImageIO (lossless, so
+    * encode→decode is pixel-exact — the property q125's oracle pins).
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(width, height, rgb), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode RGB triplets as a real JPEG via ImageIO (lossy — roundtrip
+    * is approximate; pinned by tolerance spec, not by oracle hash).
+    */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(toBufferedImage(width, height, rgb), "jpg", bos)
+    bos.toByteArray
   }
 
   /** Real audio features from a decoded WAV, laid out as

@@ -87,12 +87,12 @@ object Multimodal {
     * touching the operator. NULL payloads pass through as NULL features,
     * preserving row alignment.
     *
-    * REAL for codec-free formats: WAV/PCM-16 payloads decode to actual
-    * time/frequency-domain audio features, binary PPM (P6) payloads to
-    * actual pixel statistics ([[MediaCodecs]]). Compressed formats
-    * (JPEG/MP3/...) fall through to the deterministic STUB — this
-    * container ships no codecs; a real deployment replaces only
-    * `fakeDecode`.
+    * REAL for WAV/PCM-16 (hand-rolled RIFF parser → time/frequency
+    * audio features), binary PPM (P6), and JPEG/PNG (JDK `javax.imageio`
+    * → the same pixel statistics, [[MediaCodecs.decodeImageIO]]). Only
+    * compressed AUDIO (MP3/AAC/...) falls through to the deterministic
+    * STUB — the JDK ships no codec for it; a real deployment replaces
+    * only `fakeDecode`.
     */
   private def decodeBatch(
       payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
@@ -104,6 +104,10 @@ object Multimodal {
           .getOrElse(fakeDecode(p, dim)) // malformed → stub, not task failure
       else if (MediaCodecs.isPpm(p))
         MediaCodecs.decodePpm(p)
+          .map(MediaCodecs.ppmFeatures(_, dim))
+          .getOrElse(fakeDecode(p, dim))
+      else if (MediaCodecs.isPng(p) || MediaCodecs.isJpeg(p))
+        MediaCodecs.decodeImageIO(p)
           .map(MediaCodecs.ppmFeatures(_, dim))
           .getOrElse(fakeDecode(p, dim))
       else fakeDecode(p, dim)

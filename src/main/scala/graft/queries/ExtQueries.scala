@@ -184,6 +184,51 @@ object ExtQueries {
       "sum_s", "sum_sq", "peak", "zero_crossings")
   }
 
+  /** Compressed-raster (PNG) decode roundtrip through the REAL JDK
+    * ImageIO codec, fully oracle-checked: per source, each document's id
+    * becomes one deterministic RGB pixel, the pixel row is encoded into
+    * an actual PNG ([[graft.operators.MediaCodecs.encodePng]]), decoded
+    * back by [[graft.operators.MediaCodecs.decodeImageIO]] — the same
+    * path `extractFeatures` routes JPEG/PNG payloads through — and
+    * reduced to INTEGER channel statistics that the DuckDB oracle
+    * reproduces directly from `documents`. PNG being lossless makes the
+    * roundtrip pixel-exact, so any channel-order (RGB/BGR), raster
+    * layout, or alpha-handling bug breaks the hash match. JPEG (lossy)
+    * is pinned separately by tolerance spec in `MultimodalSpec`.
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val px = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"))
+      .groupBy("source")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .as[(String, Seq[Long])]
+    px.map { case (src, ids) =>
+      val n = ids.length
+      val rgb = new Array[Byte](n * 3)
+      var i = 0
+      while (i < n) {
+        val id = ids(i)
+        rgb(i * 3) = (id % 256).toByte
+        rgb(i * 3 + 1) = ((id * 7) % 256).toByte
+        rgb(i * 3 + 2) = ((id * 13) % 256).toByte
+        i += 1
+      }
+      val png = graft.operators.MediaCodecs.encodePng(n, 1, rgb)
+      val img = graft.operators.MediaCodecs.decodeImageIO(png)
+        .getOrElse(sys.error(s"png roundtrip decode failed for $src"))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var j = 0
+      while (j < img.width * img.height) {
+        sr += img.rgb(j * 3) & 0xff
+        sg += img.rgb(j * 3 + 1) & 0xff
+        sb += img.rgb(j * 3 + 2) & 0xff
+        j += 1
+      }
+      (src, img.width, img.height, sr, sg, sb)
+    }.toDF("source", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
   /** LSH-bucketed approximate cosine top-k (scale path). Oracle-checked:
     * the seeded hyperplanes are counter-based SplitMix64, so the DuckDB
     * side regenerates the identical plane matrix (no sequential
@@ -500,6 +545,7 @@ object ExtQueries {
     "q26_sessionize" -> q26,
     "q27_multimodal_meta" -> q27,
     "q28_multimodal_features" -> q28,
+    "q125_png_roundtrip" -> q125,
     "q29_cosine_topk_lsh" -> q29,
     "q30_dedup_apply_semi" -> q30,
     "q31_dedup_drop_anti" -> q31,
@@ -564,6 +610,17 @@ object ExtQueries {
         |  CAST(coalesce(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
         |    AS zero_crossings
         |FROM x GROUP BY event_type""".stripMargin,
+    // q125: PNG is lossless, so the decoded channel sums equal the
+    // generator arithmetic replayed over the source rows — integer
+    // math end to end, no float tolerance needed.
+    "q125_png_roundtrip" ->
+      """SELECT source,
+        |  CAST(count(*) AS INT) AS width,
+        |  1 AS height,
+        |  CAST(sum(doc_id % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id * 7) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id * 13) % 256) AS BIGINT) AS sum_b
+        |FROM documents GROUP BY source""".stripMargin,
     "q37_corpus_overlap" ->
       """WITH sh AS (
         |  SELECT DISTINCT source, unnest(list_distinct(list_transform(

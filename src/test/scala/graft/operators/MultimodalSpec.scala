@@ -40,6 +40,47 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(f3 == f1 && f4 == f1)
   }
 
+  test("PNG decode through extractFeatures is pixel-exact (ImageIO path)") {
+    // A 2×2 image with known channel values: features[0..2] are channel
+    // means / 255, exactly recoverable because PNG is lossless.
+    val rgb = Array[Byte](
+      10, 20, 30, 40, 50, 60,
+      70, 80, 90, 100, 110, 120)
+    val png = MediaCodecs.encodePng(2, 2, rgb)
+    assert(MediaCodecs.isPng(png))
+    val df = Seq((1L, png)).toDF("doc_id", "content")
+    val feats = Multimodal.extractFeatures(df, "content", dim = 8)
+      .select("features").as[Seq[Float]].collect().head
+    assert(math.abs(feats(0) - (10 + 40 + 70 + 100) / 4.0f / 255f) < 1e-6)
+    assert(math.abs(feats(1) - (20 + 50 + 80 + 110) / 4.0f / 255f) < 1e-6)
+    assert(math.abs(feats(2) - (30 + 60 + 90 + 120) / 4.0f / 255f) < 1e-6)
+  }
+
+  test("JPEG decode through extractFeatures approximates channel means (lossy)") {
+    // solid-color image: JPEG quantization error on a flat field is tiny,
+    // so channel means must land within a couple of 8-bit steps
+    val (r, g, b) = (200, 120, 40)
+    val rgb = Array.tabulate[Byte](16 * 16 * 3) { i =>
+      (i % 3 match { case 0 => r; case 1 => g; case 2 => b }).toByte
+    }
+    val jpg = MediaCodecs.encodeJpeg(16, 16, rgb)
+    assert(MediaCodecs.isJpeg(jpg))
+    val df = Seq((1L, jpg)).toDF("doc_id", "content")
+    val feats = Multimodal.extractFeatures(df, "content", dim = 8)
+      .select("features").as[Seq[Float]].collect().head
+    assert(math.abs(feats(0) - r / 255f) < 4 / 255f, s"meanR=${feats(0)}")
+    assert(math.abs(feats(1) - g / 255f) < 4 / 255f, s"meanG=${feats(1)}")
+    assert(math.abs(feats(2) - b / 255f) < 4 / 255f, s"meanB=${feats(2)}")
+  }
+
+  test("undecodable compressed payload degrades to stub, not failure") {
+    val broken = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5)
+    val df = Seq((1L, broken)).toDF("doc_id", "content")
+    val feats = Multimodal.extractFeatures(df, "content", dim = 4)
+      .select("features").as[Seq[Float]].collect().head
+    assert(feats.length == 4) // stub features, no exception
+  }
+
   test("resize rewrites metadata dims only") {
     val out = Multimodal.resize(
       Multimodal.synthesizePayload(docs, "text", "image"), 224, 224)
