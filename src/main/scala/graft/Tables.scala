@@ -41,7 +41,17 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** Normalize a RAW events frame — a direct (possibly file-streamed)
+    * read of `events.parquet` under whichever physical `ts` encoding the
+    * fixture generation used — to the loader's instant-timestamp schema.
+    * Shared by [[events]] and the streaming specs/benches that stage the
+    * same parquet through `readStream`, so batch and stream sides always
+    * apply the IDENTICAL conversion.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
@@ -56,7 +66,6 @@ object Tables {
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw // already an instant timestamp — use as-is
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

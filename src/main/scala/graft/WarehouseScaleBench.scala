@@ -37,9 +37,10 @@ object WarehouseScaleBench {
 
     def gen(k: Int): String = {
       val dir = s"/tmp/graft_whscale_$k"
-      // read ts as a raw nanos long (the driver fixture's encoding) and
-      // write it back as a plain INT64 — Tables.events applies the same
-      // nanos→µs conversion to both, so replicas stay loader-compatible
+      // read ts raw (nanos-long under older fixture generations — the
+      // conf is a no-op for the current micros encoding) and write it
+      // back unchanged — Tables.events normalizes either physical form,
+      // so replicas stay loader-compatible
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet(s"$base/events.parquet")
       spark.range(k.toLong).crossJoin(ev)

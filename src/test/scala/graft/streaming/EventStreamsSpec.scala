@@ -38,9 +38,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       spark,
       streamDir,
       rawSchema,
-      df => EventStreams.hourlyRollup(
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))),
+      df => EventStreams.hourlyRollup(Tables.normalizeEventsTs(df)),
       "hourly_test")
     assert(canon(streamed) == canon(batch))
     assert(batch.count() > 0)
@@ -55,9 +53,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       spark,
       streamDir,
       rawSchema,
-      df => EventStreams.sessionCountsStreaming(
-        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))),
+      df => EventStreams.sessionCountsStreaming(Tables.normalizeEventsTs(df)),
       "sessions_test")
     assert(canon(streamed) == batch)
   }
@@ -78,8 +74,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
       spark,
       dupDir.toString,
       rawSchema,
-      df => EventStreams.dedupEvents(
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long"))))
+      df => EventStreams.dedupEvents(Tables.normalizeEventsTs(df))
         .select("event_id"),
       "dedup_test",
       org.apache.spark.sql.streaming.OutputMode.Append())
@@ -127,8 +122,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
 
     def runOnce(): Unit = {
-      val q = spark.readStream.schema(rawSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = Tables.normalizeEventsTs(
+          spark.readStream.schema(rawSchema).parquet(srcDir.toString))
         .filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
         .writeStream
@@ -171,8 +166,8 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestBase {
     val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
     // two independent file streams over the same staged directory — the
     // exact `div`-based nanos→micros conversion the batch loader applies
-    def side(tpe: String) = spark.readStream.schema(rawSchema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(tpe: String) = Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema).parquet(streamDir))
       .filter(col("event_type") === tpe)
     val q = EventStreams.attributedClicks(side("purchase"), side("click"))
       .writeStream
