@@ -169,7 +169,7 @@ object Similarity {
   /** @param knownCount pass the corpus row count when the caller already
     *                    has it — avoids a second full scan of the input
     */
-  private[operators] def trainQuantizer(
+  private[graft] def trainQuantizer(
       corpus: DataFrame,
       vecCol: String,
       numCells: Int,
@@ -205,6 +205,13 @@ object Similarity {
     *                  than the exact broadcast loop: same 12.5M pairs
     *                  plus shuffle overhead).
     */
+  /** `frozenCentroids`: pre-trained codebook (the q77/q32 freeze
+    * discipline) — skips the in-query fit AND the auto-K sizing, making
+    * the candidate set deterministic and the whole blocked pipeline
+    * SQL-replayable (q94's oracle). The frozen K must be sized for the
+    * corpus it serves (the auto-K rule below is the guide); in-query
+    * auto-K training remains the production default.
+    */
   def blockedSemDedup(
       vecs: DataFrame,
       idCol: String,
@@ -213,7 +220,8 @@ object Similarity {
       numCells: Int = 0,
       nprobe: Int = 4,
       seed: Long = 7L,
-      trainSample: Int = 16384): DataFrame = {
+      trainSample: Int = 16384,
+      frozenCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     graft.functions.CosineSim.register(vecs.sparkSession)
     // candidate generation moves (cell, id) rows ONLY — dedup of the
     // pair list happens on two longs; the 2×dim vector payloads attach
@@ -229,11 +237,13 @@ object Similarity {
     // K* = nprobe·√(N/2). (Plain √N — the top-k IVF guidance — sizes
     // cells for query fan-out, not for all-pairs occupancy, and measured
     // ~2× slower here at N=50k.)
-    val k =
-      if (numCells > 0) numCells
-      else math.min(65536, math.max(16,
-        (nprobe * math.ceil(math.sqrt(n.toDouble / 2))).toInt))
-    val centroids = trainQuantizer(assigned, "__v", k, seed, trainSample, knownCount = n)
+    val centroids = frozenCentroids.getOrElse {
+      val k =
+        if (numCells > 0) numCells
+        else math.min(65536, math.max(16,
+          (nprobe * math.ceil(math.sqrt(n.toDouble / 2))).toInt))
+      trainQuantizer(assigned, "__v", k, seed, trainSample, knownCount = n)
+    }
     // Vectors ride WITH the (cell, id) rows and cosine evaluates inside
     // the cell join, so only SURVIVING pairs ever materialize. The
     // earlier id-only design (candidates.distinct, then two joins to
@@ -278,6 +288,14 @@ object Similarity {
     * can be PARTITIONED BY cell id so a query touches nprobe partitions.
     * Centroids are fit with spark.ml KMeans (fixed seed ⇒ reproducible).
     */
+  /** `frozenCentroids`: pass a pre-trained codebook (e.g. the
+    * [[graft.model.IvfCentroids]] fixture) to skip the in-query Lloyd's
+    * fit — the q77 freeze discipline: training runs once offline, the
+    * search pass becomes a pure deterministic expression over centroid
+    * literals, and the whole assignment→probe→cosine→top-k pipeline is
+    * SQL-replayable (q32's oracle). In-query training remains the
+    * default and stays pinned by `SimilaritySpec`'s recall floors.
+    */
   def ivfCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -287,9 +305,11 @@ object Similarity {
       numCells: Int = 16,
       nprobe: Int = 4,
       seed: Long = 7L,
-      trainSample: Int = 16384): DataFrame = {
+      trainSample: Int = 16384,
+      frozenCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
-    val centroids = trainQuantizer(corpus, vecCol, numCells, seed, trainSample)
+    val centroids = frozenCentroids.getOrElse(
+      trainQuantizer(corpus, vecCol, numCells, seed, trainSample))
 
     // Corpus assignment: nearest centroid, one fused native pass/row.
     val c = corpus

@@ -269,14 +269,21 @@ object ExtQueries {
       .select("doc_id", "source")
   }
 
-  /** IVF approximate cosine top-k (k-means cells, rows-only — recall vs
-    * brute force asserted in SimilaritySpec).
+  /** IVF approximate cosine top-k over the FROZEN Lloyd's codebook
+    * ([[graft.model.IvfCentroids]], the q77 freeze discipline): k-means
+    * trains once offline, the search pass — nearest-cell assignment,
+    * nprobe probes, in-cell cosine, top-k — runs as pure expressions
+    * over centroid literals, and the DuckDB oracle replays it exactly
+    * (same sequential dot/norm accumulation as `NearestCells`, ranks on
+    * the unrounded cosine like q29). In-query Lloyd's training remains
+    * the operator default, pinned by SimilaritySpec's recall floors.
     */
   private def q32(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfCosineTopK(
       emb, emb.filter(col("vec_id") < 30), "vec_id", "embedding",
-      k = 5, numCells = 16, nprobe = 4)
+      k = 5, numCells = 16, nprobe = 4,
+      frozenCentroids = Some(graft.model.IvfCentroids.cells))
       .select(col("query_id"), col("neighbor_id"), r6(col("cosine")).as("cosine"), col("rank"))
   }
 
@@ -580,6 +587,54 @@ object ExtQueries {
        |FROM documents""".stripMargin
   }
 
+  /** q32's oracle replays the frozen-codebook IVF search bit-for-bit:
+    * centroid literals interpolated from [[graft.model.IvfCentroids]]
+    * (fixture and oracle can never drift), per-cell score =
+    * `dot(v, c) − ‖c‖²/2` with the SAME sequential accumulation order as
+    * `NearestCells` (both engines fold element-by-element, so scores are
+    * bit-identical and the argmax/probe ranking needs no rounding),
+    * candidates = corpus rows sharing a probed cell, ranked on the
+    * unrounded cosine exactly as q29's proven replay.
+    */
+  private def q32OracleSql: String = {
+    val cent = graft.model.IvfCentroids.cells.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n      ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (SELECT * FROM (VALUES
+       |      $cent) t(cpos, cv)),
+       |sc AS (
+       |  SELECT e.vec_id, cent.cpos,
+       |    list_sum(list_transform(range(1, 65), j -> e.v[j] * cent.cv[j]))
+       |      - list_sum(list_transform(cent.cv, x -> x * x)) / 2 AS s
+       |  FROM e CROSS JOIN cent),
+       |assign AS (
+       |  SELECT vec_id, cpos AS cell FROM (
+       |    SELECT vec_id, cpos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cpos AS cell FROM (
+       |    SELECT vec_id, cpos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+       |    FROM sc WHERE vec_id < 30) t WHERE rn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(qe.v, ne.v) AS cos
+       |  FROM cand
+       |  JOIN e qe ON qe.vec_id = cand.query_id
+       |  JOIN e ne ON ne.vec_id = cand.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+       |SELECT query_id, neighbor_id,
+       |  floor(cos * 1000000 + 0.50001) / 1000000 AS cosine, rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     // q21: the LSH banding is a candidate generator; every emitted pair
     // is exact-Jaccard-verified, and banding recall over this corpus's
@@ -802,6 +857,7 @@ object ExtQueries {
     // reinterpretation + division mirror Long.toDouble/LongMax exactly,
     // and the sign-bit buckets, bucket-equi candidate join and cosine
     // top-k replay bit-for-bit (150/150 rows at sf0.01).
+    "q32_cosine_topk_ivf" -> q32OracleSql,
     "q29_cosine_topk_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |pidx AS (SELECT t.t, i.i FROM range(8) t(t), range(256) i(i)),

@@ -354,16 +354,23 @@ object ScaleQueries {
   }
 
   /** The blocked (IVF-cell) SemDeDup — q82's production-scale sibling:
-    * candidates ≈ Σ cell² instead of N². No SQL oracle (the driver
-    * records a rows-only check, like the other sketch paths q29/q32);
-    * correctness is pinned by `SimilaritySpec`: blocked drops ⊆ exact
-    * drops, with a measured drop-recall floor.
+    * candidates ≈ Σ cell² instead of N², here over the FROZEN 128-cell
+    * Lloyd's codebook ([[graft.model.IvfCentroids.cells128]], the
+    * q77/q32 freeze discipline). Freezing makes the candidate set
+    * deterministic, so the whole blocked pipeline — multi-cell
+    * assignment, shared-cell pairs, cosine ≥ τ, connected components,
+    * survivor selection — is hash-checked against a DuckDB replay
+    * (q82's recursive-CTE closure restricted to shared-cell pairs).
+    * In-query auto-K training remains the operator default, pinned by
+    * `SimilaritySpec` (blocked drops ⊆ exact drops + recall floor,
+    * asserted for BOTH the trained and the frozen path).
     */
   private def q94(s: SparkSession, d: String): DataFrame =
     graft.operators.Similarity
       .blockedSemDedup(
         Tables.embeddings(s, d).select("vec_id", "embedding", "label"),
-        "vec_id", "embedding", tau = 0.4)
+        "vec_id", "embedding", tau = 0.4,
+        frozenCentroids = Some(graft.model.IvfCentroids.cells128))
       .select("vec_id", "label")
 
   /** Interval-union coverage: total time covered by ≥1 event interval
@@ -412,7 +419,49 @@ object ScaleQueries {
     "q88_pmi_collocations" -> q88,
     "q89_countmin_roundtrip" -> q89)
 
+  /** q94's oracle = q82's recursive-CTE component closure with the edge
+    * set restricted to pairs sharing ≥1 of their 4 nearest frozen cells.
+    * Cell scores replay `NearestCells` bit-for-bit (same sequential
+    * dot/norm accumulation — the q32 pattern); centroid literals are
+    * interpolated from [[graft.model.IvfCentroids]] so fixture and
+    * oracle cannot drift; every emitted pair is cosine-verified, so the
+    * closure runs on exactly the pairs Spark's in-cell join emits.
+    */
+  private def q94OracleSql: String = {
+    val cent = graft.model.IvfCentroids.cells128.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n      ")
+    s"""WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS MATERIALIZED (SELECT * FROM (VALUES
+       |      $cent) t(cpos, cv)),
+       |sc AS (
+       |  SELECT ev.vec_id, cent.cpos,
+       |    list_sum(list_transform(range(1, 65), j -> ev.v[j] * cent.cv[j]))
+       |      - list_sum(list_transform(cent.cv, x -> x * x)) / 2 AS s
+       |  FROM ev CROSS JOIN cent),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, cpos AS cell FROM (
+       |    SELECT vec_id, cpos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+       |    FROM sc) t WHERE rn <= 4),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN ev a ON a.vec_id = x.vec_id
+       |  JOIN ev b ON b.vec_id = y.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+       |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+       |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+       |SELECT vec_id, label FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q94_semdedup_blocked" -> q94OracleSql,
     "q95_interval_union" ->
       """WITH iv AS (
         |  SELECT event_type, epoch_us(ts) AS t0,

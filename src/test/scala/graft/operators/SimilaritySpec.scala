@@ -87,6 +87,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"drop recall $recall (${blockedDropped.size}/${exactDropped.size})")
   }
 
+  test("blockedSemDedup over the FROZEN q94 codebook keeps exact precision and recall") {
+    // the q94 query path: frozen 128-cell codebook instead of auto-K
+    // training — candidate set deterministic (what makes the DuckDB
+    // oracle possible); precision must stay exact by construction and
+    // drop recall must hold the same floor as the trained path
+    val sf01 = "/root/testdata/sf0.01"
+    val vecs = Tables.embeddings(spark, sf01)
+    val frozenSurvivors = Similarity
+      .blockedSemDedup(vecs, "vec_id", "embedding", tau = 0.4,
+        frozenCentroids = Some(graft.model.IvfCentroids.cells128))
+      .select("vec_id").as[Long].collect().toSet
+    val all = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    val exactSurvivors = graft.TestClosure.cosineSurvivors(all, tau = 0.4)
+    val exactDropped = all.map(_._1).toSet -- exactSurvivors
+    val frozenDropped = all.map(_._1).toSet -- frozenSurvivors
+    assert(frozenDropped.subsetOf(exactDropped))
+    val recall = frozenDropped.size.toDouble / exactDropped.size
+    assert(recall >= 0.6, s"frozen drop recall $recall")
+  }
+
   test("lshBucket is deterministic and splits the corpus") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))
