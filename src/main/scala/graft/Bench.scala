@@ -55,7 +55,8 @@ object Bench {
     // amortized over every query that reads it, so timing the write
     // inside one arbitrary query measured I/O contention, not the plan.
     for (q <- Seq("q96_bucketed_join", "q97_partition_prune",
-                  "q100_range_layout", "q109_zorder_layout"))
+                  "q100_range_layout", "q109_zorder_layout",
+                  "q126_ivf_partition_prune"))
       try SparkEntry.queries(q)(spark, sfDir) catch { case _: Throwable => }
 
     // optional comma-separated subset filter (profiling aid):

@@ -596,7 +596,14 @@ object ExtQueries {
     * candidates = corpus rows sharing a probed cell, ranked on the
     * unrounded cosine exactly as q29's proven replay.
     */
-  private def q32OracleSql: String = {
+  private def q32OracleSql: String = ivfOracleSql(maxQueryId = 30)
+
+  /** Shared by q32 (30 queries, logical candidate join) and q126 (3
+    * queries, the same candidate set served from the cell-partitioned
+    * LAYOUT) — one replay, two physical plans, which is the point:
+    * layout must be result-invariant.
+    */
+  private[queries] def ivfOracleSql(maxQueryId: Int): String = {
     val cent = graft.model.IvfCentroids.cells.zipWithIndex
       .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
       .mkString(",\n      ")
@@ -617,7 +624,7 @@ object ExtQueries {
        |  SELECT vec_id AS query_id, cpos AS cell FROM (
        |    SELECT vec_id, cpos,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
-       |    FROM sc WHERE vec_id < 30) t WHERE rn <= 4),
+       |    FROM sc WHERE vec_id < $maxQueryId) t WHERE rn <= 4),
        |cand AS (
        |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN assign a ON a.cell = p.cell

@@ -234,15 +234,94 @@ object StorageQueries {
         r2(sum(col("l_quantity"))).as("total_qty"))
   }
 
+  /** IVF cells as a PHYSICAL layout — the claim in `Similarity`'s IVF
+    * scaladoc ("at 100 TB the corpus can be PARTITIONED BY cell id so a
+    * query touches nprobe partitions") made real and oracle-checked.
+    * The corpus is written `partitionBy(cell)` under the FROZEN 16-cell
+    * codebook ([[graft.model.IvfCentroids.cells]] — the codebook q32
+    * searches with), and the probe cells of the 3 query vectors become
+    * LITERAL partition predicates, so 16 − |probed| cell directories
+    * are never opened (`PartitionFilters`, asserted in
+    * `StorageQueriesSpec`). In-partition work is the same in-cell
+    * cosine top-k q32's oracle replays — layout moves the candidate
+    * pruning from a join to the DIRECTORY LISTING, which at 100 TB is
+    * the difference between scanning nprobe/K of the corpus and
+    * scanning none of the rest even once.
+    *
+    * The probe cells are computed DRIVER-side: a 3-row bounded collect
+    * of the query vectors (the literal `vec_id < 3` predicate), scored
+    * against the fixture with the exact `NearestCells` accumulation
+    * (sequential dot − ‖c‖²/2, ties toward the lower cell) — the same
+    * arithmetic the oracle replays in SQL, so the pruned layout serves
+    * exactly the oracle's candidate set.
+    */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val path = s"${layoutRoot(d)}/embeddings_by_cell"
+    val cents = graft.model.IvfCentroids.cells
+    once(s, d, "ivfcells") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          element_at(graft.functions.NearestCells.toCol(
+            transform(col("embedding"), x => x.cast("double")), cents, 1), 1)
+            .as("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(path)
+    }
+    val qvecs = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 3) // 3 rows — bounded by the literal predicate
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // NearestCells' scoring replayed on the driver: sequential dot,
+    // minus the half-norm computed exactly as NearestCells.toCol bakes it
+    def probeCells(v: Array[Double], nprobe: Int): Seq[Int] = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        var dot = 0.0
+        var j = 0
+        while (j < v.length) { dot += v(j) * c(j); j += 1 }
+        (dot - c.map(x => x * x).sum / 2, i)
+      }
+      scored.sortBy { case (sc, i) => (-sc, i) }.take(nprobe).map(_._2).toSeq
+    }
+    val probes = qvecs.map { case (id, v) => (id, v, probeCells(v, 4)) }
+    val allCells = probes.flatMap(_._3).distinct.sorted
+    // partition-column inference off: `cell=3` must read as the string
+    // "3" so the output schema is layout-independent (the q97 rule)
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    import s.implicits._
+    val qDf = probes.toSeq.toDF("query_id", "qv", "probes")
+      .withColumn("probe_cell", explode(col("probes")))
+      .select(col("query_id"), col("qv"), col("probe_cell").cast("string").as("probe_cell"))
+    graft.functions.CosineSim.register(s)
+    val corpus = s.read.parquet(path)
+      .filter(col("cell").isin(allCells.map(_.toString): _*)) // literal → directory pruning
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    corpus
+      .join(broadcast(qDf), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("cosine_sim(transform(embedding, x -> CAST(x AS DOUBLE)), qv)")
+          .as("cosine"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .withColumn("cosine", floor(col("cosine") * 1000000 + lit(0.50001)) / 1000000)
+  }
+
   val defs: Map[String, Q] = Map(
     "q96_bucketed_join" -> q96,
     "q97_partition_prune" -> q97,
     "q98_bloom_prune_join" -> q98,
     "q99_incremental_dedup" -> q99,
     "q100_range_layout" -> q100,
-    "q109_zorder_layout" -> q109)
+    "q109_zorder_layout" -> q109,
+    "q126_ivf_partition_prune" -> q126)
 
   val oracles: Map[String, String] = Map(
+    // layout-invariance: the cell-partitioned read must produce exactly
+    // the logical IVF candidate top-k (q32's replay at 3 queries)
+    "q126_ivf_partition_prune" -> ExtQueries.ivfOracleSql(maxQueryId = 3),
     "q96_bucketed_join" ->
       """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
         |floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) / 100

@@ -58,6 +58,21 @@ class StorageQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected 3 surviving day-partitions, got $files")
   }
 
+  test("q126: probe cells prune the IVF cell-partitioned layout at the directory level") {
+    val plan = planOf("q126_ivf_partition_prune")
+    assert(plan.contains("PartitionFilters"), plan)
+    val df = SparkEntry.queries("q126_ivf_partition_prune")(spark, sf)
+    val parts = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("embeddings_by_cell")) =>
+        f.selectedPartitions.partitionCount
+    }
+    // 3 queries × 4 probes can touch at most 12 distinct cells of 16 —
+    // the listing must prove at least 4 cell directories were never read
+    assert(parts.nonEmpty && parts.forall(p => p > 0 && p <= 12),
+      s"expected ≤12 surviving cell-partitions of 16, got $parts")
+  }
+
   test("q98: a bloom probe from the dimension side lands on the fact scan") {
     val plan = planOf("q98_bloom_prune_join")
     assert(plan.contains("might_contain"),
