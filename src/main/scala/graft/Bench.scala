@@ -56,7 +56,7 @@ object Bench {
     // inside one arbitrary query measured I/O contention, not the plan.
     for (q <- Seq("q96_bucketed_join", "q97_partition_prune",
                   "q100_range_layout", "q109_zorder_layout",
-                  "q126_ivf_partition_prune"))
+                  "q126_ivf_partition_prune", "q127_ivf_append"))
       try SparkEntry.queries(q)(spark, sfDir) catch { case _: Throwable => }
 
     // optional comma-separated subset filter (profiling aid):

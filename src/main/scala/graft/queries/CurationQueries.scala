@@ -216,6 +216,16 @@ object CurationQueries {
     * ONE aggregation shuffle keyed by host. distinct-counts are exact
     * and per-host-bounded; host cardinality is web-scale-bounded
     * (~10⁸), a fine hash-agg key space.
+    *
+    * `parse_url` (an interpreted `Invoke(ParseUrlEvaluator)`, the plan's
+    * most expensive node) is hoisted into its own projection via
+    * `UrlOps.parsedHost/Path/Query` so each component is parsed ONCE per
+    * row — three invocations total. The naive
+    * `canonicalHost(raw) + canonicalUrl(raw)` spelling re-parsed HOST
+    * twice and PATH/QUERY inside the same Project (5×/row) and made
+    * q119 the suite's slowest query. `CollapseProject` keeps the
+    * staging projections separate because `Invoke` is not a cheap
+    * expression.
     */
   private def q119(s: SparkSession, d: String): DataFrame = {
     val id = col("doc_id")
@@ -234,12 +244,19 @@ object CurationQueries {
             .otherwise(lit(""))))
         .otherwise(lit("")),
       when(id % 6 === 0, lit("#s2")).otherwise(lit("")))
+    import graft.operators.UrlOps
     Tables.documents(s, d)
       .select(col("doc_id"), raw.as("raw"))
+      .select(col("raw"),
+        UrlOps.parsedHost(col("raw")).as("h0"),
+        UrlOps.parsedPath(col("raw")).as("p0"),
+        UrlOps.parsedQuery(col("raw")).as("q0"))
+      .select(col("raw"),
+        UrlOps.hostFromParsed(col("h0")).as("host"),
+        col("p0"), col("q0"))
       .select(
-        col("raw"),
-        graft.operators.UrlOps.canonicalHost(col("raw")).as("host"),
-        graft.operators.UrlOps.canonicalUrl(col("raw")).as("canon"))
+        col("raw"), col("host"),
+        UrlOps.urlFromParsed(col("host"), col("p0"), col("q0")).as("canon"))
       .groupBy(col("host"))
       .agg(
         count(lit(1)).as("n_docs"),

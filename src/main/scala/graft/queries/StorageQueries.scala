@@ -259,13 +259,20 @@ object StorageQueries {
     val path = s"${layoutRoot(d)}/embeddings_by_cell"
     val cents = graft.model.IvfCentroids.cells
     once(s, d, "ivfcells") {
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          element_at(graft.functions.NearestCells.toCol(
-            transform(col("embedding"), x => x.cast("double")), cents, 1), 1)
-            .as("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(path)
+      graft.operators.IvfLayout.writeBase(Tables.embeddings(s, d), cents, path)
     }
+    ivfProbeTopK(s, d, path)
+  }
+
+  /** The probe side of the IVF layout, shared by q126 (write-once
+    * layout) and q127 (base + incremental append): probe cells of the 3
+    * query vectors become literal partition predicates over `path`, then
+    * in-cell cosine top-k — identical to q32's oracle replay. Layout
+    * construction must be result-invisible, so both queries hash against
+    * the same `ivfOracleSql(maxQueryId = 3)`.
+    */
+  private def ivfProbeTopK(s: SparkSession, d: String, path: String): DataFrame = {
+    val cents = graft.model.IvfCentroids.cells
     val qvecs = Tables.embeddings(s, d)
       .filter(col("vec_id") < 3) // 3 rows — bounded by the literal predicate
       .select(col("vec_id"),
@@ -309,6 +316,32 @@ object StorageQueries {
       .withColumn("cosine", floor(col("cosine") * 1000000 + lit(0.50001)) / 1000000)
   }
 
+  /** q126's layout, built INCREMENTALLY: base corpus (vec_id % 10 ≠ 0)
+    * written once, then the remaining tenth ingested as an append batch
+    * through [[graft.operators.IvfLayout.appendBatch]] — only the batch
+    * is assigned and written; the base layout's files are never read or
+    * rewritten (q99's incremental-dedup contract applied to the ANN
+    * index; per-cell file-level witness in `IvfLayoutSpec`). The probe
+    * is byte-for-byte q126's, and the oracle is the SAME full-corpus IVF
+    * replay — append must be result-invisible: base + batch under the
+    * frozen codebook serves exactly the candidate set a from-scratch
+    * build serves. Small-file growth from repeated appends is handled by
+    * `IvfLayout.compactCells` (per-cell rewrite via dynamic partition
+    * overwrite), spec-checked, not part of this query's timed path.
+    */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val path = s"${layoutRoot(d)}/embeddings_by_cell_incr"
+    val cents = graft.model.IvfCentroids.cells
+    once(s, d, "ivfcells_incr") {
+      val all = Tables.embeddings(s, d)
+      graft.operators.IvfLayout.writeBase(
+        all.filter(col("vec_id") % 10 =!= 0), cents, path)
+      graft.operators.IvfLayout.appendBatch(
+        all.filter(col("vec_id") % 10 === 0), cents, path)
+    }
+    ivfProbeTopK(s, d, path)
+  }
+
   val defs: Map[String, Q] = Map(
     "q96_bucketed_join" -> q96,
     "q97_partition_prune" -> q97,
@@ -316,12 +349,16 @@ object StorageQueries {
     "q99_incremental_dedup" -> q99,
     "q100_range_layout" -> q100,
     "q109_zorder_layout" -> q109,
-    "q126_ivf_partition_prune" -> q126)
+    "q126_ivf_partition_prune" -> q126,
+    "q127_ivf_append" -> q127)
 
   val oracles: Map[String, String] = Map(
     // layout-invariance: the cell-partitioned read must produce exactly
     // the logical IVF candidate top-k (q32's replay at 3 queries)
     "q126_ivf_partition_prune" -> ExtQueries.ivfOracleSql(maxQueryId = 3),
+    // append-invariance: base + appended batch must serve the SAME
+    // candidate set as the from-scratch build — one oracle, two layouts
+    "q127_ivf_append" -> ExtQueries.ivfOracleSql(maxQueryId = 3),
     "q96_bucketed_join" ->
       """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
         |floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) / 100

@@ -208,6 +208,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q119 parses each URL exactly three times (HOST/PATH/QUERY hoisted)") {
+    // parse_url lowers to an interpreted Invoke(ParseUrlEvaluator) — the
+    // plan's most expensive node. The naive canonicalHost+canonicalUrl
+    // spelling evaluated it 5x per row (HOST twice, PATH twice, QUERY
+    // once) and made q119 the suite's slowest query (BENCH_r07 5.28 s).
+    // The hoisted spelling (UrlOps.parsedHost/Path/Query in a prior
+    // projection, kept un-collapsed because Invoke is not cheap) must
+    // show exactly one invocation per component.
+    val p = simple("q119_url_canonical")
+    val parses = "ParseUrlEvaluator".r.findAllIn(p).size
+    assert(parses == 3, s"expected 3 parse_url invocations, got $parses:\n$p")
+  }
+
   test("no data-scale single-partition exchange in ANY registered query") {
     // Round-5 lesson: q76's scale-killer (a global window funnelling the
     // whole |V|-sized rank frame through one task) survived because this

@@ -73,6 +73,18 @@ class StorageQueriesSpec extends AnyFunSuite with SparkTestBase {
       s"expected ≤12 surviving cell-partitions of 16, got $parts")
   }
 
+  test("q127: the incrementally-appended IVF layout prunes exactly like q126's") {
+    val df = SparkEntry.queries("q127_ivf_append")(spark, sf)
+    val parts = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("embeddings_by_cell_incr")) =>
+        f.selectedPartitions.partitionCount
+    }
+    // append must not cost the layout its pruning: same ≤12-of-16 bound
+    assert(parts.nonEmpty && parts.forall(p => p > 0 && p <= 12),
+      s"expected ≤12 surviving cell-partitions of 16, got $parts")
+  }
+
   test("q98: a bloom probe from the dimension side lands on the fact scan") {
     val plan = planOf("q98_bloom_prune_join")
     assert(plan.contains("might_contain"),
