@@ -78,6 +78,24 @@ object GraphScaleBench {
     time(graft.operators.ConnectedComponents.byMinLabel(ccEdges(warmDir))
       .write.format("noop").mode("overwrite").save())
 
+    // q129's scale path: the SAMPLED triangle kernel under the
+    // constant-relative-error schedule p = 0.3·k^(-1/3) (variance/T²
+    // constant, work O((pE)^1.5) = O(E) — the linear scale sibling of
+    // q110's O(E^1.5) exact kernel). Same registered kernel, same
+    // deterministic md5 keep-rule as q129, threshold shrinking with k.
+    def triSampled(dir: String, k: Int): Unit = {
+      val keep = math.round(300.0 * math.pow(k.toDouble, -1.0 / 3)).toInt
+      val nPart = spark.sessionState.conf.numShufflePartitions
+      graft.queries.GraphQueries.trianglePerPartCredits(
+        graft.queries.GraphQueries.bothDirections(
+          graft.queries.GraphQueries.coPurchaseEdgesOf(
+            spark.read.parquet(s"$dir/lineitem.parquet"), nPart)
+            .filter(graft.queries.GraphQueries.edgeKeep(keep))),
+        nPart)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time(triSampled(warmDir, 1))
+
     val points = ks.map { k =>
       val dir = gen(k)
       val times = queries.map { q =>
@@ -85,7 +103,8 @@ object GraphScaleBench {
           .write.format("noop").mode("overwrite").save())
       } :+ ("cc_kernel" -> time(
         graft.operators.ConnectedComponents.byMinLabel(ccEdges(dir))
-          .write.format("noop").mode("overwrite").save()))
+          .write.format("noop").mode("overwrite").save())) :+
+        ("tri_sampled_kernel" -> time(triSampled(dir, k)))
       (k, times)
     }
     val json = points.map { case (k, ts) =>

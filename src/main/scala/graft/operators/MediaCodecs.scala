@@ -9,8 +9,11 @@ package graft.operators
   *    dependencies, normalized to the same [[PpmImage]] shape so every
   *    downstream feature path is format-agnostic.
   *
-  * Only compressed AUDIO (MP3/AAC/...) still goes through the stub path
-  * in [[Multimodal]] — the JDK ships no codec for it.
+  * Compressed AUDIO is split: MP3 FRAME-HEADER metadata (sample rate,
+  * duration, bitrate, VBR) is parsed for real by [[decodeMp3Meta]] — a
+  * pure byte-walk like the RIFF parser — while SAMPLE decode (the only
+  * part needing an actual codec, which the JDK ships none of) stays on
+  * the stub path in [[Multimodal]].
   *
   * All parsers are defensive: malformed payloads return None rather
   * than throwing, so a corrupt row degrades to stub features instead of
@@ -158,6 +161,128 @@ object MediaCodecs {
     val out = new Array[Byte](header.length + rgb.length)
     header.copyToArray(out)
     rgb.copyToArray(out, header.length)
+    out
+  }
+
+  /** Container-level MP3 metadata — everything the FRAME HEADERS carry.
+    * Sample DECODE (the spectral synthesis) would need a real codec and
+    * stays stubbed in [[Multimodal]]; the header walk below is pure byte
+    * arithmetic, exactly like the RIFF chunk walk, so duration / bitrate
+    * / sample-rate / VBR detection are REAL.
+    */
+  final case class Mp3Meta(
+      sampleRate: Int,
+      nFrames: Long,
+      durationMs: Long,
+      avgKbps: Long,
+      vbr: Boolean)
+
+  /** MPEG-1 Layer III bitrate table, kbps by header index 1–14. */
+  private[operators] val Mp3BitrateKbps: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  private[operators] val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  def isMp3(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      (((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0) ||
+        (b(0) == 'I' && b(1) == 'D' && b(2) == '3'))
+
+  /** Walk every MPEG-1 Layer III frame header: skip a leading ID3v2 tag
+    * (syncsafe size), then per frame read bitrate index / sample-rate
+    * index / padding bit, advance by the Layer III frame length
+    * `144000·kbps/sr + padding`, and accumulate duration (1152
+    * samples/frame) and bitrate. Strict walk: any desync, reserved
+    * index, or mid-stream junk (other than a trailing 128-byte ID3v1
+    * tag) returns None — a wrong frame-length computation cannot
+    * silently produce a partial answer, it breaks the walk and the
+    * oracle hash with it.
+    */
+  def decodeMp3Meta(b: Array[Byte]): Option[Mp3Meta] = {
+    if (!isMp3(b)) return None
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      // ID3v2: 4 syncsafe size bytes (7 bits each) after the 6-byte head
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + size
+      if (off >= b.length) return None
+    }
+    var sampleRate = -1
+    var nFrames = 0L
+    var kbpsSum = 0L
+    var kbpsMin = Int.MaxValue
+    var kbpsMax = Int.MinValue
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) == 0xff && (b(off + 1) & 0xff) == 0xfb) {
+        // sync + MPEG-1 + Layer III + no CRC
+        val brIdx = (b(off + 2) & 0xf0) >>> 4
+        val srIdx = (b(off + 2) & 0x0c) >>> 2
+        val padding = (b(off + 2) & 0x02) >>> 1
+        if (brIdx < 1 || brIdx > 14 || srIdx > 2) return None
+        val sr = Mp3SampleRates(srIdx)
+        if (sampleRate == -1) sampleRate = sr
+        else if (sampleRate != sr) return None // sr change mid-stream: corrupt
+        val kbps = Mp3BitrateKbps(brIdx)
+        val frameLen = 144000 * kbps / sr + padding
+        if (frameLen < 4 || off + frameLen > b.length) return None
+        nFrames += 1
+        kbpsSum += kbps
+        if (kbps < kbpsMin) kbpsMin = kbps
+        if (kbps > kbpsMax) kbpsMax = kbps
+        off += frameLen
+      } else if (b(off) == 'T' && off + 128 == b.length &&
+          b(off + 1) == 'A' && b(off + 2) == 'G') {
+        off = b.length // trailing ID3v1 tag
+      } else return None
+    }
+    if (nFrames == 0 || off != b.length) None
+    else Some(Mp3Meta(
+      sampleRate,
+      nFrames,
+      nFrames * 1152L * 1000L / sampleRate,
+      kbpsSum / nFrames,
+      kbpsMin != kbpsMax))
+  }
+
+  /** Build a structurally-valid MPEG-1 Layer III stream (fixture path —
+    * headers are REAL, frame payloads are zeros, which is all the
+    * metadata walk can see): optional ID3v2 tag of `id3v2Size` payload
+    * bytes, one frame per `(bitrateIndex, padding)` spec, optional
+    * trailing ID3v1 tag. Pins [[decodeMp3Meta]] by roundtrip the way
+    * [[encodeWav]] pins the RIFF parser.
+    */
+  def encodeMp3(
+      frames: Seq[(Int, Boolean)],
+      srIndex: Int = 0,
+      id3v2Size: Int = 0,
+      id3v1: Boolean = false): Array[Byte] = {
+    require(srIndex >= 0 && srIndex <= 2, "bad sample-rate index")
+    val sr = Mp3SampleRates(srIndex)
+    val lens = frames.map { case (brIdx, pad) =>
+      require(brIdx >= 1 && brIdx <= 14, s"bad bitrate index $brIdx")
+      144000 * Mp3BitrateKbps(brIdx) / sr + (if (pad) 1 else 0)
+    }
+    val head = if (id3v2Size > 0) 10 + id3v2Size else 0
+    val tail = if (id3v1) 128 else 0
+    val out = new Array[Byte](head + lens.sum + tail)
+    if (id3v2Size > 0) {
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4 // v2.4
+      out(6) = ((id3v2Size >> 21) & 0x7f).toByte
+      out(7) = ((id3v2Size >> 14) & 0x7f).toByte
+      out(8) = ((id3v2Size >> 7) & 0x7f).toByte
+      out(9) = (id3v2Size & 0x7f).toByte
+    }
+    var off = head
+    frames.zip(lens).foreach { case ((brIdx, pad), len) =>
+      out(off) = 0xff.toByte
+      out(off + 1) = 0xfb.toByte
+      out(off + 2) =
+        ((brIdx << 4) | (srIndex << 2) | (if (pad) 2 else 0)).toByte
+      out(off + 3) = 0xc0.toByte // single-channel mode
+      off += len
+    }
+    if (id3v1) { out(off) = 'T'; out(off + 1) = 'A'; out(off + 2) = 'G' }
     out
   }
 

@@ -89,10 +89,12 @@ object Multimodal {
     *
     * REAL for WAV/PCM-16 (hand-rolled RIFF parser → time/frequency
     * audio features), binary PPM (P6), and JPEG/PNG (JDK `javax.imageio`
-    * → the same pixel statistics, [[MediaCodecs.decodeImageIO]]). Only
-    * compressed AUDIO (MP3/AAC/...) falls through to the deterministic
-    * STUB — the JDK ships no codec for it; a real deployment replaces
-    * only `fakeDecode`.
+    * → the same pixel statistics, [[MediaCodecs.decodeImageIO]]). For
+    * compressed audio (MP3/AAC/...) only SAMPLE synthesis is stubbed —
+    * container metadata parses for real via
+    * [[MediaCodecs.decodeMp3Meta]] (q130's oracle-checked byte walk);
+    * the JDK ships no audio codec, so a real deployment replaces only
+    * `fakeDecode`.
     */
   private def decodeBatch(
       payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =

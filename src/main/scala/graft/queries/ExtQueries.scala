@@ -184,6 +184,43 @@ object ExtQueries {
       "sum_s", "sum_sq", "peak", "zero_crossings")
   }
 
+  /** Compressed-audio (MP3) FRAME-HEADER metadata through the real byte
+    * walk, fully oracle-checked — the q28 discipline applied to the one
+    * format whose SAMPLE decode must stay stubbed (the JDK ships no MP3
+    * codec; only the spectral synthesis is faked, the container walk is
+    * real): per event type, each event becomes one MPEG-1 Layer III
+    * frame whose bitrate index cycles with `event_id` (a VBR stream) and
+    * whose padding bit toggles on `event_id % 3` — so the parser must
+    * get the per-frame length arithmetic `144000·kbps/sr + padding`
+    * right for EVERY frame or the walk desyncs and returns None. The
+    * stream carries a leading ID3v2 tag (sized from the group) and a
+    * trailing ID3v1 tag, both of which the walk must skip. The DuckDB
+    * oracle recomputes frame count, integer duration, and floor-average
+    * bitrate directly from the source rows via the same bitrate table.
+    *
+    * Scale note: one payload per group via collect_list, bounded by
+    * group size — the q28 fixture/roundtrip justification verbatim.
+    */
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val specs = Tables.events(s, d)
+      .filter(col("event_id").isNotNull)
+      .select(col("event_type"), col("event_id"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(col("event_id"))).as("ids"))
+      .as[(String, Seq[Long])]
+    specs.map { case (et, ids) =>
+      val frames = ids.map(id =>
+        ((id % 14 + 1).toInt, id % 3 == 0))
+      val mp3 = graft.operators.MediaCodecs.encodeMp3(
+        frames, srIndex = 0, id3v2Size = 10 + et.length * 7, id3v1 = true)
+      val meta = graft.operators.MediaCodecs.decodeMp3Meta(mp3)
+        .getOrElse(sys.error(s"mp3 header walk failed for $et"))
+      (et, meta.sampleRate, meta.nFrames, meta.durationMs, meta.avgKbps, meta.vbr)
+    }.toDF("event_type", "sample_rate", "n_frames", "duration_ms",
+      "avg_kbps", "vbr")
+  }
+
   /** Compressed-raster (PNG) decode roundtrip through the REAL JDK
     * ImageIO codec, fully oracle-checked: per source, each document's id
     * becomes one deterministic RGB pixel, the pixel row is encoded into
@@ -553,6 +590,7 @@ object ExtQueries {
     "q27_multimodal_meta" -> q27,
     "q28_multimodal_features" -> q28,
     "q125_png_roundtrip" -> q125,
+    "q130_mp3_meta" -> q130,
     "q29_cosine_topk_lsh" -> q29,
     "q30_dedup_apply_semi" -> q30,
     "q31_dedup_drop_anti" -> q31,
@@ -683,6 +721,23 @@ object ExtQueries {
         |  CAST(sum((doc_id * 7) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((doc_id * 13) % 256) AS BIGINT) AS sum_b
         |FROM documents GROUP BY source""".stripMargin,
+    // q130: frame count, integer duration (1152 samples/frame at
+    // 44100 Hz, floor division exactly as the parser's Long math), and
+    // floor-average bitrate recomputed from the same per-event bitrate
+    // index rule via the same MPEG-1 Layer III table
+    "q130_mp3_meta" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+        |      CAST(event_id % 14 + 1 AS INT)) AS kbps
+        |  FROM events WHERE event_id IS NOT NULL)
+        |SELECT event_type,
+        |  44100 AS sample_rate,
+        |  count(*) AS n_frames,
+        |  CAST(count(*) * 1152 * 1000 // 44100 AS BIGINT) AS duration_ms,
+        |  CAST(sum(kbps) // count(*) AS BIGINT) AS avg_kbps,
+        |  count(DISTINCT kbps) > 1 AS vbr
+        |FROM f GROUP BY event_type""".stripMargin,
     "q37_corpus_overlap" ->
       """WITH sh AS (
         |  SELECT DISTINCT source, unnest(list_distinct(list_transform(

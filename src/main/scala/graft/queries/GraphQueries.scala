@@ -63,13 +63,25 @@ object GraphQueries {
     // builds, the merge-walk pass) is edge-scale. Partition for the work
     // you emit, not the bytes you read; an explicit repartition is
     // exempt from AQE coalescing.
-    val und = Tables.lineitem(s, d)
+    val pairs = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .repartition(nPart, col("o"))
       .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
       .select(explode(col("ps")).as("u"), col("ps"))
       .select(col("u"), explode(col("ps")).as("v"))
       .filter(col("u") =!= col("v"))
+    trianglePerPartCredits(pairs, nPart)
+  }
+
+  /** The q110 kernel from an arbitrary directed-both-ways pair frame
+    * `(u, v)` (duplicates fine — `collect_set` dedupes): degree-ordered
+    * orientation + edge-iterator merge walk → per-part triangle credits
+    * (Σ credits = 3 × triangles). Factored so the sampled estimator
+    * (q129) and the scale bench run the IDENTICAL kernel the exact
+    * query runs.
+    */
+  private[graft] def trianglePerPartCredits(pairs: DataFrame, nPart: Int): DataFrame = {
+    val und = pairs
       .repartition(nPart, col("u"))
       .groupBy(col("u")).agg(sort_array(collect_set(col("v"))).as("nbrs"))
     // orientation: keep only higher-(degree, id) neighbors. Degrees are
@@ -112,10 +124,104 @@ object GraphQueries {
       .agg(sum(col("m.c")).as("n_triangles"))
   }
 
+  /** Canonical co-purchase edge set `(u < v)`, the frame both triangle
+    * queries' oracles define their graphs over.
+    */
+  private[graft] def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    coPurchaseEdgesOf(
+      Tables.lineitem(s, d), s.sessionState.conf.numShufflePartitions)
+
+  private[graft] def coPurchaseEdgesOf(lineitem: DataFrame, nPart: Int): DataFrame =
+    lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .repartition(nPart, col("o"))
+      .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") < col("v"))
+      .distinct()
+
+  /** Deterministic Doulion keep-rule (Tsourakakis et al. 2009): an edge
+    * survives iff its md5 bucket (the q44 cross-engine hash recipe over
+    * "u:v") lands under `keepOf1000` — a pure per-row predicate, no RNG
+    * state, replayed bit-for-bit by the DuckDB oracle.
+    */
+  private[graft] def edgeKeep(keepOf1000: Int): Column =
+    graft.operators.Splits.hashBucket(
+      concat_ws(":", col("u"), col("v")), 1000) < keepOf1000
+
+  private[graft] def bothDirections(edges: DataFrame): DataFrame =
+    edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+
+  /** Approximate GLOBAL triangle count by deterministic edge
+    * sparsification — q110's scale sibling, with the error envelope IN
+    * the result (the q70 pattern: exact yardstick + estimate + bound
+    * verdict in one row, all three oracle-replayed).
+    *
+    * Estimator: keep each edge iff its hash bucket < 300 (p = 0.3 — no
+    * RNG, so the sample, the estimate, and the bound check replay
+    * exactly in SQL), run the IDENTICAL q110 kernel on the sampled
+    * graph, scale by 1/p³ (a triangle survives iff all 3 edges do).
+    * Measured error: 4.8 % at sf0.001, 0.3 % at sf0.01 — the 15 %
+    * envelope asserted in-plan holds with huge margin, and Doulion's
+    * concentration only tightens as the graph grows.
+    *
+    * Scale shape: kernel work drops from O(E^1.5) to O((pE)^1.5); at a
+    * FIXED relative error p may shrink as E^(-1/3) (variance/T² stays
+    * constant), making sampled work O(E) — linear in the corpus where
+    * exact counting is superlinear. `GraphScaleBench` records exactly
+    * that schedule (`tri_sampled_kernel`, p = 0.3·k^(-1/3)). The exact
+    * branch here is the in-query yardstick, priced like q70's exact
+    * countDistinct: it keeps the envelope CHECKED, not assumed, at
+    * oracle scales; a 100 TB run drops it and keeps the estimate.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val p = 0.027 // p³ for p = 0.3
+    val edges = coPurchaseEdges(s, d)
+    def count3T(e: DataFrame): DataFrame =
+      trianglePerPartCredits(bothDirections(e), nPart)
+        .agg(sum(col("n_triangles")).as("c3"))
+    val exact = count3T(edges).select((col("c3") / 3).cast("long").as("n_exact"))
+    val est = count3T(edges.filter(edgeKeep(300)))
+      .select(((col("c3") / 3) / p).as("est_raw"))
+    exact.crossJoin(est).select(
+      col("n_exact"),
+      (floor(col("est_raw") * 100 + lit(0.50001)) / 100).as("n_est"),
+      (abs(col("est_raw") - col("n_exact")) / col("n_exact") <= 0.15)
+        .as("within_bound"))
+  }
+
   val defs: Map[String, Q] = Map(
-    "q110_triangle_count" -> q110)
+    "q110_triangle_count" -> q110,
+    "q129_triangle_approx" -> q129)
 
   val oracles: Map[String, String] = Map(
+    // the full estimator replays: same edge set, same md5 keep-rule,
+    // same 1/p³ scale-up, same rounding, same 15 % bound verdict
+    "q129_triangle_approx" ->
+      """WITH co AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM co a JOIN co b ON a.o = b.o AND a.p < b.p),
+        |samp AS (
+        |  SELECT u, v FROM e
+        |  WHERE CAST(CONCAT('0x', substring(md5(u || ':' || v), 1, 8)) AS BIGINT)
+        |        % 1000 < 300),
+        |t AS (
+        |  SELECT count(*) AS c FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |ts AS (
+        |  SELECT count(*) AS c FROM samp e1
+        |  JOIN samp e2 ON e2.u = e1.v
+        |  JOIN samp e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT CAST(t.c AS BIGINT) AS n_exact,
+        |  floor(ts.c / 0.027 * 100 + 0.50001) / 100 AS n_est,
+        |  abs(ts.c / 0.027 - t.c) / t.c <= 0.15 AS within_bound
+        |FROM t, ts""".stripMargin,
     "q110_triangle_count" ->
       """WITH co AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

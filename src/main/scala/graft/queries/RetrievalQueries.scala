@@ -211,13 +211,45 @@ object RetrievalQueries {
       .select(col("doc_id"), col("rrf"), col("rank"))
   }
 
+  /** q102's inverted index built INCREMENTALLY: the corpus arrives as
+    * history (doc_id % 10 ≠ 0) plus an append batch (doc_id % 10 = 0);
+    * each slice is tokenized ALONE into a token-level state and the two
+    * states are merged index-to-index
+    * ([[graft.operators.IncrementalIndex]] — the q115 IVM contract on
+    * postings). The oracle is q102's full-corpus rebuild verbatim:
+    * merge(state(history), state(batch)) must render byte-identically
+    * to state(history ∪ batch), so maintenance is result-invisible —
+    * same invariance shape as q127's layout append. Streamed spelling
+    * (foreachBatch partial-state appends) and BM25-from-state parity
+    * live in `IncrementalIndexSpec`/`IncrementalIndexStreamSpec`.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalIndex
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val history = IncrementalIndex.state(docs.filter(col("doc_id") % 10 =!= 0))
+    val batch = IncrementalIndex.state(docs.filter(col("doc_id") % 10 === 0))
+    IncrementalIndex.render(IncrementalIndex.merge(history, batch))
+  }
+
   val defs: Map[String, Q] = Map(
     "q101_bm25_topk" -> q101,
     "q102_inverted_index" -> q102,
     "q103_embed_centroids" -> q103,
-    "q104_hybrid_rrf" -> q104)
+    "q104_hybrid_rrf" -> q104,
+    "q128_incremental_index" -> q128)
 
   val oracles: Map[String, String] = Map(
+    // merge-invariance: the incrementally-maintained index must equal
+    // the from-scratch rebuild — q102's oracle, reused verbatim
+    "q128_incremental_index" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  WHERE length(token) > 0 GROUP BY 1, 2)
+        |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY token""".stripMargin,
     "q101_bm25_topk" ->
       """WITH toks AS (
         |  SELECT doc_id, token FROM (

@@ -29,9 +29,12 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
                              // against the per-doc scores — a scalar
                              // attach, not a combinatorial product
     "q104_hybrid_rrf",       // same ONE-ROW stats attach inside its BM25 leg
-    "q123_pq_adc"            // PQ ADC scan: corpus codes × broadcast query
+    "q123_pq_adc",           // PQ ADC scan: corpus codes × broadcast query
                              // LUTs — the compressed-domain analogue of
                              // q24's broadcast brute force
+    "q129_triangle_approx"   // final ONE-ROW × ONE-ROW attach of the exact
+                             // yardstick to the sampled estimate — two
+                             // scalar aggregates, bounded by construction
   )
 
   test("column pruning reaches the parquet scans (spot checks)") {

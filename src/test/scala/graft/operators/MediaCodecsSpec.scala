@@ -124,4 +124,43 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(2).getSeq[Float](2) != null) // stub path still works
     assert(out(3).isNullAt(2)) // null passthrough
   }
+
+  test("MP3 frame-header walk: VBR stream with ID3v2 + ID3v1 tags, exact metadata") {
+    import MediaCodecs._
+    // all 14 bitrate indexes, padding toggling — every frame length differs
+    val frames = (1 to 14).map(i => (i, i % 3 == 0)) ++ Seq((5, false), (5, true))
+    val mp3 = encodeMp3(frames, srIndex = 0, id3v2Size = 37, id3v1 = true)
+    val m = decodeMp3Meta(mp3).getOrElse(fail("walk failed"))
+    assert(m.sampleRate == 44100)
+    assert(m.nFrames == 16)
+    assert(m.durationMs == 16L * 1152 * 1000 / 44100)
+    val kbps = frames.map(f => Mp3BitrateKbps(f._1))
+    assert(m.avgKbps == kbps.map(_.toLong).sum / 16)
+    assert(m.vbr)
+    // CBR stream at 48 kHz: vbr=false, sr from the header index
+    val cbr = decodeMp3Meta(encodeMp3(Seq.fill(5)((9, false)), srIndex = 1))
+      .getOrElse(fail("cbr walk failed"))
+    assert(cbr.sampleRate == 48000 && !cbr.vbr && cbr.avgKbps == 128)
+  }
+
+  test("MP3 walk is strict: desync, truncation, reserved index all return None") {
+    import MediaCodecs._
+    val good = encodeMp3(Seq((5, false), (7, true)))
+    assert(decodeMp3Meta(good).isDefined)
+    // truncate the last frame
+    assert(decodeMp3Meta(good.dropRight(1)).isEmpty)
+    // corrupt the second frame's sync byte -> mid-stream junk
+    val bad = good.clone()
+    val firstLen = 144000 * Mp3BitrateKbps(5) / 44100
+    bad(firstLen) = 0x00
+    assert(decodeMp3Meta(bad).isEmpty)
+    // reserved bitrate index 15
+    val resv = good.clone()
+    resv(2) = ((15 << 4) | 0).toByte
+    assert(decodeMp3Meta(resv).isEmpty)
+    // ID3v2 size pointing past the payload
+    assert(decodeMp3Meta(encodeMp3(Seq((5, false)), id3v2Size = 10).take(12)).isEmpty)
+    assert(decodeMp3Meta(Array[Byte]()).isEmpty)
+    assert(decodeMp3Meta(null).isEmpty)
+  }
 }

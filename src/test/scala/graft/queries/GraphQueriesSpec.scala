@@ -43,4 +43,22 @@ class GraphQueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.sum % 3 == 0, "each triangle contributes exactly 3 node counts")
     assert(got.nonEmpty, "fixture graph has no triangles — test is vacuous")
   }
+
+  test("q129: sampled estimate lands inside its own 15% envelope, exact side == q110") {
+    // the driver's oracle proves both engines compute the same row; this
+    // pins the row's CLAIMS — the estimator really is within bound (not
+    // just deterministically wrong in both engines), and the in-query
+    // exact yardstick agrees with q110's per-part credits
+    import spark.implicits._
+    val row = SparkEntry.queries("q129_triangle_approx")(spark, sf)
+      .as[(Long, Double, Boolean)].collect().head
+    val (nExact, nEst, within) = row
+    assert(within, s"estimate $nEst outside the 15% envelope of $nExact")
+    assert(math.abs(nEst - nExact) / nExact.toDouble <= 0.15)
+    val from110 = SparkEntry.queries("q110_triangle_count")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_triangles"))
+      .as[Long].collect().head
+    assert(from110 == 3 * nExact,
+      s"q129 exact side ($nExact) disagrees with q110 credits/3 (${from110 / 3})")
+  }
 }
