@@ -47,8 +47,12 @@ object PlanDump {
       "q123_pq_adc" -> "PQ flat search: native pq_codes encode (no shuffle), ADC scan vs broadcast query LUTs, shortlist, exact re-rank via broadcast candidate fetch",
       "q124_ivfpq" -> "IVF-PQ: the ADC scan is an EQUI-join corpus.cell = probe.cell (~nprobe/cells of the corpus touched) — no cross product anywhere",
       "q77_quality_model" -> "frozen-weight LR scoring: ONE codegen'd map pass, 256-weight array as a plan literal, no fit, no shuffle before the output",
-      "q119_url_canonical" -> "URL canonicalization: codegen'd parse_url + array-HOF projection, ONE agg shuffle keyed by host",
-      "q120_source_kl" -> "mixture drift: one map-combinable shuffle, marginals via windows on the sources-by-buckets frame")
+      "q119_url_canonical" -> "URL canonicalization: parse_url hoisted to ONE invocation per component (3 total, was 5), then codegen'd canon + ONE agg shuffle keyed by host",
+      "q120_source_kl" -> "mixture drift: one map-combinable shuffle, marginals via windows on the sources-by-buckets frame",
+      "q127_ivf_append" -> "incrementally-appended IVF layout: probe cells still resolve as PartitionFilters over the merged directories — append is plan-invisible",
+      "q128_incremental_index" -> "incremental inverted index: two slice states merged by ONE vocabulary-keyed agg; postings concat+sort inside the aggregate",
+      "q129_triangle_approx" -> "sampled triangle estimate: md5 keep-gate inline in the edge scan, the SAME oriented merge-walk kernel on both branches, one-row attach",
+      "q130_mp3_meta" -> "MP3 header walk: collect_list-bounded group payloads, per-group byte walk in a deterministic map, one agg shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")

@@ -270,6 +270,80 @@ object Similarity {
     vecs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** INGEST-TIME SemDeDup: a new batch checked for near-duplicates
+    * against an already-indexed corpus through the IVF cell index — the
+    * q99 incremental-dedup contract lifted from exact hashes to cosine
+    * similarity, and the query-side twin of [[graft.operators.IvfLayout
+    * .appendBatch]]: at ingest each new vector is assigned its cell
+    * (that's the index write) and PROBES its `nprobe` nearest cells for
+    * existing neighbors (that's the dedup read). The history is touched
+    * only through its (cell → vectors) index — at 100 TB the cell-
+    * partitioned layout q126/q127 maintain — so checking a 1 TB batch
+    * into a 100 TB corpus scores candidates in probed cells only, never
+    * rescans the corpus, and the candidate volume is the q94 blocked
+    * bound (≈ nprobe·|batch|·N/K) instead of |batch|·N.
+    *
+    * Decisions mirror q99 exactly: a batch vector with a cosine-≥-τ
+    * match among indexed HISTORY vectors in its probe cells is
+    * `dup_of_history` (dup_of = the LOWEST matching history id — min,
+    * not argmax, so no float ranking crosses engines); otherwise a
+    * match among EARLIER batch rows (lower id, already assigned their
+    * cell by the time this row probes) is `dup_in_batch`; otherwise
+    * `kept`. Candidates are (prober → indexed-side single assigned
+    * cell), faithful to what a stored index can serve; recall is
+    * bounded by nprobe like every IVF read (the q94/CROSSOVER recall
+    * story), and the whole decision function is deterministic and
+    * SQL-replayable (q131's oracle).
+    */
+  def incrementalSemDedup(
+      history: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      centroids: Array[Array[Double]],
+      nprobe: Int = 4): DataFrame = {
+    graft.functions.CosineSim.register(history.sparkSession)
+    def assigned(df: DataFrame, hist: Boolean): DataFrame =
+      df.select(col(idCol).cast("long").as("__iid"),
+          toDouble(col(vecCol)).as("__iv"))
+        .withColumn("__cell",
+          element_at(
+            graft.functions.NearestCells.toCol(col("__iv"), centroids, 1), 1))
+        .withColumn("__hist", lit(hist))
+    // the indexed side: history plus the batch's own assignments (an
+    // earlier batch row is already in the index when a later row probes)
+    val index = assigned(history, hist = true)
+      .unionByName(assigned(batch, hist = false))
+    val probes = batch
+      .select(col(idCol).cast("long").as("__bid"),
+        toDouble(col(vecCol)).as("__bv"))
+      .select(col("__bid"), col("__bv"),
+        explode(
+          graft.functions.NearestCells.toCol(col("__bv"), centroids, nprobe))
+          .as("__pcell"))
+    // candidates share a cell; vectors ride with the rows (the q94
+    // shape) so cosine evaluates inside the join and only matches move
+    val matches = probes
+      .join(index,
+        col("__pcell") === col("__cell") &&
+          col("__iid") =!= col("__bid") &&
+          (col("__hist") || col("__iid") < col("__bid")))
+      .filter(expr("cosine_sim(__bv, __iv)") >= tau)
+      .groupBy(col("__bid"))
+      .agg(
+        min(when(col("__hist"), col("__iid"))).as("__hist_id"),
+        min(when(!col("__hist"), col("__iid"))).as("__bdup_id"))
+    batch.select(col(idCol).cast("long").as("__bid"))
+      .join(matches, Seq("__bid"), "left")
+      .select(
+        col("__bid").as(idCol),
+        when(col("__hist_id").isNotNull, lit("dup_of_history"))
+          .when(col("__bdup_id").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("__hist_id"), col("__bdup_id")).as("dup_of"))
+  }
+
   /** Sign-pattern LSH bucket id for a vector column — one fused native
     * pass over the vector (see [[graft.functions.LshBuckets]]); bit-
     * identical to the per-plane HOF formulation it replaced.

@@ -403,7 +403,25 @@ object ScaleQueries {
       .agg(sum(col("__len")).as("covered_us"))
   }
 
+  /** SemDeDup AT INGEST: the batch tenth of the corpus (vec_id % 10 = 0)
+    * near-dup-checked against the indexed history through the frozen
+    * 128-cell IVF index — [[graft.operators.Similarity
+    * .incrementalSemDedup]], the cosine lift of q99 and the query twin
+    * of q127's layout append. Same τ=0.4 and codebook as q94; statuses
+    * and the min-id dup attribution replay in SQL, so the entire ingest
+    * decision function is hash-checked.
+    */
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.incrementalSemDedup(
+      vecs.filter(col("vec_id") % 10 =!= 0),
+      vecs.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", tau = 0.4,
+      centroids = graft.model.IvfCentroids.cells128)
+  }
+
   val defs: Map[String, Q] = Map(
+    "q131_incremental_semdedup" -> q131,
     "q95_interval_union" -> q95,
     "q92_snapshot_diff" -> q92,
     "q93_sequence_gaps" -> q93,
@@ -460,7 +478,58 @@ object ScaleQueries {
        |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
   }
 
+  /** q131's oracle: the full ingest decision function replayed — frozen
+    * 128-cell scores (the exact `NearestCells` arithmetic), rn=1 cell
+    * assignment for the indexed side, rn≤4 probes for the batch,
+    * cell-equi candidates gated on (history ∨ earlier-batch), cosine ≥
+    * τ, and the q99 status/dup-of attribution via min ids (duplicate
+    * candidate rows from shared cells collapse under min for free).
+    */
+  private def q131OracleSql: String = {
+    val cent = graft.model.IvfCentroids.cells128.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n      ")
+    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS MATERIALIZED (SELECT * FROM (VALUES
+       |      $cent) t(cpos, cv)),
+       |sc AS (
+       |  SELECT ev.vec_id, cent.cpos,
+       |    list_sum(list_transform(range(1, 65), j -> ev.v[j] * cent.cv[j]))
+       |      - list_sum(list_transform(cent.cv, x -> x * x)) / 2 AS s
+       |  FROM ev CROSS JOIN cent),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cpos AS cell FROM (
+       |    SELECT vec_id, cpos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id, cpos AS cell FROM (
+       |    SELECT vec_id, cpos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+       |    FROM sc WHERE vec_id % 10 = 0) t WHERE rn <= 4),
+       |cand AS (
+       |  SELECT p.vec_id AS bid, a.vec_id AS iid, a.vec_id % 10 <> 0 AS is_hist
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  JOIN ev pv ON pv.vec_id = p.vec_id
+       |  JOIN ev iv ON iv.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.vec_id
+       |    AND (a.vec_id % 10 <> 0 OR a.vec_id < p.vec_id)
+       |    AND list_cosine_similarity(pv.v, iv.v) >= 0.4),
+       |agg AS (SELECT bid,
+       |    min(CASE WHEN is_hist THEN iid END) AS hist_id,
+       |    min(CASE WHEN NOT is_hist THEN iid END) AS bdup_id
+       |  FROM cand GROUP BY bid)
+       |SELECT b.vec_id,
+       |  CASE WHEN hist_id IS NOT NULL THEN 'dup_of_history'
+       |       WHEN bdup_id IS NOT NULL THEN 'dup_in_batch'
+       |       ELSE 'kept' END AS status,
+       |  coalesce(hist_id, bdup_id) AS dup_of
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) b
+       |LEFT JOIN agg ON agg.bid = b.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q131_incremental_semdedup" -> q131OracleSql,
     "q94_semdedup_blocked" -> q94OracleSql,
     "q95_interval_union" ->
       """WITH iv AS (

@@ -109,6 +109,55 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"frozen drop recall $recall")
   }
 
+  test("incrementalSemDedup: ingest decisions match a brute-force batch replay") {
+    // the q131 contract: dup_of_history/dup_in_batch/kept per batch row,
+    // replayed here WITHOUT the cell index (brute force over all
+    // candidates whose cosine >= tau, gated on history-or-earlier) —
+    // precision must be exact (every index match is cosine-verified) and
+    // recall bounded only by nprobe cell blocking
+    val sf01 = "/root/testdata/sf0.01"
+    val vecs = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
+    val got = Similarity.incrementalSemDedup(
+      vecs.filter(col("vec_id") % 10 =!= 0),
+      vecs.filter(col("vec_id") % 10 === 0),
+      "vec_id", "embedding", tau = 0.4,
+      centroids = graft.model.IvfCentroids.cells128)
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val all = vecs.as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val batchIds = all.keys.filter(_ % 10 == 0).toSeq.sorted
+    assert(got.keySet == batchIds.toSet, "one decision per batch row")
+    var nonKept = 0
+    for (b <- batchIds) {
+      val bruteHist = all.keys.filter(i => i % 10 != 0 && cos(all(b), all(i)) >= 0.4)
+      val bruteEarlier = all.keys.filter(i => i % 10 == 0 && i < b && cos(all(b), all(i)) >= 0.4)
+      val (status, dupOf) = got(b)
+      status match {
+        case "dup_of_history" =>
+          nonKept += 1
+          // the attributed id must be a TRUE history near-dup (precision)
+          assert(dupOf.exists(bruteHist.toSet), s"$b -> $dupOf not a history dup")
+        case "dup_in_batch" =>
+          // (a history dup may exist but be missed by cell blocking —
+          // that's nprobe recall; the attribution itself must be true)
+          nonKept += 1
+          assert(dupOf.exists(bruteEarlier.toSet), s"$b -> $dupOf not an earlier-batch dup")
+        case "kept" =>
+          // kept is only wrong if brute force finds NO candidate at all
+          // in probed cells — cannot assert emptiness (nprobe recall),
+          // but a kept row must carry no dup_of
+          assert(dupOf.isEmpty)
+      }
+    }
+    assert(nonKept > 0, "fixture has no cross-split near-dups — test is vacuous")
+  }
+
   test("lshBucket is deterministic and splits the corpus") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))
