@@ -62,6 +62,34 @@ object IncrementalIndex {
         sum(col("total_tf")).as("total_tf"),
         sort_array(flatten(collect_list(col("posts")))).as("posts"))
 
+  /** Retract documents from a token state — the other half of the q115
+    * signed contract (inserts +1 / retractions −1): takedowns, opt-outs,
+    * and re-crawl replacements are deletes against a 100 TB index that
+    * must never trigger a rebuild. The deleted docs are re-tokenized
+    * (delete-by-content, the only information the index itself holds),
+    * their postings negated, and the merge re-aggregates at the
+    * (token, doc) level: live tf ≤ 0 vanishes — exactly q115's "groups
+    * whose live count reaches zero disappear" argument, so
+    * applyDeletes(state(A ∪ B), B) ≡ state(A), proven in the spec.
+    * Cost: the delete batch's tokenization + one index-sized re-agg of
+    * the TOUCHED tokens' postings; the corpus is never read.
+    */
+  def applyDeletes(tokenState: DataFrame, deletedDocs: DataFrame): DataFrame = {
+    val negated = state(deletedDocs)
+      .select(col("token"), transform(col("posts"),
+        p => struct(p("doc_id").as("doc_id"), (-p("tf")).as("tf"))).as("posts"))
+    tokenState.select(col("token"), col("posts")).unionByName(negated)
+      .select(col("token"), explode(col("posts")).as("p"))
+      .groupBy(col("token"), col("p.doc_id").as("doc_id"))
+      .agg(sum(col("p.tf")).as("tf"))
+      .filter(col("tf") > 0)
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))).as("posts"))
+  }
+
   /** q102's output shape: the posting list rendered `docid:tf,...`. */
   def render(state: DataFrame): DataFrame =
     state.select(

@@ -50,6 +50,19 @@ class IncrementalIndexSpec extends AnyFunSuite with SparkTestBase {
     assertSame(fromState, fromCorpus, "BM25 from state vs corpus")
   }
 
+  test("deletes retract exactly: applyDeletes(state(A ∪ B), B) == state(A)") {
+    val keep = docs.filter(col("doc_id") % 10 =!= 0)
+    val gone = docs.filter(col("doc_id") % 10 === 0)
+    val afterDelete = IncrementalIndex.applyDeletes(
+      IncrementalIndex.state(docs), gone)
+    val rebuilt = IncrementalIndex.state(keep)
+    assertSame(IncrementalIndex.render(afterDelete),
+      IncrementalIndex.render(rebuilt), "post-delete state")
+    // deleting everything leaves an empty index (zero-count groups vanish)
+    assert(IncrementalIndex.applyDeletes(
+      IncrementalIndex.state(docs), docs).isEmpty)
+  }
+
   test("streamed maintenance: foreachBatch partial states == rebuild") {
     // corpus arrives as two parquet appends; each micro-batch tokenizes
     // ONLY its own files and appends its partial token state to the
