@@ -19,7 +19,7 @@ budget = int(sys.argv[3]) if len(sys.argv) > 3 else 180
 
 def check_one(name, sql, q):
     """Runs in a subprocess: replay the oracle, compare, report."""
-    import duckdb, glob
+    import duckdb, glob, os
     import pandas as pd
 
     def canon(df):
@@ -37,8 +37,12 @@ def check_one(name, sql, q):
     con = duckdb.connect()
     for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
               'lineitem', 'events', 'documents', 'embeddings']:
+        # testdata tables are single files; Spark-generated scale dirs
+        # (ScaleDataGen) are directories of part files
+        path = f'{sf}/{t}.parquet'
+        pat = f'{path}/*.parquet' if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     try:
         ddf = con.execute(sql).df()
     except Exception as e:
