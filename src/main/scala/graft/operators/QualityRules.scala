@@ -55,6 +55,9 @@ object QualityRules {
       maxWords: Int = 90,
       minMeanWordLen: Double = 3.0,
       maxMeanWordLen: Double = 4.6): DataFrame = {
+    // tokenize/regex per row is the cost — spread a small single-block
+    // scan across cores first (no-op on a many-block production input)
+    val src = Spread.ensure(df)
     val t = col(textCol)
     val toks = spaceTokens(t)
     val nWords = size(toks)
@@ -66,7 +69,7 @@ object QualityRules {
       .otherwise((nChars - nSpace).cast("double") / nWords)
     val stopHits = size(array_intersect(
       array_distinct(toks), array(stopwords.map(lit): _*)))
-    df.withColumn("n_words", nWords.cast("long"))
+    src.withColumn("n_words", nWords.cast("long"))
       .withColumn("mean_word_len", meanLen)
       .withColumn("stop_hits", stopHits.cast("long"))
       .withColumn(

@@ -222,6 +222,32 @@ object Similarity {
       seed: Long = 7L,
       trainSample: Int = 16384,
       frozenCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val pairs = blockedNearDupPairs(
+      vecs, idCol, vecCol, tau, numCells, nprobe, seed, trainSample,
+      frozenCentroids)
+    val dropped = ConnectedComponents.byMinLabel(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    vecs.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The EDGE stage of [[blockedSemDedup]], exposed on its own:
+    * cosine-verified near-duplicate pairs `(src, dst)` (src < dst) from
+    * the IVF-cell-blocked candidate set. Shared by the survivor pipeline
+    * above and the component-map query (q50) — both views of the same
+    * near-dup graph, generated once with the same scale bound
+    * (candidates ≈ Σ cell², never N²).
+    */
+  def blockedNearDupPairs(
+      vecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      numCells: Int = 0,
+      nprobe: Int = 4,
+      seed: Long = 7L,
+      trainSample: Int = 16384,
+      frozenCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
     graft.functions.CosineSim.register(vecs.sparkSession)
     // candidate generation moves (cell, id) rows ONLY — dedup of the
     // pair list happens on two longs; the 2×dim vector payloads attach
@@ -231,7 +257,9 @@ object Similarity {
       .localCheckpoint(true) // reused: count + train sample + cell assignment + both vector sides
     // one materializing scan above; the count below reads checkpointed blocks
     val n = assigned.count()
-    if (n <= 1L) return vecs // nothing to dedup; also keeps fitCentroids off an empty sample
+    if (n <= 1L) // no pairs possible; also keeps fitCentroids off an empty sample
+      return assigned.limit(0)
+        .select(col("__id").as("src"), col("__id").as("dst"))
     // auto-K minimizes total flops: assignment costs N·K·dim, the
     // within-cell pair pass costs nprobe²·N²·dim/(2K) — balanced at
     // K* = nprobe·√(N/2). (Plain √N — the top-k IVF guidance — sizes
@@ -258,16 +286,12 @@ object Similarity {
       .select(col("__id"), col("__v"),
         explode(graft.functions.NearestCells.toCol(col("__v"), centroids, nprobe))
           .as("__cell"))
-    val pairs = cells.alias("x")
+    cells.alias("x")
       .join(cells.alias("y"),
         col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id"))
       .filter(expr("cosine_sim(x.__v, y.__v)") >= tau)
       .select(col("x.__id").as("src"), col("y.__id").as("dst"))
       .distinct()
-    val dropped = ConnectedComponents.byMinLabel(pairs)
-      .filter(col("id") =!= col("component"))
-      .select(col("id").as(idCol))
-    vecs.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** INGEST-TIME SemDeDup: a new batch checked for near-duplicates

@@ -113,16 +113,24 @@ object PipelineQueries {
   }
 
   /** Near-dup clustering: connected components over the embedding
-    * near-dup pair graph (q33's edges) — pairs → clusters.
+    * near-dup pair graph — pairs → clusters, the component-map companion
+    * of q94's survivor selection.
+    *
+    * Edges come from the IVF-cell-blocked candidate generator under the
+    * frozen 128-cell codebook (cosine-verified within shared cells, the
+    * q94 machinery), NOT a brute all-pairs join: the r8 sf1 confidence
+    * run measured the earlier brute edge build at 42× for 10× rows (41 s
+    * of a 78 s query), and its τ = 0.3 edge set is Θ(N²)-dense on this
+    * corpus (~0.8% of ALL pairs; at sf1 the 1.5M edges merged into a
+    * single component — a correlation blob, not dedup clusters).
+    * τ = 0.4 keeps the graph sparse and component-shaped; q33 remains
+    * the deliberate brute yardstick, and recall of the blocked candidate
+    * set vs exact is pinned in `SimilaritySpec`/CROSSOVER.json.
     */
   private def q50(s: SparkSession, d: String): DataFrame = {
-    graft.functions.CosineSim.register(s)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val edges = e.alias("a")
-      .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
-      .filter(expr("cosine_sim(a.v, b.v)") >= 0.3)
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val edges = graft.operators.Similarity.blockedNearDupPairs(
+      Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
+      frozenCentroids = Some(graft.model.IvfCentroids.cells128))
     ConnectedComponents.byMinLabel(edges)
       .select(col("id"), col("component"))
   }
@@ -183,18 +191,41 @@ object PipelineQueries {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.cts >= p.ts - INTERVAL 30 MINUTE AND c.cts < p.ts
         |GROUP BY p.event_id, p.user_id, p.ts""".stripMargin,
-    "q50_dedup_components" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT a.vec_id AS src, b.vec_id AS dst
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])) >= 0.3),
-        |sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-        |reach AS (
-        |  SELECT src AS id, dst AS r FROM sym
-        |  UNION
-        |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
-        |)
-        |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin
+    "q50_dedup_components" -> q50OracleSql
   )
+
+  /** q50's oracle: the q94 blocked-candidate replay (frozen 128-cell
+    * scores, rn ≤ 4 probe cells, cell-equi candidates, cosine ≥ 0.4)
+    * ending at the component MAP instead of the survivor set.
+    */
+  private def q50OracleSql: String = {
+    val cent = graft.model.IvfCentroids.cells128.zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n      ")
+    s"""WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS MATERIALIZED (SELECT * FROM (VALUES
+       |      $cent) t(cpos, cv)),
+       |sc AS (
+       |  SELECT ev.vec_id, cent.cpos,
+       |    list_sum(list_transform(range(1, 65), j -> ev.v[j] * cent.cv[j]))
+       |      - list_sum(list_transform(cent.cv, x -> x * x)) / 2 AS s
+       |  FROM ev CROSS JOIN cent),
+       |cells AS MATERIALIZED (
+       |  SELECT vec_id, cpos AS cell FROM (
+       |    SELECT vec_id, cpos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+       |    FROM sc) t WHERE rn <= 4),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+       |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  JOIN ev a ON a.vec_id = x.vec_id
+       |  JOIN ev b ON b.vec_id = y.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+       |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
+       |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin
+  }
 }

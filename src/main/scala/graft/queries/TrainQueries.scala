@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Contamination, ConnectedComponents, Packing, QualityRules, Sampling, SimilarityJoin, TextAnalysis}
+import graft.operators.{Contamination, ConnectedComponents, Packing, QualityRules, Sampling, SimilarityJoin, Spread, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,7 +49,11 @@ object TrainQueries {
     * order (the training-batch packing step).
     */
   private def q53(s: SparkSession, d: String): DataFrame = {
-    val sized = Tables.documents(s, d).select(
+    // spread BEFORE the tokenize projection: expressions evaluate above
+    // a repartition, so ensure-ing the sized frame would still tokenize
+    // on the single scan partition
+    val sized = Spread.ensure(Tables.documents(s, d)
+      .select("doc_id", "lang", "text")).select(
       col("doc_id"), col("lang"),
       // coalesce: NULL text must count 0 on both engines (the operator
       // coerces anyway; the recursive-CTE oracle would poison its
@@ -81,7 +85,7 @@ object TrainQueries {
         lit("@example.com or call 555-"),
         (col("doc_id") % 9000 + 1000).cast("string")))
       .otherwise(col("text"))
-    Tables.documents(s, d)
+    Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), aug.as("__aug"))
       .select(
         col("doc_id"),

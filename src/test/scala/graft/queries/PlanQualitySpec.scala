@@ -133,15 +133,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("quality-rule filter (q51) is shuffle-free: pure row-level signals") {
+  test("quality-rule filter (q51): row-level signals above only the spread exchange") {
+    // the ONLY allowed exchange is Spread.ensure's round-robin scan
+    // spreader (r8: single-row-group small-SF files serialize the
+    // tokenize onto one core — 13× at sf1); no hash/single-partition
+    // shuffle may appear, and the signals must evaluate ABOVE it
     val p = simple("q51_gopher_filter")
-    assert(!p.contains("Exchange"), s"q51 shuffles:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"q51 hash-shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"q51 single-partition:\n$p")
+    assert(p.contains("RoundRobinPartitioning"), s"q51 lost its scan spread:\n$p")
   }
 
-  test("PII redaction (q55) is shuffle-free codegen'd regex work") {
+  test("PII redaction (q55): codegen'd regex work above only the spread exchange") {
     val p = simple("q55_pii_redact")
-    assert(!p.contains("Exchange"), s"q55 shuffles:\n$p")
-    assert(p.contains("*(1)"), p) // regexes stay inside whole-stage codegen
+    assert(!p.contains("Exchange hashpartitioning"), s"q55 hash-shuffles:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), s"q55 single-partition:\n$p")
+    assert(p.contains("RoundRobinPartitioning"), s"q55 lost its scan spread:\n$p")
+    assert(p.contains("regexp_extract_all"), p)
+    // the regex projections must sit ABOVE the exchange (spread-then-
+    // compute); a projection pushed below would re-serialize the work
+    val lines = p.linesIterator.toVector
+    val exIdx = lines.indexWhere(_.contains("RoundRobinPartitioning"))
+    val reIdx = lines.indexWhere(_.contains("regexp_extract_all"))
+    assert(reIdx >= 0 && exIdx > reIdx,
+      s"regex work not above the spread exchange:\n$p")
   }
 
   test("greedy packing (q53) costs one hash shuffle + local sort, like q13") {
