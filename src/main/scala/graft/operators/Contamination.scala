@@ -34,10 +34,9 @@ object Contamination {
     val benchShingles = shingleRows(bench).select("__s").distinct()
     val benchIds = bench.select(col(idCol).as("__id")).distinct()
 
-    // Spread the RAW scan (before any join): Spread.ensure planifies its
-    // input to count partitions, which under AQE eagerly executes any
-    // exchanges in the plan — on a join it would run the broadcast side
-    // as a throwaway job. Exclude bench ids BEFORE shingling so the anti
+    // Spread the RAW scan (before any join): Spread.ensure reasons from
+    // the file scan's size, so it must wrap the scan itself, not a
+    // derived join. Exclude bench ids BEFORE shingling so the anti
     // join moves doc rows, not exploded shingle rows.
     val probe = Spread.ensure(docs.select(col(idCol).as("__id"), col(textCol)))
       .join(broadcast(benchIds), Seq("__id"), "left_anti")

@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Spread
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,7 +32,7 @@ object RetrievalQueries {
     val k1 = 1.2
     val b = 0.75
     val docs = Tables.documents(s, d)
-    val toks = Spread.ensure(docs.select("doc_id", "text")).select(
+    val toks = docs.select(
       col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
@@ -90,7 +89,7 @@ object RetrievalQueries {
     * driver.
     */
   private def q102(s: SparkSession, d: String): DataFrame = {
-    val tf = Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
+    val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -147,10 +146,9 @@ object RetrievalQueries {
     val terms = Seq("spark", "merge", "window")
     val k1 = 1.2
     val b = 0.75
-    val toks = Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
-      .select(
-        col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
+    val toks = Tables.documents(s, d).select(
+      col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     // ONE corpus-scale shuffle: (doc, token) partial counts. Document
     // length, corpus stats, norms, and the query-term tf all derive from

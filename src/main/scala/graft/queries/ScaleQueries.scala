@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{ConnectedComponents, Spread}
+import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,7 +97,7 @@ object ScaleQueries {
       col("doc_id") % 4 === 0,
       concat(col("text"), lit(" Cafe\u0301 NAI\u0308VE  End")))
       .otherwise(col("text"))
-    Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
+    Tables.documents(s, d)
       .select(col("doc_id"), aug.as("__t"))
       .select(
         col("doc_id"),
@@ -169,7 +169,7 @@ object ScaleQueries {
     */
   private def q88(s: SparkSession, d: String): DataFrame = {
     import graft.operators.QualityRules.wordNGramsAll
-    val src = Spread.ensure(Tables.documents(s, d).select("text"))
+    val src = Tables.documents(s, d)
     val uni = src
       .select(explode(wordNGramsAll(col("text"), 1)).as("__w"))
       .select(xxhash64(col("__w")).as("__wh"))

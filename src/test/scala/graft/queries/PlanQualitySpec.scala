@@ -133,30 +133,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("quality-rule filter (q51): row-level signals above only the spread exchange") {
+  test("quality-rule filter (q51): row-level signals above at most the spread exchange") {
     // the ONLY allowed exchange is Spread.ensure's round-robin scan
     // spreader (r8: single-row-group small-SF files serialize the
     // tokenize onto one core — 13× at sf1); no hash/single-partition
-    // shuffle may appear, and the signals must evaluate ABOVE it
+    // shuffle may appear. The RoundRobin itself is CONDITIONAL — Spread
+    // is a deliberate no-op when the scan already fills every core, so
+    // a fixture big enough to split naturally must NOT fail this test
+    // (r8 advice): the invariant is "no exchange other than the spread",
+    // not "the spread fired".
     val p = simple("q51_gopher_filter")
     assert(!p.contains("Exchange hashpartitioning"), s"q51 hash-shuffles:\n$p")
     assert(!p.contains("Exchange SinglePartition"), s"q51 single-partition:\n$p")
-    assert(p.contains("RoundRobinPartitioning"), s"q51 lost its scan spread:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    val spreads = "RoundRobinPartitioning".r.findAllIn(p).size
+    assert(exchanges == spreads, s"q51 non-spread exchange:\n$p")
   }
 
-  test("PII redaction (q55): codegen'd regex work above only the spread exchange") {
+  test("PII redaction (q55): codegen'd regex work above at most the spread exchange") {
     val p = simple("q55_pii_redact")
     assert(!p.contains("Exchange hashpartitioning"), s"q55 hash-shuffles:\n$p")
     assert(!p.contains("Exchange SinglePartition"), s"q55 single-partition:\n$p")
-    assert(p.contains("RoundRobinPartitioning"), s"q55 lost its scan spread:\n$p")
     assert(p.contains("regexp_extract_all"), p)
-    // the regex projections must sit ABOVE the exchange (spread-then-
-    // compute); a projection pushed below would re-serialize the work
     val lines = p.linesIterator.toVector
     val exIdx = lines.indexWhere(_.contains("RoundRobinPartitioning"))
-    val reIdx = lines.indexWhere(_.contains("regexp_extract_all"))
-    assert(reIdx >= 0 && exIdx > reIdx,
-      s"regex work not above the spread exchange:\n$p")
+    if (exIdx >= 0) {
+      // when the spread fired, the regex projections must sit ABOVE it
+      // (spread-then-compute); a projection pushed below would
+      // re-serialize the work
+      val reIdx = lines.indexWhere(_.contains("regexp_extract_all"))
+      assert(reIdx >= 0 && exIdx > reIdx,
+        s"regex work not above the spread exchange:\n$p")
+    } else {
+      // scan already parallel: then NO exchange of any kind is allowed
+      assert(!p.contains("Exchange"), s"q55 unexpected exchange:\n$p")
+    }
   }
 
   test("greedy packing (q53) costs one hash shuffle + local sort, like q13") {
