@@ -67,18 +67,31 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // Per-query MEDIANS over N back-to-back runs (r8 verdict #6: every
+    // round burned a verdict cycle adjudicating single-run driver-host
+    // spikes — q102 6.13 s vs a 1.4 s same-host median). All N runs stay
+    // inside one JVM so JIT state is shared; the median of 3 rejects a
+    // one-off GC/IO spike while still charging real plan regressions.
+    val runs = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toIntOption.getOrElse(3))
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { run(fn); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-        }
-      // a failed query reports -1 so a partial elapsed time can never be
-      // mistaken for a fast successful run
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { run(fn); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        // a failed query reports -1 so a partial elapsed time can never
+        // be mistaken for a fast successful run
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val median =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(runs / 2)
+      name -> median
     }
     // The driver captures only the last ~2000 chars of output; with 95+
     // queries the full-name JSON line overflows that window and the round's
