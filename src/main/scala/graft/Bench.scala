@@ -28,6 +28,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // bench prices the PRODUCTION arm of q129: the in-plan exact
+    // O(E^1.5) yardstick stays on for Verify/oracle runs (where the
+    // error envelope must be CHECKED), but a 100 TB deployment runs
+    // only the sampled estimator — GRAPHSCALE.json records both arms
+    // (q110 = exact kernel, tri_sampled_kernel = sampled schedule)
+    spark.conf.set("spark.graft.triangle.exactYardstick",
+      sys.env.getOrElse("SPARK_GRAFT_TRI_EXACT", "false"))
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 

@@ -183,10 +183,22 @@ object GraphQueries {
     def count3T(e: DataFrame): DataFrame =
       trianglePerPartCredits(bothDirections(e), nPart)
         .agg(sum(col("n_triangles")).as("c3"))
-    val exact = count3T(edges).select((col("c3") / 3).cast("long").as("n_exact"))
     val est = count3T(edges.filter(edgeKeep(300)))
       .select(((col("c3") / 3) / p).as("est_raw"))
-    exact.crossJoin(est).select(
+    // The exact O(E^1.5) yardstick is config-gated (r8 verdict #4): ON
+    // by default so the oracle keeps the envelope CHECKED at sf0.01/0.1;
+    // OFF in Bench/production so the headline time prices the sampled
+    // path a 100 TB run would actually execute. When off, n_exact and
+    // within_bound are NULL — same schema, estimate untouched.
+    val wantExact = s.conf
+      .getOption("spark.graft.triangle.exactYardstick").forall(_.toBoolean)
+    val withExact =
+      if (wantExact)
+        count3T(edges)
+          .select((col("c3") / 3).cast("long").as("n_exact"))
+          .crossJoin(est)
+      else est.select(lit(null).cast("long").as("n_exact"), col("est_raw"))
+    withExact.select(
       col("n_exact"),
       (floor(col("est_raw") * 100 + lit(0.50001)) / 100).as("n_est"),
       (abs(col("est_raw") - col("n_exact")) / col("n_exact") <= 0.15)

@@ -61,4 +61,22 @@ class GraphQueriesSpec extends AnyFunSuite with SparkTestBase {
     assert(from110 == 3 * nExact,
       s"q129 exact side ($nExact) disagrees with q110 credits/3 (${from110 / 3})")
   }
+
+  test("q129: production arm (yardstick off) keeps the estimate, nulls the check") {
+    // bench/100 TB deployments disable the exact O(E^1.5) branch; the
+    // sampled estimate must be bit-identical to the default arm's and
+    // the yardstick columns NULL (same schema either way)
+    import spark.implicits._
+    val default = SparkEntry.queries("q129_triangle_approx")(spark, sf)
+      .as[(Option[Long], Double, Option[Boolean])].collect().head
+    spark.conf.set("spark.graft.triangle.exactYardstick", "false")
+    try {
+      val off = SparkEntry.queries("q129_triangle_approx")(spark, sf)
+        .as[(Option[Long], Double, Option[Boolean])].collect().head
+      assert(off._1.isEmpty && off._3.isEmpty,
+        s"yardstick columns not NULL with the branch off: $off")
+      assert(off._2 == default._2,
+        s"estimate changed across arms: ${off._2} vs ${default._2}")
+    } finally spark.conf.unset("spark.graft.triangle.exactYardstick")
+  }
 }
