@@ -117,8 +117,10 @@ object PipelineQueries {
     * of q94's survivor selection.
     *
     * Edges come from the IVF-cell-blocked candidate generator under the
-    * frozen 128-cell codebook (cosine-verified within shared cells, the
-    * q94 machinery), NOT a brute all-pairs join: the r8 sf1 confidence
+    * scale-keyed frozen codebook (cosine-verified within shared cells,
+    * the q94 machinery; K = 40/128/400 by corpus generation — see
+    * [[graft.model.IvfCentroids.blockingFor]]), NOT a brute all-pairs
+    * join: the r8 sf1 confidence
     * run measured the earlier brute edge build at 42× for 10× rows (41 s
     * of a 78 s query), and its τ = 0.3 edge set is Θ(N²)-dense on this
     * corpus (~0.8% of ALL pairs; at sf1 the 1.5M edges merged into a
@@ -130,7 +132,7 @@ object PipelineQueries {
   private def q50(s: SparkSession, d: String): DataFrame = {
     val edges = graft.operators.Similarity.blockedNearDupPairs(
       Tables.embeddings(s, d), "vec_id", "embedding", tau = 0.4,
-      frozenCentroids = Some(graft.model.IvfCentroids.cells128))
+      frozenCentroids = Some(graft.model.IvfCentroids.blockingFor(s, d)))
     ConnectedComponents.byMinLabel(edges)
       .select(col("id"), col("component"))
   }
@@ -194,38 +196,20 @@ object PipelineQueries {
     "q50_dedup_components" -> q50OracleSql
   )
 
-  /** q50's oracle: the q94 blocked-candidate replay (frozen 128-cell
-    * scores, rn ≤ 4 probe cells, cell-equi candidates, cosine ≥ 0.4)
-    * ending at the component MAP instead of the survivor set.
+  /** q50's oracle: the q94 blocked-candidate replay (scale-keyed frozen
+    * cell scores, rn ≤ 4 probe cells, cell-equi candidates, cosine ≥
+    * 0.4) ending at the component MAP instead of the survivor set —
+    * closure via [[BlockingOracleSql]]'s fixed-round min-label
+    * propagation (the naive transitive closure DNF'd at sf1, where the
+    * τ=0.4 graph percolates into one 19.4k-node component).
     */
   private def q50OracleSql: String = {
-    val cent = graft.model.IvfCentroids.cells128.zipWithIndex
-      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
-      .mkString(",\n      ")
-    s"""WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS MATERIALIZED (SELECT * FROM (VALUES
-       |      $cent) t(cpos, cv)),
-       |sc AS (
-       |  SELECT ev.vec_id, cent.cpos,
-       |    list_sum(list_transform(range(1, 65), j -> ev.v[j] * cent.cv[j]))
-       |      - list_sum(list_transform(cent.cv, x -> x * x)) / 2 AS s
-       |  FROM ev CROSS JOIN cent),
-       |cells AS MATERIALIZED (
-       |  SELECT vec_id, cpos AS cell FROM (
-       |    SELECT vec_id, cpos,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
-       |    FROM sc) t WHERE rn <= 4),
-       |e AS MATERIALIZED (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
-       |  JOIN ev a ON a.vec_id = x.vec_id
-       |  JOIN ev b ON b.vec_id = y.vec_id
-       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
-       |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-       |reach AS (
-       |  SELECT src AS id, dst AS r FROM sym
-       |  UNION
-       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
-       |SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id""".stripMargin
+    val r = BlockingOracleSql.rounds
+    s"""WITH ${BlockingOracleSql.assignPrefix(nprobe = 4)},
+       |${BlockingOracleSql.edgeCtes(tau = 0.4)},
+       |${BlockingOracleSql.closureCtes(r)}
+       |SELECT id, lbl AS component FROM l$r
+       |UNION ALL
+       |${BlockingOracleSql.poisonGuard("-1, -1")}""".stripMargin
   }
 }

@@ -354,23 +354,28 @@ object ScaleQueries {
   }
 
   /** The blocked (IVF-cell) SemDeDup — q82's production-scale sibling:
-    * candidates ≈ Σ cell² instead of N², here over the FROZEN 128-cell
-    * Lloyd's codebook ([[graft.model.IvfCentroids.cells128]], the
-    * q77/q32 freeze discipline). Freezing makes the candidate set
+    * candidates ≈ Σ cell² instead of N², here over the SCALE-KEYED
+    * frozen Lloyd's codebook ([[graft.model.IvfCentroids.blockingFor]]:
+    * K = 40/128/400 by corpus generation, each trained on its own
+    * generation at the auto-K size — the q77/q32 freeze discipline,
+    * made scale-honest in r9). Freezing makes the candidate set
     * deterministic, so the whole blocked pipeline — multi-cell
     * assignment, shared-cell pairs, cosine ≥ τ, connected components,
     * survivor selection — is hash-checked against a DuckDB replay
-    * (q82's recursive-CTE closure restricted to shared-cell pairs).
+    * (q82's recursive-CTE closure restricted to shared-cell pairs),
+    * whose `cent` CTE gates the same books on the same corpus count.
     * In-query auto-K training remains the operator default, pinned by
     * `SimilaritySpec` (blocked drops ⊆ exact drops + recall floor,
-    * asserted for BOTH the trained and the frozen path).
+    * asserted for BOTH the trained and the frozen path); it picks the
+    * SAME K as the frozen path, so the oracle now covers the
+    * production-shaped candidate volume too.
     */
   private def q94(s: SparkSession, d: String): DataFrame =
     graft.operators.Similarity
       .blockedSemDedup(
         Tables.embeddings(s, d).select("vec_id", "embedding", "label"),
         "vec_id", "embedding", tau = 0.4,
-        frozenCentroids = Some(graft.model.IvfCentroids.cells128))
+        frozenCentroids = Some(graft.model.IvfCentroids.blockingFor(s, d)))
       .select("vec_id", "label")
 
   /** Interval-union coverage: total time covered by ≥1 event interval
@@ -404,8 +409,8 @@ object ScaleQueries {
   }
 
   /** SemDeDup AT INGEST: the batch tenth of the corpus (vec_id % 10 = 0)
-    * near-dup-checked against the indexed history through the frozen
-    * 128-cell IVF index — [[graft.operators.Similarity
+    * near-dup-checked against the indexed history through the
+    * scale-keyed frozen IVF index — [[graft.operators.Similarity
     * .incrementalSemDedup]], the cosine lift of q99 and the query twin
     * of q127's layout append. Same τ=0.4 and codebook as q94; statuses
     * and the min-id dup attribution replay in SQL, so the entire ingest
@@ -417,7 +422,7 @@ object ScaleQueries {
       vecs.filter(col("vec_id") % 10 =!= 0),
       vecs.filter(col("vec_id") % 10 === 0),
       "vec_id", "embedding", tau = 0.4,
-      centroids = graft.model.IvfCentroids.cells128)
+      centroids = graft.model.IvfCentroids.blockingFor(s, d))
   }
 
   val defs: Map[String, Q] = Map(
@@ -437,45 +442,21 @@ object ScaleQueries {
     "q88_pmi_collocations" -> q88,
     "q89_countmin_roundtrip" -> q89)
 
-  /** q94's oracle = q82's recursive-CTE component closure with the edge
-    * set restricted to pairs sharing ≥1 of their 4 nearest frozen cells.
-    * Cell scores replay `NearestCells` bit-for-bit (same sequential
-    * dot/norm accumulation — the q32 pattern); centroid literals are
-    * interpolated from [[graft.model.IvfCentroids]] so fixture and
-    * oracle cannot drift; every emitted pair is cosine-verified, so the
-    * closure runs on exactly the pairs Spark's in-cell join emits.
+  /** q94's oracle = the blocked component closure of
+    * [[BlockingOracleSql]] (scale-gated frozen books, fast
+    * inner-product scores, fixed-round min-label propagation — see
+    * there for the exactness argument) ending at the min-id SURVIVOR
+    * set: every id that is a non-min member of its component drops.
     */
   private def q94OracleSql: String = {
-    val cent = graft.model.IvfCentroids.cells128.zipWithIndex
-      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
-      .mkString(",\n      ")
-    s"""WITH RECURSIVE ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS MATERIALIZED (SELECT * FROM (VALUES
-       |      $cent) t(cpos, cv)),
-       |sc AS (
-       |  SELECT ev.vec_id, cent.cpos,
-       |    list_sum(list_transform(range(1, 65), j -> ev.v[j] * cent.cv[j]))
-       |      - list_sum(list_transform(cent.cv, x -> x * x)) / 2 AS s
-       |  FROM ev CROSS JOIN cent),
-       |cells AS MATERIALIZED (
-       |  SELECT vec_id, cpos AS cell FROM (
-       |    SELECT vec_id, cpos,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
-       |    FROM sc) t WHERE rn <= 4),
-       |e AS MATERIALIZED (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
-       |  JOIN ev a ON a.vec_id = x.vec_id
-       |  JOIN ev b ON b.vec_id = y.vec_id
-       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
-       |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-       |reach AS (
-       |  SELECT src AS id, dst AS r FROM sym
-       |  UNION
-       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
-       |comp AS (SELECT id, least(id, min(r)) AS component FROM reach GROUP BY id)
+    val r = BlockingOracleSql.rounds
+    s"""WITH ${BlockingOracleSql.assignPrefix(nprobe = 4)},
+       |${BlockingOracleSql.edgeCtes(tau = 0.4)},
+       |${BlockingOracleSql.closureCtes(r)}
        |SELECT vec_id, label FROM embeddings
-       |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin
+       |WHERE vec_id NOT IN (SELECT id FROM l$r WHERE id <> lbl)
+       |UNION ALL
+       |${BlockingOracleSql.poisonGuard("-1, 'unconverged'")}""".stripMargin
   }
 
   /** q131's oracle: the full ingest decision function replayed — frozen
@@ -486,17 +467,7 @@ object ScaleQueries {
     * candidate rows from shared cells collapse under min for free).
     */
   private def q131OracleSql: String = {
-    val cent = graft.model.IvfCentroids.cells128.zipWithIndex
-      .map { case (c, i) => s"($i, [${c.mkString(", ")}]::DOUBLE[])" }
-      .mkString(",\n      ")
-    s"""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cent AS MATERIALIZED (SELECT * FROM (VALUES
-       |      $cent) t(cpos, cv)),
-       |sc AS (
-       |  SELECT ev.vec_id, cent.cpos,
-       |    list_sum(list_transform(range(1, 65), j -> ev.v[j] * cent.cv[j]))
-       |      - list_sum(list_transform(cent.cv, x -> x * x)) / 2 AS s
-       |  FROM ev CROSS JOIN cent),
+    s"""WITH ${BlockingOracleSql.assignPrefix(nprobe = 4)},
        |assign AS MATERIALIZED (
        |  SELECT vec_id, cpos AS cell FROM (
        |    SELECT vec_id, cpos,

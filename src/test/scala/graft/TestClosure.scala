@@ -25,4 +25,22 @@ object TestClosure {
       }
     vecs.map(_._1).groupBy(id => find(idx(id))).values.map(_.min).toSet
   }
+
+  /** Full exact component map of the cosine-≥-tau closure: id →
+    * min-id of its component (singletons map to themselves).
+    */
+  def cosineComponents(
+      vecs: Array[(Long, Array[Double])], tau: Double): Map[Long, Long] = {
+    val idx = vecs.map(_._1).zipWithIndex.toMap
+    val parent = Array.tabulate(vecs.length)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length)
+      if (cosine(vecs(i)._2, vecs(j)._2) >= tau) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    val minOf = vecs.map(_._1).groupBy(id => find(idx(id)))
+      .map { case (root, ids) => root -> ids.min }
+    vecs.map { case (id, _) => id -> minOf(find(idx(id))) }.toMap
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables, TestClosure}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the scale-keyed frozen blocking codebooks (r8 advice):
+  *
+  *  1. q50's oracle REPLAYS the blocking (same cells, same tie-break),
+  *     so a candidate-generation bug would pass the hash oracle
+  *     unnoticed. This spec restores one implementation-INDEPENDENT
+  *     view: blocked components diffed against the exact union-find
+  *     closure, with precision exact and recall floored.
+  *
+  *  2. The oracle's probe-cell ranking (ORDER BY s DESC, cpos) assumes
+  *     DuckDB's list_sum accumulation and the native NearestCells loop
+  *     agree bit-for-bit; ulp drift near the rank-4/5 boundary would
+  *     flip a probe cell at some scale and break the hash silently.
+  *     The margin test asserts no vector sits within 1e-9 of that
+  *     boundary on any committed (corpus, book) pairing — an exact tie
+  *     (margin 0) is also safe, both engines break it on cpos.
+  */
+class FrozenCodebookSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("q50 blocked components refine the exact closure at sf0.01 (independent cross-check)") {
+    val d = "/root/testdata/sf0.01"
+    val blocked = graft.SparkEntry.queries("q50_dedup_components")(spark, d)
+      .as[(Long, Long)].collect().toMap
+    val all = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }
+    val exact = TestClosure.cosineComponents(all, tau = 0.4)
+    // PRECISION is structural: every blocked edge is cosine-verified, so
+    // two ids the blocked map groups together must share an exact
+    // component — a violation means the candidate generator emitted a
+    // pair the exact graph doesn't have (e.g. a broken cosine)
+    for ((id, comp) <- blocked)
+      assert(exact(id) == exact(comp),
+        s"blocked groups $id with $comp but exact closure separates them")
+    // RECALL: cell blocking must recover most of the exact non-singleton
+    // membership (documented floor 0.6, same as SimilaritySpec's
+    // survivor-level floor; CROSSOVER.json records 0.999 pair recall at
+    // auto-K scale — the floor here is deliberately loose, the point is
+    // an implementation-independent view, not a tight bound)
+    val exactNonSingleton = exact.collect {
+      case (id, c) if exact.count(_._2 == c) > 1 => id
+    }.toSet
+    val blockedGrouped = blocked.keySet
+    val recall = (exactNonSingleton & blockedGrouped).size.toDouble /
+      exactNonSingleton.size
+    assert(recall >= 0.6, s"component membership recall $recall")
+  }
+
+  test("no vector within 1e-9 of the rank-4/5 probe-cell boundary on any committed pairing") {
+    // replay NearestCells' EXACT score arithmetic (sequential dot minus
+    // half squared norm, j ascending) per (corpus generation, book)
+    def minMargin(d: String, k: Int): Double = {
+      val cents = graft.model.IvfCentroids.blockingCells(k)
+      val vecs = Tables.embeddings(spark, d)
+        .select(col("embedding")).as[Array[Float]].collect()
+      var min = Double.MaxValue
+      for (v <- vecs) {
+        val scores = cents.map { c =>
+          var s = 0.0; var n = 0.0; var j = 0
+          while (j < c.length) { s += v(j) * c(j); n += c(j) * c(j); j += 1 }
+          s - n / 2
+        }
+        val sorted = scores.sorted(Ordering.Double.TotalOrdering.reverse)
+        val margin = sorted(3) - sorted(4)
+        // margin 0 = exact tie, broken deterministically on cpos in both
+        // engines; only a NEAR-tie (0 < margin < eps) is fragile
+        if (margin > 0 && margin < min) min = margin
+      }
+      min
+    }
+    val m001 = minMargin("/root/testdata/sf0.01", 40)
+    assert(m001 > 1e-9, s"sf0.01/cells40 rank-4/5 margin $m001")
+    val m01 = minMargin("/root/testdata/sf0.1", 128)
+    assert(m01 > 1e-9, s"sf0.1/cells128 rank-4/5 margin $m01")
+    // sf1 is the uncommitted builder-side upsample; check when present
+    if (new java.io.File("/root/repo/tmp/testdata/sf1/embeddings.parquet").exists) {
+      val m1 = minMargin("/root/repo/tmp/testdata/sf1", 400)
+      assert(m1 > 1e-9, s"sf1/cells400 rank-4/5 margin $m1")
+    }
+  }
+}

@@ -96,7 +96,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val vecs = Tables.embeddings(spark, sf01)
     val frozenSurvivors = Similarity
       .blockedSemDedup(vecs, "vec_id", "embedding", tau = 0.4,
-        frozenCentroids = Some(graft.model.IvfCentroids.cells128))
+        frozenCentroids = Some(graft.model.IvfCentroids.blockingCells(128)))
       .select("vec_id").as[Long].collect().toSet
     val all = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
@@ -121,7 +121,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       vecs.filter(col("vec_id") % 10 =!= 0),
       vecs.filter(col("vec_id") % 10 === 0),
       "vec_id", "embedding", tau = 0.4,
-      centroids = graft.model.IvfCentroids.cells128)
+      centroids = graft.model.IvfCentroids.blockingCells(128))
       .as[(Long, String, Option[Long])].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
     val all = vecs.as[(Long, Array[Float])].collect()

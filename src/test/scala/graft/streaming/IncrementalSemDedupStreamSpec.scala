@@ -27,7 +27,7 @@ class IncrementalSemDedupStreamSpec extends AnyFunSuite with SparkTestBase {
 
   test("streamed micro-batch ingest keeps exactly the one-shot survivor set") {
     val sf = "/root/testdata/sf0.01"
-    val cents = graft.model.IvfCentroids.cells128
+    val cents = graft.model.IvfCentroids.blockingCells(128)
     val vecs = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val history = vecs.filter(col("vec_id") % 10 =!= 0)
     val batch = vecs.filter(col("vec_id") % 10 === 0)
