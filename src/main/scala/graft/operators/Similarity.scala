@@ -251,9 +251,13 @@ object Similarity {
     graft.functions.CosineSim.register(vecs.sparkSession)
     // candidate generation moves (cell, id) rows ONLY — dedup of the
     // pair list happens on two longs; the 2×dim vector payloads attach
-    // ONCE per surviving pair side, never per shared cell
-    val assigned = vecs
-      .select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__v"))
+    // ONCE per surviving pair side, never per shared cell.
+    // Spread BEFORE the checkpoint: the N·K·dim cell assignment (512M
+    // flops at sf1) and both join map sides inherit the checkpoint's
+    // partitioning, and a single-row-group corpus file would pin all of
+    // it to one core — the compute-dominant case Spread exists for.
+    val assigned = Spread
+      .ensure(vecs.select(col(idCol).as("__id"), toDouble(col(vecCol)).as("__v")))
       .localCheckpoint(true) // reused: count + train sample + cell assignment + both vector sides
     // one materializing scan above; the count below reads checkpointed blocks
     val n = assigned.count()
