@@ -217,7 +217,8 @@ object Dedup {
     */
   def simHashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.SimHash64.register(df.sparkSession)
-    df.select(col(idCol), expr(s"simhash64($textCol)").as("simhash"))
+    Spread.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), expr(s"simhash64($textCol)").as("simhash"))
   }
 
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,

@@ -45,9 +45,11 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     graft.functions.CosineSim.register(corpus.sparkSession)
-    val c = corpus.select(
+    // corpus side does |corpus|·|queries| dot products map-side against
+    // the broadcast — spread a single-block scan or one core does it all
+    val c = Spread.ensure(corpus.select(
       col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("__cv"))
+      toDouble(col(vecCol)).as("__cv")))
     val q = queries.select(
       col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("__qv"))
@@ -413,9 +415,11 @@ object Similarity {
     val centroids = frozenCentroids.getOrElse(
       trainQuantizer(corpus, vecCol, numCells, seed, trainSample))
 
-    // Corpus assignment: nearest centroid, one fused native pass/row.
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv"))
+    // Corpus assignment: nearest centroid, one fused native pass/row —
+    // N·K·dim flops map-side, spread when the scan is one block.
+    val c = Spread
+      .ensure(corpus
+        .select(col(idCol).as("neighbor_id"), toDouble(col(vecCol)).as("__cv")))
       .withColumn("__cell",
         element_at(graft.functions.NearestCells.toCol(col("__cv"), centroids, 1), 1))
 
@@ -477,7 +481,10 @@ object Similarity {
         posexplode(
           graft.functions.LshBuckets.toCol(col(vecCol), planes, dim, numTables, bits))
           .as(Seq("tbl", "bucket")))
-    val c = withBuckets(corpus, "neighbor_id")
+    // corpus-side buckets + the per-candidate cosines all run map-side
+    // against the broadcast query table — spread a single-block scan
+    val c = withBuckets(
+      Spread.ensure(corpus.select(col(idCol), col(vecCol))), "neighbor_id")
     val q = withBuckets(queries, "query_id")
     val scored = c
       .join(broadcast(q), Seq("tbl", "bucket"))

@@ -32,9 +32,24 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
 
+  /** Below this many input bytes per core the round-robin exchange
+    * cannot pay for itself: it costs a fixed ~50–150 ms of job overhead
+    * plus one full write+read of the data, while the parallelization
+    * gain is bounded by the single-core compute over those few bytes.
+    * Measured at both poles (r8/r9 A/B): the sf0.1 documents table
+    * (0.6 MB → 19 KB/core at 32 cores) is where a blanket spread COST
+    * 1.2–2× on a dozen text queries, and the sf1 table (5.9 MB →
+    * 184 KB/core) is where the SAME spread won 3–16× (q33's broadcast
+    * self-join runs 16× more streamed partitions, q37/q51/q55's per-row
+    * kernels spread off their single row group). 64 KB/core separates
+    * the two regimes with ~3× margin on each side.
+    */
+  val minBytesPerCore: Long = 64L * 1024
+
   /** `df`, round-robin repartitioned to `defaultParallelism` iff its
-    * file scan would plan fewer partitions than that. Non-file sources
-    * and streams pass through untouched.
+    * file scan would plan fewer partitions than that AND there are at
+    * least [[minBytesPerCore]] input bytes per core to justify the
+    * exchange. Non-file sources and streams pass through untouched.
     */
   def ensure(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
@@ -49,10 +64,13 @@ object Spread {
     // enough files to fill every core even at one-split-per-file —
     // return before stat-ing anything (the 100 TB fast path)
     if (files.length >= cores) return df
-    if (estimatedScanPartitions(df, files, cores) < cores)
+    val est = estimate(df, files, cores)
+    if (est.partitions < cores && est.totalBytes >= minBytesPerCore * cores)
       df.repartition(cores)
     else df
   }
+
+  private case class Estimate(partitions: Long, totalBytes: Long)
 
   /** Replay of `FilePartition.maxSplitBytes` + per-file split counting.
     * Slight over-estimate versus Spark's bin-packing (which merges small
@@ -62,8 +80,8 @@ object Spread {
     * should re-write their layout (see IvfLayout/StorageQueries) rather
     * than lean harder on a shuffle.
     */
-  private def estimatedScanPartitions(
-      df: DataFrame, files: Array[String], cores: Int): Long = {
+  private def estimate(
+      df: DataFrame, files: Array[String], cores: Int): Estimate = {
     val spark = df.sparkSession
     def bytesConf(key: String, dflt: Long): Long =
       try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
@@ -80,9 +98,11 @@ object Spread {
         p.getFileSystem(hconf).getFileStatus(p).getLen
       } catch { case _: Throwable => 0L }
     }
-    val totalBytes = sizes.map(_ + openCost).sum
+    val padded = sizes.map(_ + openCost).sum
     val maxSplit =
-      math.min(maxPartitionBytes, math.max(openCost, totalBytes / cores))
-    sizes.map(s => math.max(1L, (s + maxSplit - 1) / maxSplit)).sum
+      math.min(maxPartitionBytes, math.max(openCost, padded / cores))
+    Estimate(
+      sizes.map(s => math.max(1L, (s + maxSplit - 1) / maxSplit)).sum,
+      sizes.sum)
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Spread
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -39,7 +40,7 @@ object CurationQueries {
     */
   private def q105(s: SparkSession, d: String): DataFrame = {
     val spanWords = 10
-    val spans = Tables.documents(s, d)
+    val spans = Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .filter(length(col("col")) > 0)
       .withColumn("span_idx", floor(col("pos") / spanWords).cast("long"))
@@ -163,7 +164,7 @@ object CurationQueries {
     * implementation; this query oracle-checks its hottest piece.
     */
   private def q108(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+    val words = Spread.ensure(Tables.documents(s, d).select("text"))
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -192,7 +193,7 @@ object CurationQueries {
     */
   private def q116(s: SparkSession, d: String): DataFrame = {
     val blocklist = Seq("table table", "fast merge", "agg row scan", "spark", "quantum")
-    Tables.documents(s, d)
+    Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"),
         graft.functions.AhoMatches.toCol(col("text"), blocklist).as("m"))
       .filter(size(col("m")) > 0)

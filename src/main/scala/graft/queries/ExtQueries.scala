@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Quantiles, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quantiles, Similarity, Spread, TextAnalysis}
 import graft.streaming.EventStreams
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,7 +35,7 @@ object ExtQueries {
     val nChars = length(t)
     val nSpaces = nChars - length(regexp_replace(t, "\\s", ""))
     val nPunct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
-    Tables.documents(s, d).select(
+    Spread.ensure(Tables.documents(s, d).select("doc_id", "text")).select(
       col("doc_id"),
       nTok.as("n_tokens"),
       nChars.as("n_chars_measured"),
@@ -51,13 +51,13 @@ object ExtQueries {
     */
   private def q18(s: SparkSession, d: String): DataFrame = {
     graft.functions.LangId.register(s)
-    Tables.documents(s, d)
+    Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), expr("lang_id(text)").as("lang_pred"))
   }
 
   /** Document fingerprints: portable 128-bit digest. */
   private def q19(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
       .select(
         col("doc_id"),
         TextAnalysis.digestHex(col("text")).as("digest"),
@@ -95,7 +95,7 @@ object ExtQueries {
     */
   private def q23(s: SparkSession, d: String): DataFrame = {
     graft.functions.NGramJaccard.register(s)
-    val t = Tables.documents(s, d).select("doc_id", "text")
+    val t = Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
     t.alias("a")
       .join(t.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
       .select(
@@ -331,7 +331,7 @@ object ExtQueries {
     */
   private def q33(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    val e = Tables.embeddings(s, d)
+    val e = Spread.ensure(Tables.embeddings(s, d).select("vec_id", "embedding"))
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     e.alias("a")
       .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
@@ -345,7 +345,7 @@ object ExtQueries {
 
   /** BPE-ish subword piece counts (tokenizer-load estimate). */
   private def q34(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
       .select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_words"),
@@ -401,7 +401,7 @@ object ExtQueries {
   private def q37(s: SparkSession, d: String): DataFrame = {
     graft.functions.MinHashSig.register(s)
     import s.implicits._
-    val sigs = Tables.documents(s, d)
+    val sigs = Spread.ensure(Tables.documents(s, d).select("source", "text"))
       .select(col("source"), Dedup.minHashSignature("text", 64, 5).as("sig"))
       .as[(String, Array[Long])]
     val grouped = sigs
@@ -448,7 +448,7 @@ object ExtQueries {
       .foldLeft(lit(-1)) { case (acc, (sv, i)) =>
         when(col("source") === sv, lit(i)).otherwise(acc)
       }
-    val masks = Tables.documents(s, d)
+    val masks = Spread.ensure(Tables.documents(s, d).select("source", "text"))
       .select(
         sid.as("sid"),
         explode(expr(
@@ -525,7 +525,7 @@ object ExtQueries {
   private def q42(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val n = docs.count()
-    val tokens = docs
+    val tokens = Spread.ensure(docs.select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("token")

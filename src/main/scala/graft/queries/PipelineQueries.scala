@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{AsOfJoin, ConnectedComponents, Splits}
+import graft.operators.{AsOfJoin, ConnectedComponents, Splits, Spread}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -66,7 +66,7 @@ object PipelineQueries {
     * total order: count desc, bigram asc).
     */
   private def q47(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Spread.ensure(Tables.documents(s, d).select("text"))
       .select(split(col("text"), " ").as("__w"))
       .filter(size(col("__w")) >= 2)
       .select(explode(expr(

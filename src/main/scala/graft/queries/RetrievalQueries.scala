@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Spread
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,7 +33,7 @@ object RetrievalQueries {
     val k1 = 1.2
     val b = 0.75
     val docs = Tables.documents(s, d)
-    val toks = docs.select(
+    val toks = Spread.ensure(docs.select("doc_id", "text")).select(
       col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
@@ -89,7 +90,7 @@ object RetrievalQueries {
     * driver.
     */
   private def q102(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
+    val tf = Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("tf"))
@@ -146,9 +147,10 @@ object RetrievalQueries {
     val terms = Seq("spark", "merge", "window")
     val k1 = 1.2
     val b = 0.75
-    val toks = Tables.documents(s, d).select(
-      col("doc_id"),
-      explode(split(col("text"), " ")).as("token"))
+    val toks = Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
+      .select(
+        col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
     // ONE corpus-scale shuffle: (doc, token) partial counts. Document
     // length, corpus stats, norms, and the query-term tf all derive from

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.ConnectedComponents
+import graft.operators.{ConnectedComponents, Spread}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,9 +47,12 @@ object ScaleQueries {
     */
   private def q82(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    val e = Tables.embeddings(s, d).select(
+    // the broadcast self-join's parallelism is the STREAMED side's
+    // partition count — a single-row-group corpus file caps the whole
+    // N² cosine pass at 1-2 cores (measured 39 s at sf1, ~4 s spread)
+    val e = graft.operators.Spread.ensure(Tables.embeddings(s, d).select(
       col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
     val pairs = e.alias("a")
       .join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
       .filter(expr("cosine_sim(a.v, b.v)") >= 0.4)
@@ -97,7 +100,7 @@ object ScaleQueries {
       col("doc_id") % 4 === 0,
       concat(col("text"), lit(" Cafe\u0301 NAI\u0308VE  End")))
       .otherwise(col("text"))
-    Tables.documents(s, d)
+    Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
       .select(col("doc_id"), aug.as("__t"))
       .select(
         col("doc_id"),
@@ -169,7 +172,7 @@ object ScaleQueries {
     */
   private def q88(s: SparkSession, d: String): DataFrame = {
     import graft.operators.QualityRules.wordNGramsAll
-    val src = Tables.documents(s, d)
+    val src = Spread.ensure(Tables.documents(s, d).select("text"))
     val uni = src
       .select(explode(wordNGramsAll(col("text"), 1)).as("__w"))
       .select(xxhash64(col("__w")).as("__wh"))

@@ -16,11 +16,22 @@ class SpreadSpec extends AnyFunSuite with SparkTestBase {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("tiny single-file parquet scan is round-robin spread to all cores") {
-    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  test("single-file scan above the bytes/core floor is spread to all cores") {
+    // sf0.1 documents ≈ 0.6 MB → ~150 KB/core at local[4]: above the
+    // 64 KB/core floor, single row group → must spread
+    val df = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id", "text")
     val p = plan(Spread.ensure(df))
     assert(p.contains("RoundRobinPartitioning"), p)
+  }
+
+  test("input below the bytes/core floor passes through (exchange can't pay for itself)") {
+    // sf0.001 documents ≈ 0.1 MB → ~25 KB/core at local[4]: the r8 A/B
+    // regime where a blanket spread COST 1.2-2x — must NOT spread
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val out = Spread.ensure(df)
+    assert(out eq df, "sub-floor input must be returned untouched")
   }
 
   test("in-memory (non-file) relation passes through with no exchange") {
@@ -48,7 +59,7 @@ class SpreadSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("spread result is deterministic row-set (round-robin moves, never drops)") {
-    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       .select("doc_id")
     val before = df.collect().map(_.getLong(0)).sorted.toSeq
     val after = Spread.ensure(df).collect().map(_.getLong(0)).sorted.toSeq
