@@ -37,8 +37,13 @@ object IvfCentroidsTrainer {
     // per-scale blocking codebooks: (corpus generation, K by the auto-K
     // rule at that generation's N). sf1 is the builder-side upsample
     // (tools/gen_sf1.py, deterministic) — N = 20000 → K = 4·√10000 = 400.
+    // The optional arg is the OUTPUT resource directory (corpora are
+    // fixed below) — refuse a testdata path so the old CLI shape
+    // (`runMain ... /root/testdata/sf0.01`) cannot pollute a fixture dir.
     val resDir = java.nio.file.Paths.get(
       args.headOption.getOrElse("src/main/resources/graft"))
+    require(!resDir.toString.contains("testdata"),
+      s"arg is the codebook OUTPUT dir, not a corpus: $resDir")
     java.nio.file.Files.createDirectories(resDir)
     val jobs = Seq(
       ("/root/testdata/sf0.01", 40), //  N =   200 → 4·√100  =  40

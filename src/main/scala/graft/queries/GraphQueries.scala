@@ -190,8 +190,12 @@ object GraphQueries {
     // OFF in Bench/production so the headline time prices the sampled
     // path a 100 TB run would actually execute. When off, n_exact and
     // within_bound are NULL — same schema, estimate untouched.
+    // lenient parse: "1"/"on"/"yes" style values must not throw at
+    // plan-build time — anything that isn't a recognized OFF value
+    // keeps the (safe) checked default
     val wantExact = s.conf
-      .getOption("spark.graft.triangle.exactYardstick").forall(_.toBoolean)
+      .getOption("spark.graft.triangle.exactYardstick")
+      .forall(v => !Set("false", "0", "off", "no").contains(v.trim.toLowerCase))
     val withExact =
       if (wantExact)
         count3T(edges)

@@ -459,7 +459,7 @@ object ScaleQueries {
        |SELECT vec_id, label FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM l$r WHERE id <> lbl)
        |UNION ALL
-       |${BlockingOracleSql.poisonGuard("-1, 'unconverged'")}""".stripMargin
+       |${BlockingOracleSql.poisonGuard("-1, -1")}""".stripMargin
   }
 
   /** q131's oracle: the full ingest decision function replayed — frozen
@@ -477,10 +477,7 @@ object ScaleQueries {
        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
        |    FROM sc) t WHERE rn = 1),
        |probes AS MATERIALIZED (
-       |  SELECT vec_id, cpos AS cell FROM (
-       |    SELECT vec_id, cpos,
-       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
-       |    FROM sc WHERE vec_id % 10 = 0) t WHERE rn <= 4),
+       |  SELECT vec_id, cell FROM cells WHERE vec_id % 10 = 0),
        |cand AS (
        |  SELECT p.vec_id AS bid, a.vec_id AS iid, a.vec_id % 10 <> 0 AS is_hist
        |  FROM probes p JOIN assign a ON a.cell = p.cell

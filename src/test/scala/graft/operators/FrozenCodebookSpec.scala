@@ -53,14 +53,19 @@ class FrozenCodebookSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.6, s"component membership recall $recall")
   }
 
-  test("no vector within 1e-9 of the rank-4/5 probe-cell boundary on any committed pairing") {
+  test("no vector within 1e-9 of a rank boundary the oracles depend on, any committed pairing") {
     // replay NearestCells' EXACT score arithmetic (sequential dot minus
-    // half squared norm, j ascending) per (corpus generation, book)
-    def minMargin(d: String, k: Int): Double = {
+    // half squared norm, j ascending) per (corpus generation, book).
+    // TWO boundaries matter: rank-4/5 gates the rn <= 4 probe sets
+    // (q50/q94/q131 probes), rank-1/2 gates q131's rn = 1 indexed-side
+    // cell assignment — a near-tie at either flips a cell between
+    // engines and silently breaks the hash at some corpus.
+    def minMargins(d: String, k: Int): (Double, Double) = {
       val cents = graft.model.IvfCentroids.blockingCells(k)
       val vecs = Tables.embeddings(spark, d)
         .select(col("embedding")).as[Array[Float]].collect()
-      var min = Double.MaxValue
+      var min45 = Double.MaxValue
+      var min12 = Double.MaxValue
       for (v <- vecs) {
         val scores = cents.map { c =>
           var s = 0.0; var n = 0.0; var j = 0
@@ -68,21 +73,24 @@ class FrozenCodebookSpec extends AnyFunSuite with SparkTestBase {
           s - n / 2
         }
         val sorted = scores.sorted(Ordering.Double.TotalOrdering.reverse)
-        val margin = sorted(3) - sorted(4)
         // margin 0 = exact tie, broken deterministically on cpos in both
         // engines; only a NEAR-tie (0 < margin < eps) is fragile
-        if (margin > 0 && margin < min) min = margin
+        val m45 = sorted(3) - sorted(4)
+        if (m45 > 0 && m45 < min45) min45 = m45
+        val m12 = sorted(0) - sorted(1)
+        if (m12 > 0 && m12 < min12) min12 = m12
       }
-      min
+      (min45, min12)
     }
-    val m001 = minMargin("/root/testdata/sf0.01", 40)
-    assert(m001 > 1e-9, s"sf0.01/cells40 rank-4/5 margin $m001")
-    val m01 = minMargin("/root/testdata/sf0.1", 128)
-    assert(m01 > 1e-9, s"sf0.1/cells128 rank-4/5 margin $m01")
+    def check(d: String, k: Int, tag: String): Unit = {
+      val (m45, m12) = minMargins(d, k)
+      assert(m45 > 1e-9, s"$tag rank-4/5 margin $m45")
+      assert(m12 > 1e-9, s"$tag rank-1/2 margin $m12")
+    }
+    check("/root/testdata/sf0.01", 40, "sf0.01/cells40")
+    check("/root/testdata/sf0.1", 128, "sf0.1/cells128")
     // sf1 is the uncommitted builder-side upsample; check when present
-    if (new java.io.File("/root/repo/tmp/testdata/sf1/embeddings.parquet").exists) {
-      val m1 = minMargin("/root/repo/tmp/testdata/sf1", 400)
-      assert(m1 > 1e-9, s"sf1/cells400 rank-4/5 margin $m1")
-    }
+    if (new java.io.File("/root/repo/tmp/testdata/sf1/embeddings.parquet").exists)
+      check("/root/repo/tmp/testdata/sf1", 400, "sf1/cells400")
   }
 }

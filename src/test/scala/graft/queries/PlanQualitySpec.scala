@@ -145,9 +145,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkTestBase {
     val p = simple("q51_gopher_filter")
     assert(!p.contains("Exchange hashpartitioning"), s"q51 hash-shuffles:\n$p")
     assert(!p.contains("Exchange SinglePartition"), s"q51 single-partition:\n$p")
-    val exchanges = "Exchange".r.findAllIn(p).size
-    val spreads = "RoundRobinPartitioning".r.findAllIn(p).size
-    assert(exchanges == spreads, s"q51 non-spread exchange:\n$p")
+    // count only SHUFFLE exchanges by their partitioning spelling —
+    // bare "Exchange" would also match BroadcastExchange/ReusedExchange
+    // nodes, which don't violate the invariant
+    val exchanges =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)"
+        .r.findAllIn(p).size
+    val spreads = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(exchanges == spreads, s"q51 non-spread shuffle exchange:\n$p")
   }
 
   test("PII redaction (q55): codegen'd regex work above at most the spread exchange") {
