@@ -88,7 +88,7 @@ object NGramJaccard {
     * short/empty text ⇒ the single truncated shingle, mirroring the SQL
     * `sequence(1, greatest(len-n+1, 1))` formulation).
     */
-  private[functions] def shingleHashes(text: String, n: Int): Array[Long] = {
+  def shingleHashes(text: String, n: Int): Array[Long] = {
     val len = text.length
     val last = math.max(len - n, 0)
     val hs = new Array[Long](last + 1)
@@ -127,9 +127,17 @@ object NGramJaccard {
   def distinctCount(text: String, n: Int): Int = shingleHashes(text, n).length
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def compute(a: String, b: String, n: Int): Double = {
-    val ha = shingleHashes(a, n)
-    val hb = shingleHashes(b, n)
+  def compute(a: String, b: String, n: Int): Double =
+    jaccardSorted(shingleHashes(a, n), shingleHashes(b, n))
+
+  /** Jaccard of two SORTED-DISTINCT hash arrays by linear merge — the
+    * tail of [[compute]], public so [[SortedJaccard]] can evaluate over
+    * PRE-built shingle arrays: a doc in `p` candidate pairs is shingled
+    * once instead of `p` times (q21's verify at sf1 spent ~100× redundant
+    * shingling before this split). Public static for codegen (see the
+    * forwarder note above).
+    */
+  def jaccardSorted(ha: Array[Long], hb: Array[Long]): Double = {
     var i = 0
     var j = 0
     var inter = 0
@@ -143,6 +151,10 @@ object NGramJaccard {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Static array builder for codegen ([[NGramShingles]]). */
+  def shingleArrayData(text: String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(shingleHashes(text, n))
+
   /** Register `ngram_jaccard` on an existing session (tests / REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -154,4 +166,74 @@ object NGramJaccard {
         NGramJaccard(exprs.head, exprs(1), n)
       },
       "scala_udf")
+}
+
+/** `ngram_shingles(text, n)` — the sorted-distinct FNV-1a shingle-hash
+  * array of one string, [[NGramJaccard]]'s per-side preprocessing
+  * exposed as its own expression so candidate-pair verification can
+  * shingle each document ONCE (per scan) instead of once per pair side.
+  * [[SortedJaccard]] over two of these arrays is value-identical to
+  * `ngram_jaccard` over the texts (same hashes, same merge).
+  */
+case class NGramShingles(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(n > 0)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_shingles requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "ngram_shingles"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NGramJaccard.shingleArrayData(a.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.NGramJaccard.shingleArrayData($a.toString(), $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramShingles =
+    copy(child = newChild)
+}
+
+/** `sorted_jaccard(a, b)` — Jaccard of two sorted-distinct long arrays
+  * (see [[NGramShingles]]); the per-pair half of `ngram_jaccard` with
+  * the per-side shingling hoisted out.
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard requires array<bigint> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    NGramJaccard.jaccardSorted(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray(),
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.NGramJaccard.jaccardSorted($a.toLongArray(), $b.toLongArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
 }

@@ -159,37 +159,46 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       threshold: Double): DataFrame = {
-    graft.functions.NGramJaccard.register(df.sparkSession)
-    // distinct-shingle count per DOC (once per side, ships with the
-    // join): J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair whose count
-    // ratio is under the threshold is dropped EXACTLY — and the when()
-    // guard short-circuits, so such pairs never pay the per-pair
-    // two-sided shingle build.
-    val cnt = graft.internal.Cols.of(
-      graft.functions.NGramDistinctCount(
+    // PRE-shingle each document ONCE (sorted-distinct hash array) and
+    // ship the array through the join instead of the raw text: a doc in
+    // p candidate pairs was re-shingled p times inside the per-pair
+    // ngram_jaccard — ~100× redundant work at sf1 (52 pairs/doc/side).
+    // SortedJaccard over two prebuilt arrays is value-IDENTICAL to
+    // ngram_jaccard over the texts (same FNV-1a hashes, same merge), so
+    // oracles are untouched. The count prefilter (J ≤ min/max of the
+    // distinct-shingle counts — an EXACT bound) comes free as the array
+    // length and still gates the per-pair merge.
+    val sh = graft.internal.Cols.of(
+      graft.functions.NGramShingles(
         graft.internal.Cols.expressionOf(col(textCol)), shingleSize))
-    val docsSel = df.select(col(idCol), col(textCol), cnt.as("__cnt"))
+    val docsSel = df
+      .select(col(idCol), sh.as("__sh"))
+      .withColumn("__cnt", size(col("__sh")))
+    def sortedJaccard(a: Column, b: Column): Column =
+      graft.internal.Cols.of(graft.functions.SortedJaccard(
+        graft.internal.Cols.expressionOf(a),
+        graft.internal.Cols.expressionOf(b)))
     // AQE coalesces the candidate-pair shuffle to ~1 partition (it sizes
     // by BYTES — a few MB of id pairs — and cannot see that the join
-    // condition below does O(text length) work per pair), serializing
+    // condition below does O(shingles) work per pair), serializing
     // the whole verify onto one core. An explicit repartition pins the
     // parallelism: measured 8.8 s → 2.0 s at sf0.1 (176k pairs).
     val spread = pairs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     spread
       .join(
         docsSel.select(
-          col(idCol).as("id_a"), col(textCol).as("__text_a"), col("__cnt").as("__cnt_a")),
+          col(idCol).as("id_a"), col("__sh").as("__sh_a"), col("__cnt").as("__cnt_a")),
         Seq("id_a"))
       .join(
         docsSel.select(
-          col(idCol).as("id_b"), col(textCol).as("__text_b"), col("__cnt").as("__cnt_b")),
+          col(idCol).as("id_b"), col("__sh").as("__sh_b"), col("__cnt").as("__cnt_b")),
         Seq("id_b"))
       .withColumn(
         "jaccard",
         when(
           least(col("__cnt_a"), col("__cnt_b")).cast("double") /
             greatest(col("__cnt_a"), col("__cnt_b")) >= threshold,
-          expr(s"ngram_jaccard(__text_a, __text_b, $shingleSize)"))
+          sortedJaccard(col("__sh_a"), col("__sh_b")))
           .otherwise(lit(0.0)))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

@@ -126,4 +126,33 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Array[Int])].collect().toMap
     assert(out(1L).length == 1 && out(2L).toSeq == Seq(0))
   }
+
+  test("sorted_jaccard over ngram_shingles == ngram_jaccard over the texts (corpus + edges)") {
+    // the q21 verify split: per-doc prebuilt shingle arrays must give
+    // the BIT-IDENTICAL jaccard the fused text-pair expression gives
+    import graft.internal.Cols
+    import graft.functions.{NGramShingles, SortedJaccard}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val t = docs
+      .withColumn("__sh", Cols.of(NGramShingles(Cols.expressionOf(col("text")), 5)))
+    val pairs = t.alias("a").join(t.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+    graft.functions.NGramJaccard.register(spark)
+    val diff = pairs
+      .select(
+        expr("ngram_jaccard(a.text, b.text, 5)").as("fused"),
+        Cols.of(SortedJaccard(
+          Cols.expressionOf(col("a.__sh")), Cols.expressionOf(col("b.__sh")))).as("split"))
+      .filter(col("fused") =!= col("split"))
+      .count()
+    assert(diff == 0L)
+    // edge cases through the split path: identical, disjoint, empty
+    def j(a: String, b: String, n: Int): Double =
+      graft.functions.NGramJaccard.jaccardSorted(
+        graft.functions.NGramJaccard.shingleHashes(a, n),
+        graft.functions.NGramJaccard.shingleHashes(b, n))
+    assert(j("abcdef", "abcdef", 3) == 1.0)
+    assert(j("aaaa", "bbbb", 3) == 0.0)
+    assert(j("", "", 3) == 1.0) // both degenerate single empty shingle
+  }
 }
