@@ -208,9 +208,13 @@ case class SortedJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 
 
+  // containsNull arrays are rejected at ANALYSIS time: toLongArray in
+  // the eval path throws on a null element, so accepting them here
+  // would turn a future caller's type error into a runtime crash
+  // (current internal producers — NGramShingles — are containsNull=false)
   private def isLongArray(t: DataType): Boolean = t match {
     case org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.LongType, _) => true
+      org.apache.spark.sql.types.LongType, containsNull) => !containsNull
     case _ => false
   }
 
@@ -218,7 +222,7 @@ case class SortedJaccard(left: Expression, right: Expression)
     if (isLongArray(left.dataType) && isLongArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_jaccard requires array<bigint> arguments, got " +
+      s"sorted_jaccard requires array<bigint> (no null elements) arguments, got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
   override def dataType: DataType = DoubleType

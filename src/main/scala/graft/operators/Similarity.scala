@@ -223,10 +223,11 @@ object Similarity {
       nprobe: Int = 4,
       seed: Long = 7L,
       trainSample: Int = 16384,
-      frozenCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      frozenCentroids: Option[Array[Array[Double]]] = None,
+      maxCellFactor: Double = 10.0): DataFrame = {
     val pairs = blockedNearDupPairs(
       vecs, idCol, vecCol, tau, numCells, nprobe, seed, trainSample,
-      frozenCentroids)
+      frozenCentroids, maxCellFactor)
     val dropped = ConnectedComponents.byMinLabel(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
@@ -240,6 +241,24 @@ object Similarity {
     * near-dup graph, generated once with the same scale bound
     * (candidates ≈ Σ cell², never N²).
     */
+  /** `maxCellFactor`: per-cell occupancy cap, as a multiple of the MEAN
+    * occupancy `nprobe·N/K` (floor 64 absolute). Auto-K balances the
+    * EXPECTED occupancy, but a real-world degenerate cluster — empty /
+    * boilerplate docs collapsing to near-identical vectors, the exact
+    * population dedup exists to catch — can land N_c ≫ mean rows in ONE
+    * cell, and the uncapped self-join then emits N_c² candidates on one
+    * shuffle key (the skew analog of MinHash banding's oversized
+    * buckets, see [[Dedup.sharedChunkPairs]]). Cells over the cap are
+    * STAR-verified instead: every member is cosine-checked against the
+    * cell's minimum id only — O(N_c) pairs, exact precision (every
+    * emitted edge is still cosine ≥ τ). The emitted pair LIST is
+    * complete only for cells ≤ cap, but in the degenerate regime that
+    * triggers the cap the members are near-identical — mutually ≥ τ —
+    * so the star keeps them connected through the min id and the
+    * component/survivor consumers (q50/q94) see the same clusters.
+    * Measured occupancy on every committed corpus is ≤ 1.3× mean, so at
+    * the default 10× the cap is pure skew insurance there.
+    */
   def blockedNearDupPairs(
       vecs: DataFrame,
       idCol: String,
@@ -249,7 +268,8 @@ object Similarity {
       nprobe: Int = 4,
       seed: Long = 7L,
       trainSample: Int = 16384,
-      frozenCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      frozenCentroids: Option[Array[Array[Double]]] = None,
+      maxCellFactor: Double = 10.0): DataFrame = {
     graft.functions.CosineSim.register(vecs.sparkSession)
     // candidate generation moves (cell, id) rows ONLY — dedup of the
     // pair list happens on two longs; the 2×dim vector payloads attach
@@ -292,7 +312,29 @@ object Similarity {
       .select(col("__id"), col("__v"),
         explode(graft.functions.NearestCells.toCol(col("__v"), centroids, nprobe))
           .as("__cell"))
-    cells.alias("x")
+    // occupancy gate (see maxCellFactor doc), spelled as a LEFT-side
+    // filter on the self-join rather than a quadratic/star UNION of two
+    // arms: the join's left input keeps a row iff its cell is under the
+    // cap OR the row is the cell's min (one window pass computes the
+    // count and min-id member; struct min — ids are unique so the
+    // vector payload never drives the comparison). A sub-cap cell then
+    // joins all-pairs exactly as before; an oversized cell's left
+    // bucket holds ONLY the min row, so the hash join enumerates N_c
+    // star candidates instead of N_c² — the blowup is prevented inside
+    // the join, not filtered after. Both sides' exchanges hash the same
+    // cells frame on __cell, so ReuseExchange keeps this at one
+    // shuffle; the union spelling additionally tripped a Spark 4.1
+    // InferFiltersFromConstraints NoSuchElementException when a join
+    // sat above the two shared-lineage arms.
+    val maxCell = math.max(
+      64L, math.ceil(maxCellFactor * nprobe * n / centroids.length).toLong)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cell"))
+    val starters = cells
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__minid", min(col("__id")).over(w))
+      .filter(col("__cnt") <= maxCell || col("__id") === col("__minid"))
+      .drop("__cnt", "__minid")
+    starters.alias("x")
       .join(cells.alias("y"),
         col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id"))
       .filter(expr("cosine_sim(x.__v, y.__v)") >= tau)

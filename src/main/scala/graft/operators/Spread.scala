@@ -18,7 +18,7 @@ import org.apache.spark.sql.DataFrame
   * extraction, PII regex redaction, sequence packing's tokenizer,
   * contamination shingling, PPJoin prefix generation.
   *
-  * Implementation notes (round-9 rework):
+  * Implementation notes (round-9 rework, hardened round 10):
   *   - Streaming-safe: file-splitting reasoning is meaningless for a
   *     stream and the old `df.rdd` probe would throw — pass through.
   *   - No physical planning: the old `df.rdd.getNumPartitions` compiled
@@ -27,8 +27,22 @@ import org.apache.spark.sql.DataFrame
   *     plus file sizes, replaying Spark's own `FilePartition` split
   *     formula: maxSplit = min(maxPartitionBytes, max(openCost,
   *     totalBytes/parallelism)).
-  *   - ≥cores files short-circuits BEFORE any file-status call, so a
-  *     production many-file input pays zero per-file stat round-trips.
+  *   - The zero-stat short-circuit requires `files·openCost ≥
+  *     cores·maxPartitionBytes` — the openCost padding is then enough
+  *     to GUARANTEE ≥cores bin-packed partitions whatever the file
+  *     sizes (each packed partition holds ≤ maxSplit ≤ maxPartitionBytes
+  *     of padded bytes, so ≤ maxPartitionBytes/openCost files). A bare
+  *     `files ≥ cores` check is NOT sufficient: with
+  *     spark.sql.files.openCostInBytes lowered toward zero, Spark packs
+  *     many small files into 1–2 partitions — the exact cliff this
+  *     object exists to fix (r9 advice). At production defaults the
+  *     guarantee needs 32× cores files; beyond the tested regimes a
+  *     many-small-file scan pays bounded per-file stats instead.
+  *   - Unsplittable inputs (gzip & friends) plan exactly one partition
+  *     per file; their split count is clamped to 1 so the estimate
+  *     doesn't over-count and silently skip a needed spread (r9
+  *     advice). Everything else — parquet/orc included, whatever their
+  *     internal compression — splits by byte ranges.
   */
 object Spread {
 
@@ -42,67 +56,123 @@ object Spread {
     * 184 KB/core) is where the SAME spread won 3–16× (q33's broadcast
     * self-join runs 16× more streamed partitions, q37/q51/q55's per-row
     * kernels spread off their single row group). 64 KB/core separates
-    * the two regimes with ~3× margin on each side.
+    * the two regimes with ~3× margin on each side — for scans of
+    * ORDINARY compute density; see `computeWeight`.
     */
   val minBytesPerCore: Long = 64L * 1024
 
   /** `df`, round-robin repartitioned to `defaultParallelism` iff its
     * file scan would plan fewer partitions than that AND there are at
-    * least [[minBytesPerCore]] input bytes per core to justify the
-    * exchange. Non-file sources and streams pass through untouched.
+    * least [[minBytesPerCore]]`/computeWeight` input bytes per core to
+    * justify the exchange. Non-file sources and streams pass through
+    * untouched.
+    *
+    * `computeWeight` scales the byte floor for scans whose per-BYTE
+    * cost is far above the corpus-scan norm the 64 KB floor was
+    * calibrated on (the floor models compute ∝ bytes; a 64-hash
+    * MinHash + full-shingle kernel does ~10× the work per byte, so its
+    * break-even sits ~10× lower — measured on q37, r10 interleaved
+    * in-JVM A/B at sf0.1: pass-through at 19 KB/core 2.74 s median vs
+    * 1.52 s force-spread, while the same 19 KB/core is exactly where
+    * blanket spreading cost 1.2–2× on ordinary-density queries in the
+    * r8 A/B). 1.0 = the calibrated default; >1 lowers the floor
+    * proportionally. Weights should come from an A/B, not guesses.
     */
-  def ensure(df: DataFrame): DataFrame = {
+  def ensure(df: DataFrame, computeWeight: Double = 1.0): DataFrame = {
     if (df.isStreaming) return df
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     val files =
+      // inputFiles only traverses the analyzed plan; no known throw
+      // path remains for a batch DataFrame, but a exotic relation that
+      // does throw should disable spreading, not fail the query
       try df.inputFiles
-      catch { case _: Throwable => Array.empty[String] }
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
     // no file source (in-memory relation, jdbc, …): nothing to reason
     // about — leave the plan alone rather than guessing
     if (files.isEmpty) return df
-    // enough files to fill every core even at one-split-per-file —
-    // return before stat-ing anything (the 100 TB fast path)
-    if (files.length >= cores) return df
-    val est = estimate(df, files, cores)
-    if (est.partitions < cores && est.totalBytes >= minBytesPerCore * cores)
+    val maxPartitionBytes =
+      bytesConf(spark, "spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+    val openCost =
+      bytesConf(spark, "spark.sql.files.openCostInBytes", 4L * 1024 * 1024)
+    // enough openCost padding to guarantee ≥cores packed partitions —
+    // return before stat-ing anything (the 100 TB fast path). A packed
+    // partition holds ≤ max(1, maxSplit/openCost) ≤ max(1,
+    // maxPartitionBytes/openCost) files, so files·openCost ≥
+    // cores·maxPartitionBytes bounds partitions below by cores; the
+    // files ≥ cores conjunct keeps the bound sound when openCost
+    // exceeds maxPartitionBytes (then each partition holds ≤1 file).
+    if (openCost > 0 && files.length >= cores &&
+        files.length.toLong * openCost >= cores.toLong * maxPartitionBytes)
+      return df
+    val est = estimate(spark, files, cores, maxPartitionBytes, openCost)
+    val floor = math.max(1L,
+      (minBytesPerCore / math.max(computeWeight, 1e-9)).toLong)
+    if (est.partitions < cores && est.totalBytes >= floor * cores)
       df.repartition(cores)
     else df
   }
 
+  private def bytesConf(
+      spark: org.apache.spark.sql.SparkSession, key: String, dflt: Long): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get(key))
+    catch {
+      // unset key / unparseable value — the two ways a conf READ can
+      // fail; anything else (a broken conf subsystem) should surface,
+      // not silently disable spreading (r9 verdict #5)
+      case _: java.util.NoSuchElementException => dflt
+      case _: NumberFormatException => dflt
+      case _: IllegalArgumentException => dflt
+    }
+
   private case class Estimate(partitions: Long, totalBytes: Long)
+
+  /** Hadoop codecs that cannot be split by byte range: such a file is
+    * always exactly one partition regardless of size.
+    */
+  private val unsplittableSuffixes =
+    Seq(".gz", ".gzip", ".zst", ".zstd", ".deflate", ".lz4", ".snappy")
 
   /** Replay of `FilePartition.maxSplitBytes` + per-file split counting.
     * Slight over-estimate versus Spark's bin-packing (which merges small
-    * splits), which errs toward NOT spreading — the cheap direction.
-    * Row-group atomicity can make the true non-empty partition count
-    * lower than this estimate; callers that hit that case at scale
-    * should re-write their layout (see IvfLayout/StorageQueries) rather
-    * than lean harder on a shuffle.
+    * splits), which errs toward NOT spreading — the cheap direction
+    * (the guaranteed-partitions short-circuit above covers the case
+    * where packing would merge below `cores`). Row-group atomicity can
+    * make the true non-empty partition count lower than this estimate;
+    * callers that hit that case at scale should re-write their layout
+    * (see IvfLayout/StorageQueries) rather than lean harder on a
+    * shuffle.
     */
   private def estimate(
-      df: DataFrame, files: Array[String], cores: Int): Estimate = {
-    val spark = df.sparkSession
-    def bytesConf(key: String, dflt: Long): Long =
-      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        spark.conf.get(key))
-      catch { case _: Throwable => dflt }
-    val maxPartitionBytes =
-      bytesConf("spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
-    val openCost =
-      bytesConf("spark.sql.files.openCostInBytes", 4L * 1024 * 1024)
+      spark: org.apache.spark.sql.SparkSession,
+      files: Array[String],
+      cores: Int,
+      maxPartitionBytes: Long,
+      openCost: Long): Estimate = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val sizes = files.toSeq.map { f =>
       try {
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(hconf).getFileStatus(p).getLen
-      } catch { case _: Throwable => 0L }
+      } catch {
+        // a vanished/unreachable file contributes zero bytes; malformed
+        // paths shouldn't occur (inputFiles emits URIs) but are equally
+        // non-fatal. Anything else propagates (r9 verdict #5).
+        case _: java.io.IOException => 0L
+        case _: IllegalArgumentException => 0L
+      }
     }
     val padded = sizes.map(_ + openCost).sum
     val maxSplit =
       math.min(maxPartitionBytes, math.max(openCost, padded / cores))
-    Estimate(
-      sizes.map(s => math.max(1L, (s + maxSplit - 1) / maxSplit)).sum,
-      sizes.sum)
+    val splittable = files.map { f =>
+      val lower = f.toLowerCase(java.util.Locale.ROOT)
+      !unsplittableSuffixes.exists(lower.endsWith)
+    }
+    val parts = sizes.zip(splittable).map { case (s, canSplit) =>
+      if (canSplit) math.max(1L, (s + maxSplit - 1) / maxSplit) else 1L
+    }.sum
+    Estimate(parts, sizes.sum)
   }
 }

@@ -51,15 +51,35 @@ private[queries] object BlockingOracleSql {
        |    FROM sc) t WHERE rn <= $nprobe)""".stripMargin
   }
 
-  /** CTEs `e, sym`: cosine-verified shared-cell candidate edges over
-    * the `cells`/`ev` CTEs of [[assignPrefix]].
+  /** CTEs `occ, cand, e, sym`: cosine-verified shared-cell candidate
+    * edges over the `cells`/`ev` CTEs of [[assignPrefix]], replaying
+    * `Similarity.blockedNearDupPairs`' per-cell occupancy cap: cells
+    * over `maxCellFactor × mean occupancy` (floor 64) contribute only
+    * their star through the min id, exactly as the Scala side does —
+    * same cap formula off the same `count(*)`s, so the two engines can
+    * never disagree on which arm a cell takes.
     */
-  def edgeCtes(tau: Double): String =
-    s"""e AS MATERIALIZED (
-       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-       |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
-       |  JOIN ev a ON a.vec_id = x.vec_id
-       |  JOIN ev b ON b.vec_id = y.vec_id
+  def edgeCtes(tau: Double, nprobe: Int, maxCellFactor: Double = 10.0): String =
+    s"""occ AS MATERIALIZED (
+       |  SELECT vec_id, cell,
+       |    count(*) OVER (PARTITION BY cell) AS cnt,
+       |    min(vec_id) OVER (PARTITION BY cell) AS mn
+       |  FROM cells),
+       |cap AS MATERIALIZED (
+       |  SELECT greatest(64, CAST(ceil($maxCellFactor * $nprobe
+       |    * (SELECT count(*) FROM ev) / (SELECT count(*) FROM cent)) AS BIGINT)) AS mx),
+       |cand AS (
+       |  SELECT x.vec_id AS s, y.vec_id AS d
+       |  FROM occ x JOIN occ y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  CROSS JOIN cap WHERE x.cnt <= cap.mx
+       |  UNION ALL
+       |  SELECT mn AS s, vec_id AS d FROM occ CROSS JOIN cap
+       |  WHERE cnt > cap.mx AND vec_id != mn),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT c.s AS src, c.d AS dst
+       |  FROM cand c
+       |  JOIN ev a ON a.vec_id = c.s
+       |  JOIN ev b ON b.vec_id = c.d
        |  WHERE list_cosine_similarity(a.v, b.v) >= $tau),
        |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e)""".stripMargin
 

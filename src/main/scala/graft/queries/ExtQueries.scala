@@ -401,7 +401,13 @@ object ExtQueries {
   private def q37(s: SparkSession, d: String): DataFrame = {
     graft.functions.MinHashSig.register(s)
     import s.implicits._
-    val sigs = Spread.ensure(Tables.documents(s, d).select("source", "text"))
+    // computeWeight 10: q37's kernels (64-hash MinHash here, the full
+    // shingle bitmask below) are the suite's highest compute-per-byte
+    // scans, so their spread break-even sits ~10× below the ordinary-
+    // density 64 KB/core floor — r10 interleaved A/B at sf0.1
+    // (19 KB/core): 2.74 s gated pass-through vs 1.52 s spread.
+    val sigs = Spread
+      .ensure(Tables.documents(s, d).select("source", "text"), computeWeight = 10.0)
       .select(col("source"), Dedup.minHashSignature("text", 64, 5).as("sig"))
       .as[(String, Array[Long])]
     val grouped = sigs
@@ -448,7 +454,8 @@ object ExtQueries {
       .foldLeft(lit(-1)) { case (acc, (sv, i)) =>
         when(col("source") === sv, lit(i)).otherwise(acc)
       }
-    val masks = Spread.ensure(Tables.documents(s, d).select("source", "text"))
+    val masks = Spread
+      .ensure(Tables.documents(s, d).select("source", "text"), computeWeight = 10.0)
       .select(
         sid.as("sid"),
         explode(expr(

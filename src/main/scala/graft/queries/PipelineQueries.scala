@@ -206,7 +206,7 @@ object PipelineQueries {
   private def q50OracleSql: String = {
     val r = BlockingOracleSql.rounds
     s"""WITH ${BlockingOracleSql.assignPrefix(nprobe = 4)},
-       |${BlockingOracleSql.edgeCtes(tau = 0.4)},
+       |${BlockingOracleSql.edgeCtes(tau = 0.4, nprobe = 4)},
        |${BlockingOracleSql.closureCtes(r)}
        |SELECT id, lbl AS component FROM l$r
        |UNION ALL

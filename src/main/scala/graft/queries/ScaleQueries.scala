@@ -454,7 +454,7 @@ object ScaleQueries {
   private def q94OracleSql: String = {
     val r = BlockingOracleSql.rounds
     s"""WITH ${BlockingOracleSql.assignPrefix(nprobe = 4)},
-       |${BlockingOracleSql.edgeCtes(tau = 0.4)},
+       |${BlockingOracleSql.edgeCtes(tau = 0.4, nprobe = 4)},
        |${BlockingOracleSql.closureCtes(r)}
        |SELECT vec_id, label FROM embeddings
        |WHERE vec_id NOT IN (SELECT id FROM l$r WHERE id <> lbl)

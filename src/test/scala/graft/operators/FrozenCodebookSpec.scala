@@ -73,12 +73,15 @@ class FrozenCodebookSpec extends AnyFunSuite with SparkTestBase {
           s - n / 2
         }
         val sorted = scores.sorted(Ordering.Double.TotalOrdering.reverse)
-        // margin 0 = exact tie, broken deterministically on cpos in both
-        // engines; only a NEAR-tie (0 < margin < eps) is fragile
+        // exact ties (margin 0) fail too (r9 advice): a bitwise tie
+        // under THIS accumulation order need not be a tie under
+        // DuckDB's list_inner_product order, so cpos tie-breaking is
+        // only safe when both engines see the tie. Ties are
+        // measure-zero on these corpora — the stricter assert is free.
         val m45 = sorted(3) - sorted(4)
-        if (m45 > 0 && m45 < min45) min45 = m45
+        if (m45 < min45) min45 = m45
         val m12 = sorted(0) - sorted(1)
-        if (m12 > 0 && m12 < min12) min12 = m12
+        if (m12 < min12) min12 = m12
       }
       (min45, min12)
     }
@@ -92,5 +95,19 @@ class FrozenCodebookSpec extends AnyFunSuite with SparkTestBase {
     // sf1 is the uncommitted builder-side upsample; check when present
     if (new java.io.File("/root/repo/tmp/testdata/sf1/embeddings.parquet").exists)
       check("/root/repo/tmp/testdata/sf1", 400, "sf1/cells400")
+  }
+
+  test("blockingK fails loudly past the trained ceiling instead of reusing K=400") {
+    import graft.model.IvfCentroids
+    // at and below the ceiling: the sf1 book
+    assert(IvfCentroids.blockingK(IvfCentroids.blockingTrainedCeiling) == 400)
+    // beyond it: refuse with the trainer recipe (r9 verdict #3 — a new
+    // corpus generation must train its own book, never quietly resume
+    // N²/K candidate growth on the sf1 one)
+    val e = intercept[IllegalStateException] {
+      IvfCentroids.blockingK(IvfCentroids.blockingTrainedCeiling + 1)
+    }
+    assert(e.getMessage.contains("IvfCentroidsTrainer"))
+    assert(e.getMessage.contains("blockingGates"))
   }
 }

@@ -158,6 +158,49 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(nonKept > 0, "fixture has no cross-split near-dups — test is vacuous")
   }
 
+  test("per-cell cap: a degenerate near-identical cluster star-verifies, never expands quadratically") {
+    // r9 verdict #1: auto-K balances EXPECTED occupancy, but a planted
+    // boilerplate cluster (100 near-identical vectors ≈ 10× the mean
+    // cell size) lands in ONE cell; uncapped, the cell self-join emits
+    // C(100,2) = 4950 candidates on one shuffle key. With the cap the
+    // cell is star-verified: 99 pairs through the min id, exact
+    // precision, connectivity (what q50/q94 consume) intact.
+    val planted = (0 until 100).map { i =>
+      val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(1) = 0.001f * (i % 7)
+      (1000L + i, v)
+    }
+    val rnd = new scala.util.Random(42)
+    val background = (1 to 200).map { i =>
+      val v = Array.fill(8)((rnd.nextDouble() - 0.5).toFloat); v(0) = 0.0f
+      (i.toLong, v)
+    }
+    val vecs = (planted ++ background).toDF("vec_id", "embedding")
+    // frozen axis-aligned codebook: every planted vector deterministically
+    // assigns to cell 0 (score v·e1 − ½ ≈ ½, far above any other axis)
+    val axes = Array.tabulate(8) { c =>
+      val a = Array.fill(8)(0.0); a(c) = 1.0; a
+    }
+    def pairs(factor: Double) = Similarity
+      .blockedNearDupPairs(vecs, "vec_id", "embedding", tau = 0.4,
+        nprobe = 1, frozenCentroids = Some(axes), maxCellFactor = factor)
+      .as[(Long, Long)].collect()
+    val plantedIds = planted.map(_._1).toSet
+    // cap = max(64, ceil(1.0·1·300/8)) = 64 < 100 ⇒ the planted cell stars
+    val capped = pairs(1.0).filter(p => plantedIds(p._1) && plantedIds(p._2))
+    // no cap (factor 1e9) ⇒ the same cell expands quadratically
+    val uncapped = pairs(1e9).filter(p => plantedIds(p._1) && plantedIds(p._2))
+    assert(uncapped.length == 100 * 99 / 2, s"fixture not degenerate: ${uncapped.length}")
+    assert(capped.toSet == plantedIds.filter(_ != 1000L).map(id => (1000L, id)),
+      s"expected the 99-edge star through min id 1000, got ${capped.length} pairs")
+    // connectivity is what the survivor pipeline consumes: the cluster
+    // still collapses to its min id under the cap
+    val survivors = Similarity
+      .blockedSemDedup(vecs, "vec_id", "embedding", tau = 0.4,
+        nprobe = 1, frozenCentroids = Some(axes), maxCellFactor = 1.0)
+      .select("vec_id").as[Long].collect().toSet
+    assert((survivors & plantedIds) == Set(1000L))
+  }
+
   test("lshBucket is deterministic and splits the corpus") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))

@@ -48,7 +48,7 @@ class SpreadSpec extends AnyFunSuite with SparkTestBase {
     assert(out eq stream, "streaming input must be returned untouched")
   }
 
-  test("scan with >= cores files short-circuits without spreading") {
+  test("scan with >= cores files is not spread (estimate sees enough partitions)") {
     val dir = java.nio.file.Files.createTempDirectory("spread_many").toString
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .repartition(8) // > local[4] cores -> 8 files on disk
@@ -56,6 +56,45 @@ class SpreadSpec extends AnyFunSuite with SparkTestBase {
     val df = spark.read.parquet(dir)
     val out = Spread.ensure(df)
     assert(out eq df, "many-file scan must not be re-shuffled")
+  }
+
+  test("unsplittable (.gz) files clamp to one partition each, so the spread fires") {
+    // two ~200 KB gzip text files with maxPartitionBytes=64k: the naive
+    // byte-range estimate says ceil(200k/64k)=4 splits/file = 8 ≥ cores
+    // and would skip the spread — but gzip cannot split, Spark plans
+    // exactly 2 partitions, and a compute-heavy scan serializes. The
+    // clamp (r9 advice) must see 2 < cores and spread.
+    val dir = java.nio.file.Files.createTempDirectory("spread_gz")
+    for (i <- 0 until 2) {
+      val f = dir.resolve(s"part-$i.txt.gz")
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(f))
+      val rnd = new scala.util.Random(i) // incompressible → real 200 KB
+      val buf = new Array[Byte](200 * 1024)
+      rnd.nextBytes(buf)
+      buf.indices.foreach(j => buf(j) = (33 + math.abs(buf(j) % 90)).toByte)
+      out.write(buf); out.close()
+    }
+    val conf = spark.conf
+    val prevMax = conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val df = spark.read.text(dir.toString)
+      val p = plan(Spread.ensure(df))
+      assert(p.contains("RoundRobinPartitioning"), p)
+    } finally conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+  }
+
+  test("computeWeight lowers the bytes/core floor for compute-dense scans") {
+    // sf0.001 documents ≈ 0.1 MB → ~25 KB/core at local[4]: below the
+    // 1.0-weight floor (previous test), but a 10× compute-dense kernel
+    // breaks even ~10× lower — the q37 regime (r10 A/B)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val p = plan(Spread.ensure(df, computeWeight = 10.0))
+    assert(p.contains("RoundRobinPartitioning"), p)
+    // and an ordinary-density scan of the same input still passes through
+    assert(Spread.ensure(df) eq df)
   }
 
   test("spread result is deterministic row-set (round-robin moves, never drops)") {
