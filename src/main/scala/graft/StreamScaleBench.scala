@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Scale-evidence bench for the Structured Streaming paths (r9 verdict
+  * #5 — the one scale dimension with no committed artifact). Each point
+  * generates a deterministic event log of N rows written as ~20
+  * sequential file appends in event-time order, replays it as a file
+  * stream (`maxFilesPerTrigger` ⇒ a sustained multi-micro-batch run, not
+  * one giant batch), and drives every stateful path through the noop
+  * sink: windowed rollup (watermarked agg state), FMGWS sessionization,
+  * watermarked exactly-once dedup, stream-stream interval-join
+  * attribution, FMGWS allocation, and the foreachBatch SemDeDup ingest
+  * (whose per-batch cost reads the as-of index — the q131/q127 path).
+  *
+  * Reported per path: wall seconds, rows/sec, and the state store's max
+  * total rows and memory across micro-batches (from
+  * `StreamingQueryProgress.stateOperators`) — the two axes that decide
+  * whether a streaming operator survives 10×: throughput should be
+  * ~flat (state ops are one shuffle per micro-batch) and state should
+  * track the WATERMARK HORIZON (keys/windows in flight), not history.
+  * Prints ONE JSON line (STREAMSCALE.json).
+  */
+object StreamScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_STREAM_NS", "200000,2000000")
+      .split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    /** N events over 48 h of event time, ~N/50 users, ~1 % duplicated
+      * event ids (adjacent in time, inside any watermark), 25 % purchases
+      * — written as `appends` sequential file appends in time order so
+      * the file stream's batches advance the watermark monotonically.
+      */
+    def genEvents(n: Int): String = {
+      val dir = s"/tmp/graft_streamscale_$n"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val appends = 20
+      def u(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c), lit(100000L)).cast("double") / 100000.0
+      val base = spark.range(n.toLong).select(
+        // ~1% of rows repeat the previous id: the dedup path's prey
+        when(u(col("id") * 31L + 7L) < 0.01 && col("id") > 0, col("id") - 1)
+          .otherwise(col("id")).as("event_id"),
+        pmod(xxhash64(col("id") * 13L + 1L), lit(math.max(n / 50, 1).toLong)).as("user_id"),
+        timestamp_seconds(lit(1700000000L) + (col("id") * 48L * 3600L / n)).as("ts"),
+        when(u(col("id") * 17L + 3L) < 0.25, "purchase").otherwise("click").as("event_type"),
+        (u(col("id") * 23L + 5L) * 100.0).as("value"),
+        col("id"))
+      for (a <- 0 until appends) {
+        // TIME-contiguous slices (ts ∝ id): each append advances the
+        // watermark instead of straddling the whole 48 h, so late-data
+        // handling behaves as in a live ingest. The ~1% duplicated ids
+        // near slice boundaries land one batch later — a real
+        // cross-micro-batch dedup, still inside the watermark.
+        base.filter(
+            col("id") >= n.toLong * a / appends &&
+              col("id") < n.toLong * (a + 1) / appends)
+          .drop("id")
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(30) // distinct mod-times fix the file-stream replay order
+      }
+      dir
+    }
+
+    case class R(sec: Double, rowsPerSec: Long, stateRows: Long, stateMb: Double)
+
+    def runStream(
+        src: String, n: Int, mode: String,
+        build: DataFrame => DataFrame): R = {
+      val schema = spark.read.parquet(src).schema
+      def reader = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(src)
+      val t0 = System.nanoTime()
+      val q = build(reader).writeStream
+        .format("noop")
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val perBatch = q.recentProgress.toSeq.map { p =>
+        val ops = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
+        (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
+      }
+      val rows = if (perBatch.isEmpty) (0L, 0L)
+        else (perBatch.map(_._1).max, perBatch.map(_._2).max)
+      R(sec, (n / sec).toLong, rows._1, rows._2 / 1048576.0)
+    }
+
+    def genVecs(n: Int, salt: Long): DataFrame =
+      spark.range(n.toLong).select(
+        (col("id") * 2 + salt).as("vec_id"),
+        expr("transform(sequence(0, 63), j -> " +
+          "CAST((pmod(xxhash64(id * 64 + j), 100000) / 100000.0 - 0.5) AS FLOAT))")
+          .as("embedding"))
+
+    /** foreachBatch SemDeDup ingest (the IncrementalSemDedupStreamSpec
+      * shape): history/20th-sized appends checked against the on-disk
+      * index through the frozen 400-cell book, then appended to it.
+      */
+    def runSemDedupIngest(nHist: Int): R = {
+      val cents = graft.model.IvfCentroids.blockingCells(400)
+      val root = java.nio.file.Files.createTempDirectory("streamscale_sem")
+      val idx = s"$root/index"
+      val srcDir = s"$root/src"
+      genVecs(nHist, 1L).write.mode("overwrite").parquet(idx)
+      val nBatch = math.max(nHist / 10, 100)
+      val batch = genVecs(nBatch, 0L)
+      for (a <- 0 until 4) {
+        batch.filter(col("vec_id") % 8 === a * 2)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        Thread.sleep(30)
+      }
+      val schema = batch.schema
+      val decided = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ingest: (DataFrame, Long) => Unit = (mb, _) => {
+        val d = graft.operators.Similarity.incrementalSemDedup(
+          mb.sparkSession.read.parquet(idx), mb, "vec_id", "embedding",
+          tau = 0.4, centroids = cents).count()
+        decided.addAndGet(d)
+        mb.write.mode("append").parquet(idx)
+      }
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(ingest)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val idxRows = spark.read.parquet(idx).count()
+      require(decided.get == nBatch, s"ingest decided ${decided.get} of $nBatch rows")
+      R(sec, (nBatch / sec).toLong, idxRows, 0.0)
+    }
+
+    import graft.streaming.{AllocationStreaming, EventStreams}
+    def paths(src: String, n: Int): Seq[(String, () => R)] = Seq(
+      "hourly_rollup" -> (() =>
+        runStream(src, n, "update", EventStreams.hourlyRollup(_))),
+      "sessions_fmgws" -> (() =>
+        runStream(src, n, "update", EventStreams.sessionCountsStreaming(_))),
+      "dedup_watermark" -> (() =>
+        runStream(src, n, "append", EventStreams.dedupEvents(_))),
+      "attribution_join" -> (() =>
+        runStream(src, n, "append", df => EventStreams.attributedClicks(
+          df.filter(col("event_type") === "purchase"),
+          df.filter(col("event_type") === "click")))),
+      "allocation_fmgws" -> (() =>
+        runStream(src, n, "append", df => AllocationStreaming.greedy(
+          df.select(
+            pmod(col("user_id"), lit(1000L)).as("key"),
+            col("event_id").as("seq"),
+            col("value").as("qty"),
+            lit(1.0e7).as("cap"))
+            .as[AllocationStreaming.AllocLine]).toDF())))
+
+    // JIT/classload warmup on a small log (untimed)
+    val warm = genEvents(20000)
+    paths(warm, 20000).foreach { case (_, f) => f() }
+
+    val points = sizes.map { n =>
+      val src = genEvents(n)
+      val timed = paths(src, n).map { case (name, f) => name -> f() }
+      val sem = runSemDedupIngest(nHist = math.max(n / 20, 1000))
+      (n, timed :+ ("semdedup_ingest" -> sem))
+    }
+    val json = points.map { case (n, rs) =>
+      val ps = rs.map { case (k, r) =>
+        f""""$k":{"sec":${r.sec}%.2f,"rows_per_sec":${r.rowsPerSec},""" +
+          f""""state_rows":${r.stateRows},"state_mb":${r.stateMb}%.1f}"""
+      }.mkString(",")
+      s"""{"n_events":$n,$ps}"""
+    }.mkString("[", ",\n ", "]")
+    println(s"""{"metric":"stream_scale","points":$json}""")
+    spark.stop()
+  }
+}

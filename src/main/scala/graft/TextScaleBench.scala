@@ -33,7 +33,11 @@ object TextScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = Seq("q101_bm25_topk", "q102_inverted_index",
-      "q105_span_dedup", "q42_tfidf_top_term")
+      "q105_span_dedup", "q42_tfidf_top_term",
+      // r10 additions: truncated RRF (the heap-based arm must stay
+      // linear where q104's full ranking pays the range exchange) and
+      // exact substring dedup (one digest shuffle + per-doc merge)
+      "q132_hybrid_rrf_topk", "q133_dup_substr_spans")
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"

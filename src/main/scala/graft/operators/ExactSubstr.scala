@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicate-substring detection — the suffix-array dedup family
+  * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  * Better", ExactSubstr): every maximal character span covered by some
+  * length-≥L substring that also occurs elsewhere in the corpus. This is
+  * the alignment-free sibling of q105's C4 span dedup (which only sees
+  * duplicates that start on 10-word span boundaries) and the exact
+  * complement of MinHash (which scores whole documents): boilerplate
+  * headers, licence blocks, and quoted passages are caught at ANY offset
+  * and marked character-exactly.
+  *
+  * Distributed spelling: a global suffix array wants the corpus in one
+  * address space; instead, observe that a character lies in a duplicated
+  * substring of length ≥ L iff it lies in some duplicated window of
+  * length EXACTLY L — so the duplicated-character set is the interval
+  * union of the duplicated L-windows, and maximal duplicated spans are
+  * maximal runs of window starts at gaps ≤ L. This is Lee et al.'s
+  * bounded-suffix-key observation: suffixes need only be compared on
+  * their first L bytes, so "sort the suffixes" collapses to "group the
+  * L-windows".
+  *
+  * Scale shape (100 TB): ONE corpus-sized shuffle of (digest, doc, pos)
+  * triples — the window is keyed by its 128-bit MD5 (the repo's exact-
+  * dedup convention, cf. [[Dedup.exact]]), 16 bytes instead of an L-byte
+  * suffix key — then a per-doc window merge that shuffles only the
+  * marked positions. NEVER all-pairs and no per-bucket expansion: a
+  * window duplicated a million times (the degenerate boilerplate case)
+  * is handled by its bucket COUNT; positions are marked, not paired, so
+  * there is no quadratic arm to cap. The per-doc island merge partitions
+  * by doc — bounded by document length, embarrassingly parallel.
+  */
+object ExactSubstr {
+
+  /** Maximal duplicated spans `(id, span_start, span_end, span_len)`,
+    * 1-based inclusive character positions; a span is reported for every
+    * document it occurs in (Lee et al. remove all but one copy — that
+    * choice is a one-line filter on top of this frame, kept out so the
+    * caller owns the keep policy).
+    *
+    * @param minLen window length L: a duplicated substring shorter than
+    *               L is not reported; one of length ≥ L is reported
+    *               exactly (its every character is covered by a
+    *               duplicated L-window). 50 is the Lee et al. default.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 50): DataFrame = {
+    val L = minLen
+    require(L >= 2, s"minLen must be >= 2, got $L")
+    // one fused pass per doc builds all window digests (len·MD5 per doc
+    // — the suite's most compute-dense scan family, hence the spread
+    // weight; see Spread.computeWeight and the q37 A/B)
+    val wins = Spread
+      .ensure(df.select(col(idCol), col(textCol)), computeWeight = 10.0)
+      .filter(length(col(textCol)) >= L)
+      .select(
+        col(idCol).as("__id"),
+        posexplode(expr(
+          s"transform(sequence(1, length($textCol) - ${L - 1}), " +
+            s"i -> md5(substring($textCol, i, $L)))")).as(Seq("__p0", "__h")))
+      .select(col("__id"), (col("__p0") + 1).as("pos"), col("__h"))
+    // mark: window duplicated corpus-wide (count over the digest key;
+    // the only corpus-sized shuffle)
+    val dup = wins
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .filter(col("__cnt") >= 2)
+      .select(col("__id"), col("pos"))
+    // merge: gaps-and-islands per doc — window starts p1 < p2 cover a
+    // contiguous character run iff p2 ≤ p1 + L
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    dup
+      .withColumn("__gap",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > L, 1).otherwise(0))
+      .withColumn("__grp",
+        sum(col("__gap")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + L - 1).as("span_end"))
+      .select(
+        col("__id").as(idCol),
+        col("span_start"),
+        col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+}

@@ -265,15 +265,51 @@ object CurationQueries {
         countDistinct(col("canon")).as("n_canon"))
   }
 
+  /** Suffix-array-family exact substring dedup (r9 verdict #7):
+    * maximal spans of length ≥ 50 whose content also occurs elsewhere in
+    * the corpus — [[graft.operators.ExactSubstr.duplicateSpans]], the
+    * alignment-free complement to q105's span-boundary trick. The oracle
+    * replays the bounded-window formulation verbatim (window digests →
+    * corpus-wide count ≥ 2 → per-doc interval union), so the whole span
+    * map is hash-checked.
+    */
+  private def q133(s: SparkSession, d: String): DataFrame =
+    graft.operators.ExactSubstr.duplicateSpans(
+      Tables.documents(s, d), "doc_id", "text", minLen = 50)
+
   val defs: Map[String, Q] = Map(
     "q105_span_dedup" -> q105,
     "q106_quality_audit" -> q106,
     "q107_anomaly_mad" -> q107,
     "q108_bpe_pairs" -> q108,
     "q116_blocklist_scan" -> q116,
-    "q119_url_canonical" -> q119)
+    "q119_url_canonical" -> q119,
+    "q133_dup_substr_spans" -> q133)
 
   val oracles: Map[String, String] = Map(
+    "q133_dup_substr_spans" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    md5(substring(text, CAST(i AS INTEGER), 50)) AS h
+        |  FROM documents, unnest(range(1, length(text) - 50 + 2)) AS t(i)
+        |  WHERE length(text) >= 50),
+        |d AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM w)
+        |  WHERE cnt >= 2),
+        |g AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 50
+        |      THEN 1 ELSE 0 END AS gap
+        |  FROM d),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM g)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 49 AS span_end,
+        |  max(pos) + 49 - min(pos) + 1 AS span_len
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "q119_url_canonical" ->
       // independent canonicalization: regexp surgery on the raw string
       // (DuckDB has no parse_url), same rules

@@ -143,7 +143,15 @@ object RetrievalQueries {
     * RRF sum — pure rational arithmetic on small ints — is bit-stable
     * across engines.
     */
-  private def q104(s: SparkSession, d: String): DataFrame = {
+  /** The shared scoring prefix of q104/q132: per-doc BM25 and TF-cosine
+    * scores for the 3-term query, both rounded to 1e-6 BEFORE any
+    * ranking (the q101/q42 discipline — `ln` is not IEEE-exact across
+    * engines). ONE corpus-scale shuffle: (doc, token) partial counts;
+    * document length, corpus stats, norms, and the query-term tf all
+    * derive from that frame, so the token stream never shuffles twice,
+    * and its three consumers share the exchange via ReuseExchange.
+    */
+  private def hybridScores(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val terms = Seq("spark", "merge", "window")
     val k1 = 1.2
     val b = 0.75
@@ -152,27 +160,11 @@ object RetrievalQueries {
         col("doc_id"),
         explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
-    // ONE corpus-scale shuffle: (doc, token) partial counts. Document
-    // length, corpus stats, norms, and the query-term tf all derive from
-    // this frame, so the token stream never shuffles twice — and with no
-    // checkpoints the whole query is one action whose three tfAll
-    // consumers share the exchange via ReuseExchange instead of paying a
-    // materialization job each.
     val tfAll = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dl = tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = tfAll.filter(col("token").isInCollection(terms))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    // RRF consumes the FULL rankings (a fused top-20 doc may sit at rank
-    // 5 in one list and rank 5000 in the other, and 1/(60+r) needs the
-    // exact 5000), so the ranks come from the distributed global ranking
-    // — range-partitioned, every stage parallel — never a
-    // single-partition row_number window over the corpus-fraction scored
-    // frame. Both lists rank in ONE pass: the (doc, score) frames union
-    // with a list tag ordered FIRST, so each list occupies a contiguous
-    // global-rank span and the within-list rank is the global rank minus
-    // the list's base — halving the fixed per-ranking cost (one range
-    // exchange + checkpoint instead of two).
     val bm25 = tf.join(broadcast(dfreq), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -190,6 +182,22 @@ object RetrievalQueries {
       .select(
         col("doc_id"),
         r6(col("dot") / (col("nrm") * sqrt(lit(3.0)))).as("cos"))
+    (bm25, cosine)
+  }
+
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val (bm25, cosine) = hybridScores(s, d)
+    // RRF consumes the FULL rankings (a fused top-20 doc may sit at rank
+    // 5 in one list and rank 5000 in the other, and 1/(60+r) needs the
+    // exact 5000), so the ranks come from the distributed global ranking
+    // — range-partitioned, every stage parallel — never a
+    // single-partition row_number window over the corpus-fraction scored
+    // frame. Both lists rank in ONE pass: the (doc, score) frames union
+    // with a list tag ordered FIRST, so each list occupies a contiguous
+    // global-rank span and the within-list rank is the global rank minus
+    // the list's base — halving the fixed per-ranking cost (one range
+    // exchange + checkpoint instead of two). q132 is the truncated
+    // sibling that drops the full ranking entirely.
     val ranked = graft.operators.Ranking.globalRowNumber(
       bm25.select(col("doc_id"), lit("b").as("lst"), col("bm25").as("score"))
         .unionAll(cosine.select(col("doc_id"), lit("c").as("lst"), col("cos").as("score"))),
@@ -208,6 +216,40 @@ object RetrievalQueries {
         max(when(col("lst") === "c", col("r"))).as("r_cos"))
       .withColumn("rrf",
         r6(lit(1.0) / (lit(60) + col("r_bm25")) + lit(1.0) / (lit(60) + col("r_cos"))))
+    graft.operators.Ranking
+      .topK(fused, 20, Seq(col("rrf").desc, col("doc_id")), "rank")
+      .select(col("doc_id"), col("rrf"), col("rank"))
+  }
+
+  /** Truncated RRF — q104's 100 TB spelling (r9 verdict #6). Textbook
+    * RRF consumes FULL global rankings, and even the distributed
+    * global ranking costs a corpus-fraction range exchange +
+    * checkpoint; a production deployment instead truncates each arm to
+    * its top-K (K = 200 ≫ the fused top-20) and fuses only those,
+    * scoring a doc absent from an arm's list as zero contribution from
+    * that arm — the standard practice in RRF deployments (per-arm
+    * retrieval depth). Each arm is then a TakeOrderedAndProject:
+    * per-partition bounded heaps and a K-row merge, NO global sort or
+    * range exchange anywhere in the plan — the same exact-vs-truncated
+    * yardstick pattern as q33/q82. Truncation changes the fused
+    * ranking only through docs outside an arm's top-200 (whose arm
+    * contribution is < 1/260 ≈ 0.0038); both SFs truncate for real
+    * (482/4823 scored docs vs K=200). Ranks and the fusion replay
+    * exactly in SQL — scores are rounded before ranking and ties break
+    * on doc_id, so the top-K cut is engine-independent.
+    */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val armK = 200
+    val (bm25, cosine) = hybridScores(s, d)
+    val tb = graft.operators.Ranking
+      .topK(bm25, armK, Seq(col("bm25").desc, col("doc_id")), "r_bm25")
+    val tc = graft.operators.Ranking
+      .topK(cosine, armK, Seq(col("cos").desc, col("doc_id")), "r_cos")
+    val fused = tb.select(col("doc_id"), col("r_bm25"))
+      .join(tc.select(col("doc_id"), col("r_cos")), Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        r6(coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0))))
     graft.operators.Ranking
       .topK(fused, 20, Seq(col("rrf").desc, col("doc_id")), "rank")
       .select(col("doc_id"), col("rrf"), col("rank"))
@@ -238,7 +280,8 @@ object RetrievalQueries {
     "q102_inverted_index" -> q102,
     "q103_embed_centroids" -> q103,
     "q104_hybrid_rrf" -> q104,
-    "q128_incremental_index" -> q128)
+    "q128_incremental_index" -> q128,
+    "q132_hybrid_rrf_topk" -> q132)
 
   val oracles: Map[String, String] = Map(
     // merge-invariance: the incrementally-maintained index must equal
@@ -325,6 +368,51 @@ object RetrievalQueries {
         |    floor((1.0 / (60 + b.r_bm25) + 1.0 / (60 + c.r_cos))
         |      * 1000000 + 0.50001) / 1000000 AS rrf
         |  FROM bm25r b JOIN cosr c ON b.doc_id = c.doc_id),
+        |ranked AS (SELECT doc_id, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT doc_id, rrf, rank FROM ranked WHERE rank <= 20""".stripMargin,
+    "q132_hybrid_rrf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t
+        |  WHERE length(token) > 0),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |tf_all AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tf AS (SELECT * FROM tf_all
+        |       WHERE token IN ('spark', 'merge', 'window')),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |bm25s AS (
+        |  SELECT tf.doc_id,
+        |    floor(sum(
+        |      ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+        |    ) * 1000000 + 0.50001) / 1000000 AS bm25
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+        |  GROUP BY 1),
+        |bt AS (SELECT * FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+        |    FROM bm25s) WHERE r_bm25 <= 200),
+        |norms AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS BIGINT)) AS nrm
+        |          FROM tf_all GROUP BY 1),
+        |coss AS (
+        |  SELECT t.doc_id,
+        |    floor(CAST(sum(t.tf) AS BIGINT) / (n.nrm * sqrt(3.0))
+        |      * 1000000 + 0.50001) / 1000000 AS cos
+        |  FROM tf t JOIN norms n ON t.doc_id = n.doc_id
+        |  GROUP BY t.doc_id, n.nrm),
+        |ct AS (SELECT * FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_cos
+        |    FROM coss) WHERE r_cos <= 200),
+        |fused AS (
+        |  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |    floor((coalesce(1.0 / (60 + b.r_bm25), 0) + coalesce(1.0 / (60 + c.r_cos), 0))
+        |      * 1000000 + 0.50001) / 1000000 AS rrf
+        |  FROM bt b FULL JOIN ct c ON b.doc_id = c.doc_id),
         |ranked AS (SELECT doc_id, rrf,
         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
         |  FROM fused)

@@ -29,6 +29,9 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
                              // against the per-doc scores — a scalar
                              // attach, not a combinatorial product
     "q104_hybrid_rrf",       // same ONE-ROW stats attach inside its BM25 leg
+    "q132_hybrid_rrf_topk",  // same ONE-ROW stats attach (shared scoring
+                             // prefix with q104; the truncation changes
+                             // only the ranking machinery above it)
     "q123_pq_adc",           // PQ ADC scan: corpus codes × broadcast query
                              // LUTs — the compressed-domain analogue of
                              // q24's broadcast brute force

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[ExactSubstr.duplicateSpans]] against an in-memory brute force:
+  * mark every position whose L-window occurs ≥ 2 times corpus-wide,
+  * union the intervals, compare span-exactly — on a planted fixture
+  * (cross-doc shared block, within-doc repeat, arbitrary alignment) and
+  * on the real sf0.001 documents table.
+  */
+class ExactSubstrSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def brute(docs: Seq[(Long, String)], L: Int): Set[(Long, Int, Int, Int)] = {
+    val counts = collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs; i <- 0 to t.length - L)
+      counts.updateWith(t.substring(i, i + L))(c => Some(c.getOrElse(0) + 1))
+    docs.flatMap { case (id, t) =>
+      val marked = (0 to t.length - L).filter(i => counts(t.substring(i, i + L)) >= 2)
+      // interval union of [p, p+L-1]: 0-based (start, end) spans; a new
+      // window merges iff it overlaps or touches the current span end
+      val spans = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (p <- marked) {
+        if (spans.nonEmpty && p <= spans.last._2 + 1)
+          spans(spans.size - 1) = (spans.last._1, p + L - 1)
+        else spans += ((p, p + L - 1))
+      }
+      // 1-based inclusive, as the operator reports
+      spans.map { case (a, b) => (id, a + 1, b + 1, b - a + 1) }
+    }.toSet
+  }
+
+  private def run(docs: Seq[(Long, String)], L: Int): Set[(Long, Int, Int, Int)] =
+    ExactSubstr
+      .duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", minLen = L)
+      .as[(Long, Int, Int, Int)].collect().toSet
+
+  test("planted duplicates: cross-doc block, within-doc repeat, arbitrary alignment") {
+    val rnd = new scala.util.Random(7)
+    def uniq(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = "the licence header that every file in this corpus repeats verbatim!" // 68 chars
+    val rep = uniq(55)
+    val docs = Seq(
+      1L -> (uniq(120) + shared + uniq(90)),            // shared at offset 120
+      2L -> (uniq(37) + shared + uniq(200)),            // shared at offset 37 (different alignment)
+      3L -> uniq(300),                                  // clean
+      4L -> (uniq(60) + rep + uniq(25) + rep + uniq(40)), // within-doc repeat
+      5L -> uniq(45))                                   // shorter than L — no windows
+    val L = 50
+    val expected = brute(docs, L)
+    val got = run(docs, L)
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // the planted structure actually exercised every path
+    assert(got.exists(s => s._1 == 1L && s._2 == 121 && s._4 == shared.length))
+    assert(got.exists(s => s._1 == 2L && s._2 == 38))
+    assert(!got.exists(s => s._1 == 3L || s._1 == 5L))
+    assert(got.count(_._1 == 4L) == 2) // the 25 unique chars between the copies keep two spans
+  }
+
+  test("matches brute force on the real sf0.001 documents table") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val L = 50
+    val expected = brute(docs, L)
+    val got = ExactSubstr
+      .duplicateSpans(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", minLen = L)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(expected.nonEmpty, "fixture has no duplicated 50-windows — test is vacuous")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+}

@@ -8,13 +8,18 @@ C++ execution); queries whose ORACLE exceeds the budget are reported as
 ORACLE_TIMEOUT (the Spark side already produced its result; the oracle
 replay is the bottleneck) and listed separately from real failures.
 
-Usage: python3 tools/check_oracle_budget.py <sfdir> <outdir> [budget_s=180]
+Usage: python3 tools/check_oracle_budget.py <sfdir> <outdir> [budget_s=180] [json_out]
+
+With json_out, also writes a machine-checkable per-query record
+(r9 verdict #4: "hash-green at sf1" should be an artifact, not prose):
+{"_meta": {...}, "<query>": {"status": "OK|ORACLE_TIMEOUT|...", "detail": ...}}
 """
-import json, multiprocessing as mp, sys
+import json, multiprocessing as mp, subprocess, sys
 
 sf = sys.argv[1]
 out = sys.argv[2]
 budget = int(sys.argv[3]) if len(sys.argv) > 3 else 180
+json_out = sys.argv[4] if len(sys.argv) > 4 else None
 
 
 def check_one(name, sql, q):
@@ -75,6 +80,7 @@ def check_one(name, sql, q):
 if __name__ == '__main__':
     oracle = json.load(open(f'{out}/oracle_sql.json'))
     fails, timeouts = [], []
+    record = {}
     for name in sorted(oracle):
         q = mp.Queue()
         p = mp.Process(target=check_one, args=(name, oracle[name], q))
@@ -85,18 +91,34 @@ if __name__ == '__main__':
             p.join()
             print(f'{name}: ORACLE_TIMEOUT (> {budget}s)', flush=True)
             timeouts.append(name)
+            record[name] = {'status': 'ORACLE_TIMEOUT', 'detail': f'> {budget}s'}
             continue
         try:
             n, status, detail = q.get_nowait()
         except Exception:
             print(f'{name}: WORKER_DIED (exit {p.exitcode})', flush=True)
             fails.append(name)
+            record[name] = {'status': 'WORKER_DIED', 'detail': f'exit {p.exitcode}'}
             continue
         print(f'{n}: {status} {detail}'.rstrip(), flush=True)
+        record[name] = {'status': status, 'detail': detail}
         if status != 'OK':
             fails.append(name)
 
     print(f'\nFAILS: {fails if fails else "none"}')
     print(f'ORACLE_TIMEOUTS (oracle infeasible at this sf, Spark result '
           f'produced): {timeouts if timeouts else "none"}')
+    if json_out:
+        try:
+            sha = subprocess.run(['git', 'rev-parse', 'HEAD'],
+                                 capture_output=True, text=True).stdout.strip()
+        except Exception:
+            sha = 'unknown'
+        meta = {'sf_dir': sf, 'budget_s': budget, 'git_head': sha,
+                'n_queries': len(record),
+                'n_ok': sum(1 for r in record.values() if r['status'] == 'OK'),
+                'n_fail': len(fails), 'n_oracle_timeout': len(timeouts)}
+        with open(json_out, 'w') as f:
+            json.dump({'_meta': meta, **record}, f, indent=1)
+        print(f'wrote {json_out}')
     sys.exit(1 if fails else 0)
