@@ -315,23 +315,28 @@ object Similarity {
     // occupancy gate (see maxCellFactor doc), spelled as a LEFT-side
     // filter on the self-join rather than a quadratic/star UNION of two
     // arms: the join's left input keeps a row iff its cell is under the
-    // cap OR the row is the cell's min (one window pass computes the
-    // count and min-id member; struct min — ids are unique so the
-    // vector payload never drives the comparison). A sub-cap cell then
-    // joins all-pairs exactly as before; an oversized cell's left
-    // bucket holds ONLY the min row, so the hash join enumerates N_c
-    // star candidates instead of N_c² — the blowup is prevented inside
-    // the join, not filtered after. Both sides' exchanges hash the same
-    // cells frame on __cell, so ReuseExchange keeps this at one
-    // shuffle; the union spelling additionally tripped a Spark 4.1
-    // InferFiltersFromConstraints NoSuchElementException when a join
-    // sat above the two shared-lineage arms.
+    // cap OR the row is the cell's min. A sub-cap cell then joins
+    // all-pairs exactly as before; an oversized cell's left bucket
+    // holds ONLY the min row, so the hash join enumerates N_c star
+    // candidates instead of N_c² — the blowup is prevented inside the
+    // join, not filtered after. (The union spelling of quadratic+star
+    // arms additionally tripped a Spark 4.1 InferFiltersFromConstraints
+    // NoSuchElementException when a join sat above the shared lineage.)
+    // Per-cell (count, min) comes from a map-side-combinable aggregate
+    // — K rows total, broadcast back — NOT a window over the cells
+    // frame: the window's hash exchange would shuffle+sort the
+    // vector-payload-carrying rows that otherwise never shuffle here
+    // (the self-join broadcasts at small scale and reuses one exchange
+    // at large), measured +0.4–0.6 s on q50/q94 at sf0.1. The occ
+    // branch re-runs the NearestCells assignment off the checkpoint
+    // (pure map-side flops, column-pruned to drop the payload) — CPU
+    // it trades for carrying zero extra bytes through any exchange.
     val maxCell = math.max(
       64L, math.ceil(maxCellFactor * nprobe * n / centroids.length).toLong)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cell"))
+    val occ = cells.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__id")).as("__minid"))
     val starters = cells
-      .withColumn("__cnt", count(lit(1)).over(w))
-      .withColumn("__minid", min(col("__id")).over(w))
+      .join(broadcast(occ), Seq("__cell"))
       .filter(col("__cnt") <= maxCell || col("__id") === col("__minid"))
       .drop("__cnt", "__minid")
     starters.alias("x")
