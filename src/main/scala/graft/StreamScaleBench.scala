@@ -103,8 +103,12 @@ object StreamScaleBench {
     def genVecs(n: Int, salt: Long): DataFrame =
       spark.range(n.toLong).select(
         (col("id") * 2 + salt).as("vec_id"),
-        expr("transform(sequence(0, 63), j -> " +
-          "CAST((pmod(xxhash64(id * 64 + j), 100000) / 100000.0 - 0.5) AS FLOAT))")
+        // the salt feeds the HASH via the unique vec_id, not just the id
+        // column — otherwise history and batch would carry bit-identical
+        // embeddings and the ingest bench would measure a degenerate
+        // 100%-duplicate workload (r10 review)
+        expr(s"transform(sequence(0, 63), j -> " +
+          s"CAST((pmod(xxhash64((id * 2 + $salt) * 64 + j), 100000) / 100000.0 - 0.5) AS FLOAT))")
           .as("embedding"))
 
     /** foreachBatch SemDeDup ingest (the IncrementalSemDedupStreamSpec

@@ -62,9 +62,11 @@ object ExactSubstr {
       .filter(length(col(textCol)) >= L)
       .select(
         col(idCol).as("__id"),
+        // unhex: key by the 16 BINARY digest bytes, not md5's 32-char
+        // hex rendering — halves the one corpus-sized shuffle's key width
         posexplode(expr(
           s"transform(sequence(1, length($textCol) - ${L - 1}), " +
-            s"i -> md5(substring($textCol, i, $L)))")).as(Seq("__p0", "__h")))
+            s"i -> unhex(md5(substring($textCol, i, $L))))")).as(Seq("__p0", "__h")))
       .select(col("__id"), (col("__p0") + 1).as("pos"), col("__h"))
     // mark: window duplicated corpus-wide (count over the digest key;
     // the only corpus-sized shuffle)

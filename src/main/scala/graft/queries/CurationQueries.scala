@@ -290,7 +290,7 @@ object CurationQueries {
     "q133_dup_substr_spans" ->
       """WITH w AS (
         |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
-        |    md5(substring(text, CAST(i AS INTEGER), 50)) AS h
+        |    unhex(md5(substring(text, CAST(i AS INTEGER), 50))) AS h
         |  FROM documents, unnest(range(1, length(text) - 50 + 2)) AS t(i)
         |  WHERE length(text) >= 50),
         |d AS (

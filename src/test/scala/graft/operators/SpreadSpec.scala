@@ -58,6 +58,29 @@ class SpreadSpec extends AnyFunSuite with SparkTestBase {
     assert(out eq df, "many-file scan must not be re-shuffled")
   }
 
+  test("bin-packed estimate catches the low-openCost/minPartitionNum=1 merge cliff") {
+    // 8 small files, openCost=0, minPartitionNum=1: Spark's packing
+    // merges ALL of them into one partition (maxSplit = total bytes) —
+    // a compute-heavy scan would serialize. The old per-file '>=1
+    // partition each' estimate reported 8 >= cores and skipped the
+    // spread (r9 advice + r10 review); the packed estimate must see 1.
+    val dir = java.nio.file.Files.createTempDirectory("spread_packed").toString
+    spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .repartition(8)
+      .write.mode("overwrite").parquet(dir) // ~0.7 MB total: above the floor
+    val conf = spark.conf
+    val prevOpen = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      conf.set("spark.sql.files.minPartitionNum", "1")
+      val p = plan(Spread.ensure(spark.read.parquet(dir)))
+      assert(p.contains("RoundRobinPartitioning"), p)
+    } finally {
+      conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      conf.unset("spark.sql.files.minPartitionNum")
+    }
+  }
+
   test("unsplittable (.gz) files clamp to one partition each, so the spread fires") {
     // two ~200 KB gzip text files with maxPartitionBytes=64k: the naive
     // byte-range estimate says ceil(200k/64k)=4 splits/file = 8 ≥ cores
