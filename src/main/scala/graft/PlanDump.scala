@@ -52,7 +52,9 @@ object PlanDump {
       "q127_ivf_append" -> "incrementally-appended IVF layout: probe cells still resolve as PartitionFilters over the merged directories — append is plan-invisible",
       "q128_incremental_index" -> "incremental inverted index: two slice states merged by ONE vocabulary-keyed agg; postings concat+sort inside the aggregate",
       "q129_triangle_approx" -> "sampled triangle estimate: md5 keep-gate inline in the edge scan, the SAME oriented merge-walk kernel on both branches, one-row attach",
-      "q130_mp3_meta" -> "MP3 header walk: collect_list-bounded group payloads, per-group byte walk in a deterministic map, one agg shuffle")
+      "q130_mp3_meta" -> "MP3 header walk: collect_list-bounded group payloads, per-group byte walk in a deterministic map, one agg shuffle",
+      "q132_hybrid_rrf_topk" -> "truncated RRF: each arm a TakeOrderedAndProject (bounded heaps, no range exchange), full-outer fusion of two 200-row frames",
+      "q133_dup_substr_spans" -> "exact substring dedup: unhex(md5) window digests, ONE digest-keyed count window, per-doc gaps-and-islands merge")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")
