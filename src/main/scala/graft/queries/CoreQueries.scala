@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
 /** SURVEY.md §2 parity operators expressed over the driver's synthetic
   * star schema (TESTDATA.md), each paired with a DuckDB oracle in
   * [[CoreQueries.oracles]]. Query names carry the §2 operator ids they
-  * exercise. Aggregated money columns are `r2(_)` on BOTH sides so
-  * the driver's hash compare is insensitive to float summation order.
+  * exercise. Per-row money columns are `r2(_)` and aggregated money
+  * columns `sumR2(_)` on BOTH sides, so the driver's hash compare is
+  * independent of float summation order at every scale.
   */
 object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -27,15 +28,34 @@ object CoreQueries {
   private def r2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + lit(0.50001)) / 100
 
+  /** Order-independent 2dp money AGGREGATION. The r9 spelling
+    * `r2(sum(x))` rounded AFTER a double sum, so hash-equality with the
+    * oracle depended on both engines accumulating in the same order —
+    * true at sf0.01, false at sf1 where per-group sums reach 1e9+ and
+    * accumulation-order divergence crosses a half-cent boundary (first
+    * full sf1 oracle replay flipped one q03 brand's cents digit), and
+    * structurally false on a real cluster where partial-aggregate
+    * merge order varies run to run. Rounding each ROW to integer cents
+    * first (the same pure-IEEE `r2` kernel, bit-identical in both
+    * engines) makes the aggregation a LONG sum — exact, associative,
+    * commutative — so the result is one fixed value under any shuffle,
+    * AQE re-plan, or partial-agg schedule at any scale. The SQL oracles
+    * spell the identical thing (DuckDB widens the BIGINT sum to
+    * HUGEINT; the final /100.0 maps the same integer to the same
+    * double either way).
+    */
+  private def sumR2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(c * 100 + lit(0.50001)).cast("long")) / 100.0
+
 
   /** A1/A2/A3-style hash aggregation (TPC-H Q1 shape). */
   private def q01(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        r2(sum(col("l_quantity"))).as("sum_qty"),
-        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        sumR2(col("l_quantity")).as("sum_qty"),
+        sumR2(col("l_extendedprice")).as("sum_base_price"),
+        sumR2(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
@@ -61,7 +81,7 @@ object CoreQueries {
         "inner")
       .groupBy(col("p_brand"))
       .agg(
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        sumR2(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"),
         count(lit(1)).as("num_lines"))
 
@@ -73,7 +93,7 @@ object CoreQueries {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(
-        r2(sum(col("o_totalprice"))).as("revenue"),
+        sumR2(col("o_totalprice")).as("revenue"),
         count(lit(1)).as("num_orders"))
 
   /** D1 keyed dedup with a DETERMINISTIC survivor (first order per
@@ -102,7 +122,7 @@ object CoreQueries {
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n"),
-        r2(sum(col("o_totalprice"))).as("total"))
+        sumR2(col("o_totalprice")).as("total"))
   }
 
   /** O1/O2/L1: multi-key sort + limit (top-k with deterministic ties). */
@@ -124,9 +144,8 @@ object CoreQueries {
       .withColumn("line_no", col("l_linenumber").cast("string"))
       .groupBy(col("disc_band"), col("line_no"))
       .agg(
-        r2(
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            col("l_quantity") * lit(10.0))).as("margin"),
+        sumR2(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("l_quantity") * lit(10.0)).as("margin"),
         count(lit(1)).as("n"))
 
   /** Scalar date functions: month bucketing via date_format (A2 shape). */
@@ -135,14 +154,14 @@ object CoreQueries {
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(
         count(lit(1)).as("num_orders"),
-        r2(sum(col("o_totalprice"))).as("revenue"))
+        sumR2(col("o_totalprice")).as("revenue"))
 
   /** A1 order-summary shape: per-order totals + line counts. */
   private def q10(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy(col("l_orderkey").as("order_id"))
       .agg(
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        sumR2(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("total_amount"),
         count(lit(1)).as("num_items"))
 
@@ -155,7 +174,7 @@ object CoreQueries {
       .groupBy(to_date(col("o_orderdate")).as("date"))
       .agg(
         countDistinct(col("o_orderkey")).as("num_orders"),
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        sumR2(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("total_sales"))
 
   /** Window ranking: top-3 orders per customer (deterministic ties). */
@@ -262,7 +281,7 @@ object CoreQueries {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        r2(sum(col("l_extendedprice"))).as("total"))
+        sumR2(col("l_extendedprice")).as("total"))
 
   /** Pivot: one column per order priority, revenue per status row.
     * Pivot values pinned explicitly so the output schema is static (at
@@ -273,7 +292,7 @@ object CoreQueries {
       .groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority",
         Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
-      .agg(r2(sum(col("o_totalprice"))))
+      .agg(sumR2(col("o_totalprice")))
       .withColumnsRenamed(Map(
         "1-URGENT" -> "p1", "2-HIGH" -> "p2", "3-MEDIUM" -> "p3",
         "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
@@ -311,9 +330,9 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q01_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |floor((sum(l_quantity)) * 100 + 0.50001) / 100 AS sum_qty,
-        |floor((sum(l_extendedprice)) * 100 + 0.50001) / 100 AS sum_base_price,
-        |floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.50001) / 100 AS sum_disc_price,
+        |sum(CAST(floor(l_quantity * 100 + 0.50001) AS BIGINT)) / 100.0 AS sum_qty,
+        |sum(CAST(floor(l_extendedprice * 100 + 0.50001) AS BIGINT)) / 100.0 AS sum_base_price,
+        |sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.50001) AS BIGINT)) / 100.0 AS sum_disc_price,
         |count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
@@ -324,12 +343,12 @@ object CoreQueries {
         |WHERE l_quantity IS NOT NULL AND l_quantity >= 45 AND l_returnflag = 'R'""".stripMargin,
     "q03_join_dim" ->
       """SELECT p_brand,
-        |floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.50001) / 100 AS revenue,
+        |sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.50001) AS BIGINT)) / 100.0 AS revenue,
         |count(*) AS num_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
     "q04_join_chain" ->
-      """SELECT r_name, floor((sum(o_totalprice)) * 100 + 0.50001) / 100 AS revenue,
+      """SELECT r_name, sum(CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT)) / 100.0 AS revenue,
         |count(*) AS num_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -343,7 +362,7 @@ object CoreQueries {
         |      ORDER BY o_orderkey) AS rn FROM orders) t
         |WHERE rn = 1""".stripMargin,
     "q06_union_bag" ->
-      """SELECT o_orderstatus, count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.50001) / 100 AS total
+      """SELECT o_orderstatus, count(*) AS n, sum(CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT)) / 100.0 AS total
         |FROM (SELECT * FROM orders WHERE o_totalprice < 500
         |      UNION ALL
         |      SELECT * FROM orders WHERE o_orderstatus = 'F') t
@@ -354,22 +373,22 @@ object CoreQueries {
     "q08_case_arith" ->
       """SELECT CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS disc_band,
         |CAST(l_linenumber AS VARCHAR) AS line_no,
-        |floor((sum(l_extendedprice * (1 - l_discount) - l_quantity * 10.0)) * 100 + 0.50001) / 100 AS margin,
+        |sum(CAST(floor((l_extendedprice * (1 - l_discount) - l_quantity * 10.0) * 100 + 0.50001) AS BIGINT)) / 100.0 AS margin,
         |count(*) AS n
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q09_date_rollup" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
-        |count(*) AS num_orders, floor((sum(o_totalprice)) * 100 + 0.50001) / 100 AS revenue
+        |count(*) AS num_orders, sum(CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT)) / 100.0 AS revenue
         |FROM orders GROUP BY 1""".stripMargin,
     "q10_order_summary" ->
       """SELECT l_orderkey AS order_id,
-        |floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.50001) / 100 AS total_amount,
+        |sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.50001) AS BIGINT)) / 100.0 AS total_amount,
         |count(*) AS num_items
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "q11_daily_summary" ->
       """SELECT CAST(o_orderdate AS DATE) AS date,
         |count(DISTINCT o.o_orderkey) AS num_orders,
-        |floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.50001) / 100 AS total_sales
+        |sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.50001) AS BIGINT)) / 100.0 AS total_sales
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin,
     "q12_window_rank" ->
@@ -386,15 +405,15 @@ object CoreQueries {
         |SELECT o_custkey, 'high_only' AS relation FROM (SELECT * FROM hv EXCEPT SELECT * FROM u) t""".stripMargin,
     "q39_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |floor((sum(l_extendedprice)) * 100 + 0.50001) / 100 AS total
+        |sum(CAST(floor(l_extendedprice * 100 + 0.50001) AS BIGINT)) / 100.0 AS total
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q40_pivot" ->
       """SELECT o_orderstatus,
-        |floor((sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p1,
-        |floor((sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p2,
-        |floor((sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p3,
-        |floor((sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p4,
-        |floor((sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END)) * 100 + 0.50001) / 100 AS p5
+        |sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT) END) / 100.0 AS p1,
+        |sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT) END) / 100.0 AS p2,
+        |sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT) END) / 100.0 AS p3,
+        |sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT) END) / 100.0 AS p4,
+        |sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT) END) / 100.0 AS p5
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // the greedy recurrence, row by row per part: remaining capacity
     // threads through the recursive CTE exactly as it threads through

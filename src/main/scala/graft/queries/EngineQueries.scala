@@ -21,6 +21,10 @@ object EngineQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   private def r2(c: Column): Column = floor(c * 100 + lit(0.50001)) / 100
+  // order-independent 2dp money aggregation — per-row exact cents, LONG
+  // sum (see CoreQueries.sumR2 for the full scale rationale)
+  private def sumR2(c: Column): Column =
+    sum(floor(c * 100 + lit(0.50001)).cast("long")) / 100.0
   private def r6(c: Column): Column = floor(c * 1000000 + lit(0.50001)) / 1000000
 
   /** CUBE over two dimensions with GROUPING indicators — subsumes
@@ -34,7 +38,7 @@ object EngineQueries {
         grouping(col("o_orderstatus")).cast("int").as("g_status"),
         grouping(col("o_orderpriority")).cast("int").as("g_prio"),
         count(lit(1)).as("n"),
-        r2(sum(col("o_totalprice"))).as("total"))
+        sumR2(col("o_totalprice")).as("total"))
 
   /** Ranking-window family: ntile, percent_rank, cume_dist, lag, lead
     * over a deterministic (value, key) order. One shuffle on the
@@ -118,7 +122,7 @@ object EngineQueries {
         Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
         "metric", "val")
       .groupBy(col("metric"))
-      .agg(r2(sum(col("val"))).as("total"))
+      .agg(sumR2(col("val")).as("total"))
 
   /** String-function surface: case mapping, padding, translate,
     * Levenshtein edit distance (the classic fuzzy-match primitive),
@@ -159,7 +163,7 @@ object EngineQueries {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_lines"),
-        r2(sum(col("l_quantity"))).as("sum_qty"))
+        sumR2(col("l_quantity")).as("sum_qty"))
   }
 
   /** Time-series gap-fill: dense per-status daily sales with
@@ -170,7 +174,7 @@ object EngineQueries {
       .groupBy(
         col("o_orderstatus").as("st"),
         to_date(col("o_orderdate")).as("day"))
-      .agg(r2(sum(col("o_totalprice"))).as("total"))
+      .agg(sumR2(col("o_totalprice")).as("total"))
     graft.operators.GapFill.forwardFillDaily(daily, "st", "day", "total")
   }
 
@@ -438,7 +442,7 @@ object EngineQueries {
     "q75_gapfill" ->
       """WITH daily AS (
         |  SELECT o_orderstatus AS st, CAST(o_orderdate AS DATE) AS day,
-        |    floor(sum(o_totalprice) * 100 + 0.50001) / 100 AS total
+        |    sum(CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT)) / 100.0 AS total
         |  FROM orders GROUP BY 1, 2),
         |cal AS (
         |  SELECT st, CAST(unnest(generate_series(min(day), max(day),
@@ -493,7 +497,7 @@ object EngineQueries {
         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
         |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
         |  count(*) AS n,
-        |  floor(sum(o_totalprice) * 100 + 0.50001) / 100 AS total
+        |  sum(CAST(floor(o_totalprice * 100 + 0.50001) AS BIGINT)) / 100.0 AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q66_window_suite" ->
       """SELECT o_orderkey, o_orderstatus,
@@ -533,7 +537,7 @@ object EngineQueries {
         |  TRUE AS within_bound
         |FROM events GROUP BY event_type""".stripMargin,
     "q71_unpivot" ->
-      """SELECT metric, floor(sum(val) * 100 + 0.50001) / 100 AS total
+      """SELECT metric, sum(CAST(floor(val * 100 + 0.50001) AS BIGINT)) / 100.0 AS total
         |FROM (
         |  SELECT 'l_extendedprice' AS metric, l_extendedprice AS val FROM lineitem
         |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
@@ -557,7 +561,7 @@ object EngineQueries {
         |FROM orders""".stripMargin,
     "q74_salted_join" ->
       """SELECT p_brand, count(*) AS n_lines,
-        |  floor(sum(l_quantity) * 100 + 0.50001) / 100 AS sum_qty
+        |  sum(CAST(floor(l_quantity * 100 + 0.50001) AS BIGINT)) / 100.0 AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin)
 }

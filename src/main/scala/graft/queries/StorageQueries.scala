@@ -30,6 +30,10 @@ object StorageQueries {
   private type Q = (SparkSession, String) => DataFrame
 
   private def r2(c: Column): Column = floor(c * 100 + lit(0.50001)) / 100
+  // order-independent 2dp money aggregation — per-row exact cents, LONG
+  // sum (see CoreQueries.sumR2 for the full scale rationale)
+  private def sumR2(c: Column): Column =
+    sum(floor(c * 100 + lit(0.50001)).cast("long")) / 100.0
 
   /** Layout roots live under java.io.tmpdir, scoped by sf dir so
     * different scale factors never read each other's layouts.
@@ -87,7 +91,7 @@ object StorageQueries {
       .groupBy(col("o_orderkey"), col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_lines"),
-        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        sumR2(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("net_total"))
   }
 
@@ -106,7 +110,7 @@ object StorageQueries {
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     PartitionedParquetSink.readDayRange(s, path, "20240105", "20240107")
       .groupBy(col("date"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sumR2(col("value")).as("total_value"))
   }
 
   /** Runtime bloom-filter join pruning, exercised at bench scale: the
@@ -187,7 +191,7 @@ object StorageQueries {
       .groupBy(col("l_quantity"))
       .agg(
         count(lit(1)).as("n_lines"),
-        r2(sum(col("l_extendedprice"))).as("total_price"))
+        sumR2(col("l_extendedprice")).as("total_price"))
   }
 
   /** Bit-interleave the low 16 bits of two keys into a Morton (Z-order)
@@ -231,7 +235,7 @@ object StorageQueries {
       .groupBy(col("l_suppkey"))
       .agg(
         count(lit(1)).as("n_lines"),
-        r2(sum(col("l_quantity"))).as("total_qty"))
+        sumR2(col("l_quantity")).as("total_qty"))
   }
 
   /** IVF cells as a PHYSICAL layout — the claim in `Similarity`'s IVF
@@ -361,14 +365,14 @@ object StorageQueries {
     "q127_ivf_append" -> ExtQueries.ivfOracleSql(maxQueryId = 3),
     "q96_bucketed_join" ->
       """SELECT o_orderkey, o_orderstatus, count(*) AS n_lines,
-        |floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.50001) / 100
+        |sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.50001) AS BIGINT)) / 100.0
         |  AS net_total
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1, 2""".stripMargin,
     "q97_partition_prune" ->
       """SELECT strftime(ts, '%Y%m%d') AS date, event_type,
         |count(*) AS n_events,
-        |floor(sum(value) * 100 + 0.50001) / 100 AS total_value
+        |sum(CAST(floor(value * 100 + 0.50001) AS BIGINT)) / 100.0 AS total_value
         |FROM events
         |WHERE strftime(ts, '%Y%m%d') BETWEEN '20240105' AND '20240107'
         |GROUP BY 1, 2""".stripMargin,
@@ -395,13 +399,13 @@ object StorageQueries {
         |FROM batch b LEFT JOIN idx i ON b.h = i.h""".stripMargin,
     "q100_range_layout" ->
       """SELECT l_quantity, count(*) AS n_lines,
-        |floor(sum(l_extendedprice) * 100 + 0.50001) / 100 AS total_price
+        |sum(CAST(floor(l_extendedprice * 100 + 0.50001) AS BIGINT)) / 100.0 AS total_price
         |FROM lineitem
         |WHERE l_extendedprice >= 900.0 AND l_extendedprice < 5000.0
         |GROUP BY l_quantity""".stripMargin,
     "q109_zorder_layout" ->
       """SELECT l_suppkey, count(*) AS n_lines,
-        |floor(sum(l_quantity) * 100 + 0.50001) / 100 AS total_qty
+        |sum(CAST(floor(l_quantity * 100 + 0.50001) AS BIGINT)) / 100.0 AS total_qty
         |FROM lineitem
         |WHERE l_partkey < 60 AND l_suppkey < 4
         |GROUP BY l_suppkey""".stripMargin)

@@ -43,7 +43,7 @@ class EngineQueriesSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_lines"),
-        (floor(sum(col("l_quantity")) * 100 + lit(0.50001)) / 100).as("sum_qty"))
+        (sum(floor(col("l_quantity") * 100 + lit(0.50001)).cast("long")) / 100.0).as("sum_qty"))
       .as[(String, Long, Double)].collect().toSet
     assert(salted == plain)
   }
@@ -53,7 +53,8 @@ class EngineQueriesSpec extends AnyFunSuite with SparkTestBase {
       .as[(String, Double)].collect().toMap
     assert(out.keySet == Set("l_extendedprice", "l_discount", "l_tax"))
     val direct = Tables.lineitem(spark, sf)
-      .agg(floor(sum("l_tax") * 100 + lit(0.50001)) / 100).as[Double].head()
+      .agg(sum(floor(col("l_tax") * 100 + lit(0.50001)).cast("long")) / 100.0)
+      .as[Double].head()
     assert(out("l_tax") == direct)
   }
 

@@ -39,8 +39,10 @@ class StorageQueriesSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(col("o_orderkey"), col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_lines"),
-        (floor(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100
-          + lit(0.50001)) / 100).as("net_total"))
+        // same order-independent exact-cents aggregation as sumR2 —
+        // post-sum rounding would depend on accumulation order here
+        (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + lit(0.50001)).cast("long")) / 100.0).as("net_total"))
     assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
   }
 
