@@ -92,4 +92,89 @@ object ExactSubstr {
         col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
   }
+
+  /** The APPLY stage (Lee et al. §3: remove duplicated text, keep one
+    * copy): the deduplicated corpus `(id, text_dedup, n_spans_cut,
+    * n_chars_cut)`.
+    *
+    * Keep policy — explicit and window-level: for every duplicated
+    * L-window (digest count ≥ 2 corpus-wide) the occurrence with the
+    * LOWEST `(id, pos)` is the kept copy; every other occurrence is
+    * cut. A document's removed characters are the interval union of its
+    * cut windows, and `text_dedup` is the concatenation of what
+    * survives. Two consequences worth stating: (a) the first document
+    * (by id) containing a piece of boilerplate keeps it, later ones
+    * lose it — deterministic and order-independent; (b) keeping is
+    * per-window, so a kept occurrence can still lose characters to a
+    * NEIGHBORING cut window overlapping it — the same granularity the
+    * detection pass reports.
+    *
+    * Scale shape: identical to [[duplicateSpans]] — the one corpus-sized
+    * shuffle on the 16-byte digest now also ranks occurrences inside
+    * each digest bucket (row_number over the same exchange; a bucket
+    * duplicated a million times costs its bucket size, never a pair
+    * arm), the island merge shuffles only cut positions by doc, and the
+    * final stitch is a co-partitioned join back to the corpus on id.
+    */
+  def cutDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 50): DataFrame = {
+    val L = minLen
+    require(L >= 2, s"minLen must be >= 2, got $L")
+    val wins = Spread
+      .ensure(df.select(col(idCol), col(textCol)), computeWeight = 10.0)
+      .filter(length(col(textCol)) >= L)
+      .select(
+        col(idCol).as("__id"),
+        posexplode(expr(
+          s"transform(sequence(1, length($textCol) - ${L - 1}), " +
+            s"i -> unhex(md5(substring($textCol, i, $L))))")).as(Seq("__p0", "__h")))
+      .select(col("__id"), (col("__p0") + 1).as("pos"), col("__h"))
+    // one digest-keyed shuffle carries both decisions: duplicated at
+    // all (count ≥ 2) and keeper (rank 1 in (id, pos) order)
+    val byDigest = Window.partitionBy(col("__h"))
+    val cut = wins
+      .withColumn("__cnt", count(lit(1)).over(byDigest))
+      .withColumn("__rk",
+        row_number().over(byDigest.orderBy(col("__id"), col("pos"))))
+      .filter(col("__cnt") >= 2 && col("__rk") > 1)
+      .select(col("__id"), col("pos"))
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val spans = cut
+      .withColumn("__gap",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > L, 1).otherwise(0))
+      .withColumn("__grp",
+        sum(col("__gap")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(
+        min(col("pos")).as("s"),
+        (max(col("pos")) + L - 1).as("e"))
+      .groupBy(col("__id"))
+      .agg(
+        sort_array(collect_list(struct(col("s"), col("e")))).as("__spans"),
+        count(lit(1)).as("n_spans_cut"),
+        sum(col("e") - col("s") + 1).as("n_chars_cut"))
+    // stitch: fold the (disjoint, sorted) cut spans left to right,
+    // emitting the text between the previous cut's end and the next
+    // cut's start, then the tail after the last cut
+    val stitched = expr(
+      s"""aggregate(
+         |  __spans,
+         |  struct(CAST(0 AS INT) AS last, CAST('' AS STRING) AS out),
+         |  (acc, sp) -> struct(
+         |    CAST(sp.e AS INT),
+         |    concat(acc.out, substring($textCol, acc.last + 1, sp.s - acc.last - 1))),
+         |  acc -> concat(acc.out,
+         |    substring($textCol, acc.last + 1, length($textCol) - acc.last)))""".stripMargin)
+    df.select(col(idCol), col(textCol))
+      .join(spans, col(idCol) === col("__id"), "left")
+      .select(
+        col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(stitched).as("text_dedup"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"))
+  }
 }

@@ -179,16 +179,26 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q117_skyline" ->
-      // the independent semantic definition: quadratic NOT EXISTS
-      // dominance, feasible at oracle scale
-      """SELECT o_orderkey, o_totalprice, o_orderdate
+      // independent O(n log n) spelling of the same 2-D dominance
+      // semantics (the r10 NOT EXISTS version replayed quadratically —
+      // >600 s on 1.5M orders at sf1). A row survives iff (a) its price
+      // is the max of its date (else the same-date max dominates it)
+      // and (b) that per-date max strictly exceeds every max on a
+      // later date (a later row with >= price dominates: date strict).
+      // Equal (price, date) duplicates dominate in neither direction
+      // and all survive — the join keeps every tying row.
+      """WITH dm AS (
+        |  SELECT o_orderdate AS d, max(o_totalprice) AS mp
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT d, mp,
+        |    max(mp) OVER (ORDER BY d DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ml
+        |  FROM dm)
+        |SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
         |FROM orders o
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM orders q
-        |  WHERE q.o_totalprice >= o.o_totalprice
-        |    AND q.o_orderdate >= o.o_orderdate
-        |    AND (q.o_totalprice > o.o_totalprice
-        |         OR q.o_orderdate > o.o_orderdate))""".stripMargin,
+        |JOIN w ON o.o_orderdate = w.d AND o.o_totalprice = w.mp
+        |WHERE w.ml IS NULL OR w.mp > w.ml""".stripMargin,
     "q122_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,

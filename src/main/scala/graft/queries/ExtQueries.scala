@@ -687,22 +687,82 @@ object ExtQueries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** q21 oracle: the same all-pairs exact-Jaccard semantics as the r10
+    * brute force (every emitted LSH pair is exact-verified and banding
+    * recall is complete on this corpus), respelled so the replay stays
+    * inside the sf1 budget. The char-5-gram universe is tiny (2,059
+    * distinct shingles at sf1, minimum avg df ≈ 5,000), so EVERY
+    * posting-list join — plain inverted index (sum df² = 151B) or
+    * PPJoin rarest-first prefixes (25B) — is worse than the pair count
+    * itself. Instead each doc's distinct-shingle set becomes a packed
+    * bitmap: shingle ids assigned by global frequency DESCENDING, 127
+    * ids per HUGEINT word (bit 127 unused — 1<<127 overflows the
+    * signed shift). |a ∩ b| is then a sum of per-word
+    * bit_count(AND)s — integer-exact, so the Jaccard is identical to
+    * list_intersect's. Two phases keep the wide payload off the 1.25B
+    * IEJoin rows: phase 1 joins only the first `pfxWords` words (the
+    * commonest ~42% of postings) plus per-doc counts, pruning on the
+    * exact upper bound ni ≤ ni_pfx + min(rest_a, rest_b) (~80% of
+    * pairs die); phase 2 rejoins the full bitmap for survivors only.
+    * Measured at sf1: ~400 s vs ~2,000 s single-phase / >600 s r10.
+    */
+  private def q21BitmapOracleSql: String = {
+    val words = 17 // ceil(2059 / 127); headroom asserted in-query below
+    val pfxWords = 6
+    def niSum(a: String, b: String, from: Int, until: Int): String =
+      (from until until)
+        .map(k => s"CAST(bit_count($a.w$k & $b.w$k) AS INTEGER)")
+        .mkString(" + ")
+    val wCols = (0 until words).map { k =>
+      s"coalesce(bit_or(CASE WHEN sid // 127 = $k THEN " +
+        s"(CAST(1 AS HUGEINT) << CAST(sid % 127 AS INT)) END), " +
+        s"CAST(0 AS HUGEINT)) AS w$k"
+    }.mkString(",\n    ")
+    val pfxPop = (0 until pfxWords)
+      .map(k => s"CAST(bit_count(w$k) AS INTEGER)").mkString(" + ")
+    val pfxKeep = (0 until pfxWords).map(k => s"w$k").mkString(", ")
+    s"""WITH sh AS MATERIALIZED (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, greatest(length(text) - 3, 2)),
+       |    i -> substring(text, CAST(i AS INT), 5))) AS s
+       |  FROM documents),
+       |ex0 AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+       |dict AS (SELECT sg,
+       |    row_number() OVER (ORDER BY count(*) DESC, sg) - 1 AS sid0
+       |  FROM ex0 GROUP BY sg),
+       |wm AS MATERIALIZED (
+       |  SELECT doc_id, count(*) AS n,
+       |    $wCols
+       |  FROM (SELECT doc_id,
+       |      -- loud capacity guard: a corpus with more distinct
+       |      -- shingles than the ${words}-word bitmap holds must
+       |      -- error, not truncate
+       |      CASE WHEN sid0 < ${words * 127} THEN sid0
+       |           ELSE CAST(error('q21 oracle bitmap overflow: more than ${words * 127} distinct shingles') AS BIGINT)
+       |      END AS sid
+       |    FROM ex0 JOIN dict USING (sg)) ei
+       |  GROUP BY doc_id),
+       |wp AS MATERIALIZED (
+       |  SELECT doc_id, n, ($pfxPop) AS p, $pfxKeep FROM wm),
+       |cand AS MATERIALIZED (
+       |  SELECT ida, idb, nif, na, nb FROM (
+       |    SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |      (${niSum("a", "b", 0, pfxWords)}) AS nif,
+       |      a.n AS na, b.n AS nb, a.p AS pa, b.p AS pb
+       |    FROM wp a JOIN wp b ON b.doc_id > a.doc_id) t
+       |  WHERE (nif + LEAST(na - pa, nb - pb)) * 1.4 >= 0.4 * (na + nb)),
+       |res AS (
+       |  SELECT ida, idb, nif + (${niSum("a2", "b2", pfxWords, words)}) AS ni,
+       |    na, nb
+       |  FROM cand JOIN wm a2 ON a2.doc_id = cand.ida
+       |            JOIN wm b2 ON b2.doc_id = cand.idb)
+       |SELECT ida AS id_a, idb AS id_b,
+       |  floor(CAST(ni AS DOUBLE) / (na + nb - ni) * 1000000 + 0.50001)
+       |    / 1000000 AS jaccard
+       |FROM res WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.4""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    // q21: the LSH banding is a candidate generator; every emitted pair
-    // is exact-Jaccard-verified, and banding recall over this corpus's
-    // planted near-dups is complete — so brute force IS the oracle.
-    "q21_minhash_pairs" ->
-      """WITH sh AS (SELECT doc_id,
-        |  list_distinct(list_transform(range(1, greatest(length(text) - 3, 2)),
-        |    i -> substring(text, CAST(i AS INT), 5))) AS s
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |floor((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |  len(list_distinct(list_concat(a.s, b.s)))) * 1000000 + 0.50001) / 1000000
-        |  AS jaccard
-        |FROM sh a JOIN sh b ON b.doc_id > a.doc_id
-        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-        |  len(list_distinct(list_concat(a.s, b.s))) >= 0.4""".stripMargin,
+    "q21_minhash_pairs" -> q21BitmapOracleSql,
     "q28_multimodal_features" ->
       """WITH s AS (SELECT event_type, event_id,
         |    (CAST(floor(value * 100) AS BIGINT) % 2000) - 1000 AS v
@@ -1035,7 +1095,7 @@ object ExtQueries {
         |         WHEN len(acpt) > 0 AND acpt[-1] = n - 1 THEN acpt
         |         ELSE list_append(acpt, n - 1) END AS es
         |  FROM acc),
-        |digs AS (
+        |digs AS MATERIALIZED (
         |  SELECT doc_id,
         |    list_distinct([
         |      CAST(CASE WHEN h >= 9223372036854775808
@@ -1049,13 +1109,25 @@ object ExtQueries {
         |          (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
         |                         % 18446744073709551616 AS UBIGINT)) AS HUGEINT)
         |        FOR idx IN range(1, len(es) + 1)]]) AS ds
-        |  FROM ends)
+        |  FROM ends),
+        |-- inverted index on the digest instead of the r10 all-pairs
+        |-- list_intersect (1.25B pairs, >600 s at sf1): digests are
+        |-- content-defined, so postings are sparse (sum df² = 300k at
+        |-- sf1, max df 82) and the pair count IS the intersection size;
+        |-- pairs sharing no chunk (overlap = 0) are filtered out by the
+        |-- original predicate either way
+        |ex AS (SELECT doc_id, unnest(ds) AS dg FROM digs),
+        |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+        |       FROM ex a JOIN ex b ON a.dg = b.dg AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |ln AS (SELECT doc_id, len(ds) AS n FROM digs)
         |SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    floor(CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)
-        |      / greatest(len(list_distinct(list_concat(a.ds, b.ds))), 1)
+        |  SELECT id_a, id_b,
+        |    floor(CAST(ni AS DOUBLE)
+        |      / greatest(la.n + lb.n - ni, 1)
         |      * 1000000 + 0.50001) / 1000000 AS chunk_overlap
-        |  FROM digs a JOIN digs b ON a.doc_id < b.doc_id) t
+        |  FROM iv JOIN ln la ON la.doc_id = iv.id_a
+        |          JOIN ln lb ON lb.doc_id = iv.id_b) t
         |WHERE chunk_overlap > 0""".stripMargin
   )
 }

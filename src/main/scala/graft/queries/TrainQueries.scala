@@ -222,7 +222,11 @@ object TrainQueries {
          |  floor(max(n) * 1.0 / sum(n) * 1000000 + 0.50001) / 1000000 AS dup_bigram_frac
          |FROM c GROUP BY doc_id""".stripMargin,
     "q53_pack_greedy" ->
-      s"""WITH RECURSIVE sized AS (
+      // MATERIALIZED: the recursive term joins `sized` once per row of
+      // the longest language run (~20k iterations at sf1); without it
+      // DuckDB re-tokenizes all 50k documents every iteration (>600 s;
+      // 86 s with — the q59 lesson applied to the packing replay)
+      s"""WITH RECURSIVE sized AS MATERIALIZED (
          |  SELECT doc_id, lang, coalesce(CAST(len($duckToks) AS BIGINT), 0) AS n_tokens,
          |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
          |  FROM documents),
@@ -278,15 +282,27 @@ object TrainQueries {
         |         AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0) / n_chars AS pri
         |  FROM documents) t
         |ORDER BY pri DESC, doc_id ASC LIMIT 50""".stripMargin,
+    // q58/q59: the r10 all-pairs spelling replayed the 50k-doc corpus
+    // as 1.25B list_intersect calls (>600 s at sf1). Equivalent
+    // inverted-index spelling: explode the (already distinct) shingle
+    // lists and count shared shingles per pair with a self-join on the
+    // shingle — |a ∩ b| = the group count, so the Jaccard is identical
+    // and pairs sharing no shingle (J = 0 < 0.5) never surface. Cost is
+    // sum(df²) over 5-word shingles — measured 2.8M at sf1 (max df 5),
+    // so the replay is ~5 s instead of hours.
     "q58_simjoin_exact" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |sh AS (SELECT doc_id, $duckShingles5 AS s
+         |sh AS MATERIALIZED (SELECT doc_id, $duckShingles5 AS s
          |       FROM toks WHERE len(tk) >= 5),
+         |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |iv AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+         |       FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |ln AS (SELECT doc_id, len(s) AS n FROM sh),
          |pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    len(list_intersect(a.s, b.s)) * 1.0
-         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  SELECT a_id, b_id, ni * 1.0 / (la.n + lb.n - ni) AS j
+         |  FROM iv JOIN ln la ON la.doc_id = iv.a_id
+         |          JOIN ln lb ON lb.doc_id = iv.b_id)
          |SELECT a_id, b_id,
          |  floor(j * 1000000 + 0.50001) / 1000000 AS jaccard
          |FROM pairs WHERE j >= 0.5""".stripMargin,
@@ -296,11 +312,16 @@ object TrainQueries {
       s"""WITH RECURSIVE toks AS MATERIALIZED (SELECT doc_id, $duckToks AS tk FROM documents),
          |sh AS MATERIALIZED (SELECT doc_id, $duckShingles5 AS s
          |       FROM toks WHERE len(tk) >= 5),
+         |ex AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |iv AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS ni
+         |       FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |ln AS (SELECT doc_id, len(s) AS n FROM sh),
          |e AS MATERIALIZED (
-         |  SELECT a.doc_id AS src, b.doc_id AS dst
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.s, b.s)) * 1.0
-         |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         |  SELECT src, dst
+         |  FROM iv JOIN ln la ON la.doc_id = iv.src
+         |          JOIN ln lb ON lb.doc_id = iv.dst
+         |  WHERE ni * 1.0 / (la.n + lb.n - ni) >= 0.5),
          |sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
          |reach AS (
          |  SELECT src AS id, dst AS r FROM sym

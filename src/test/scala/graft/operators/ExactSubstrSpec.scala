@@ -59,6 +59,74 @@ class ExactSubstrSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count(_._1 == 4L) == 2) // the 25 unique chars between the copies keep two spans
   }
 
+  /** Brute-force apply stage: keeper = lowest (id, 0-based pos) per
+    * window CONTENT; cut = every other duplicated occurrence; interval
+    * union; stitch the survivors.
+    */
+  private def bruteCut(docs: Seq[(Long, String)], L: Int): Set[(Long, String, Long, Long)] = {
+    val occ = collection.mutable.Map.empty[String, collection.mutable.ArrayBuffer[(Long, Int)]]
+    for ((id, t) <- docs; i <- 0 to t.length - L)
+      occ.getOrElseUpdate(t.substring(i, i + L), collection.mutable.ArrayBuffer.empty) += ((id, i))
+    val keeper = occ.view.mapValues(_.min).toMap
+    docs.map { case (id, t) =>
+      val cutStarts = (0 to t.length - L).filter { i =>
+        val w = t.substring(i, i + L)
+        occ(w).size >= 2 && keeper(w) != ((id, i))
+      }
+      val spans = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (p <- cutStarts) {
+        if (spans.nonEmpty && p <= spans.last._2 + 1)
+          spans(spans.size - 1) = (spans.last._1, p + L - 1)
+        else spans += ((p, p + L - 1))
+      }
+      val kept = new StringBuilder
+      var last = -1
+      for ((s, e) <- spans) { kept ++= t.substring(last + 1, s); last = e }
+      kept ++= t.substring(last + 1)
+      (id, kept.toString,
+        spans.size.toLong, spans.map { case (s, e) => e - s + 1 }.sum.toLong)
+    }.toSet
+  }
+
+  test("cut stage: keep-lowest policy, stitching, untouched docs — vs brute force") {
+    val rnd = new scala.util.Random(11)
+    def uniq(n: Int) = Array.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = uniq(68)
+    val rep = uniq(55)
+    val docs = Seq(
+      1L -> (uniq(120) + shared + uniq(90)),  // keeper copy (lowest id): untouched
+      2L -> (uniq(37) + shared + uniq(200)),  // loses the shared block
+      3L -> uniq(300),                        // clean: text unchanged, 0/0
+      4L -> (uniq(60) + rep + uniq(25) + rep + uniq(40)), // keeps first, cuts second
+      5L -> rep)                              // 55-char doc: windows shared with doc 4
+    val L = 50
+    val expected = bruteCut(docs, L)
+    val got = ExactSubstr
+      .cutDuplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", minLen = L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(2)} extra=${(got -- expected).take(2)}")
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(1L)._2 == docs.head._2, "keeper copy must be untouched")
+    assert(byId(2L)._3 == 1L && !byId(2L)._2.contains(shared))
+    assert(byId(3L) == ((3L, docs(2)._2, 0L, 0L)))
+    assert(byId(4L)._2.contains(rep) && byId(4L)._3 == 1L,
+      "within-doc repeat keeps its first copy only")
+  }
+
+  test("cut stage matches brute force on the real sf0.001 documents table") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val L = 50
+    val expected = bruteCut(docs, L)
+    val got = ExactSubstr
+      .cutDuplicateSpans(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", minLen = L)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(expected.exists(_._3 > 0), "fixture cuts nothing — test is vacuous")
+    assert(got == expected)
+  }
+
   test("matches brute force on the real sf0.001 documents table") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq

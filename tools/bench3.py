@@ -16,10 +16,13 @@ for r in range(runs):
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sfdir, SPARK_GRAFT_CPUS="32")
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
                    cwd="/root/repo", capture_output=True, text=True)
-    d = json.load(open("/root/repo/bench_full.json"))
+    bf = "bench_sf1.json" if sfdir.rstrip("/").endswith("sf1") \
+        else "bench_full.json"
+    d = json.load(open(f"/root/repo/{bf}"))
     totals.append(d["value"])
     for k, v in d["queries"].items():
-        per.setdefault(k, []).append(v)
+        # per-query values are {"med":..,"min":..} objects since r11
+        per.setdefault(k, []).append(v["med"] if isinstance(v, dict) else v)
     print(f"run {r+1}/{runs}: total {d['value']:.1f}s", flush=True)
 
 agg = {k: {"median": round(statistics.median(v), 2),
