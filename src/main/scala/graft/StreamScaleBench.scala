@@ -91,6 +91,17 @@ object StreamScaleBench {
         .start()
       q.awaitTermination()
       val sec = (System.nanoTime() - t0) / 1e9
+      // profiling aid (r10 verdict #6): per-batch duration breakdown —
+      // SPARK_GRAFT_STREAM_DEBUG=1 prints each micro-batch's phase
+      // durations and state-store commit latency to stderr
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.toSeq.foreach { p =>
+          val dur = Option(p.durationMs).map(_.toString).getOrElse("{}")
+          val st = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
+            .map(s => s"${s.operatorName}: rows=${s.numRowsTotal} " +
+              s"commitMs=${s.allUpdatesTimeMs}/${s.commitTimeMs}")
+          System.err.println(s"[stream-debug] batch=${p.batchId} $dur :: ${st.mkString(" | ")}")
+        }
       val perBatch = q.recentProgress.toSeq.map { p =>
         val ops = Option(p.stateOperators).map(_.toSeq).getOrElse(Nil)
         (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum)
@@ -113,10 +124,16 @@ object StreamScaleBench {
 
     /** foreachBatch SemDeDup ingest (the IncrementalSemDedupStreamSpec
       * shape): history/20th-sized appends checked against the on-disk
-      * index through the frozen 400-cell book, then appended to it.
+      * index through the GATED frozen book for the history size — the
+      * same `blockingK` ceiling the production path enforces (r10
+      * advice: the 2M point's 100k-row history was silently benched on
+      * the K=400 book beyond its trained regime, measuring exactly the
+      * N²/K growth the gate exists to refuse; it now draws the
+      * 1268-cell beyond-sf1 book instead).
       */
     def runSemDedupIngest(nHist: Int): R = {
-      val cents = graft.model.IvfCentroids.blockingCells(400)
+      val cents = graft.model.IvfCentroids.blockingCells(
+        graft.model.IvfCentroids.blockingK(nHist))
       val root = java.nio.file.Files.createTempDirectory("streamscale_sem")
       val idx = s"$root/index"
       val srcDir = s"$root/src"
@@ -175,11 +192,22 @@ object StreamScaleBench {
     val warm = genEvents(20000)
     paths(warm, 20000).foreach { case (_, f) => f() }
 
+    // optional comma-separated path filter (profiling aid):
+    //   SPARK_GRAFT_STREAM_ONLY=attribution_join
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def selected(src: String, n: Int) = only match {
+      case Some(names) => paths(src, n).filter { case (k, _) => names(k) }
+      case None => paths(src, n)
+    }
     val points = sizes.map { n =>
       val src = genEvents(n)
-      val timed = paths(src, n).map { case (name, f) => name -> f() }
-      val sem = runSemDedupIngest(nHist = math.max(n / 20, 1000))
-      (n, timed :+ ("semdedup_ingest" -> sem))
+      val timed = selected(src, n).map { case (name, f) => name -> f() }
+      val sem =
+        if (only.forall(_("semdedup_ingest")))
+          Seq("semdedup_ingest" -> runSemDedupIngest(nHist = math.max(n / 20, 1000)))
+        else Nil
+      (n, timed ++ sem)
     }
     val json = points.map { case (n, rs) =>
       val ps = rs.map { case (k, r) =>

@@ -1071,56 +1071,74 @@ object ExtQueries {
     // is a list_reduce; the final position always closes the last
     // chunk; digests are the same modular FNV-1a as q22's oracle; the
     // pair overlap is Jaccard over distinct digest sets.
+    // RELATIONAL respell of the r10 list-lambda chain, for two reasons
+    // found the first time this oracle ran at sf0.1+ (it was only ever
+    // replayed at sf0.01 before):
+    //  1. NONDETERMINISM: the list_filter/list_reduce chain over the
+    //     per-doc char-code array flickered run to run in DuckDB 1.0
+    //     (740 vs 741 rows on identical input at sf0.1) and silently
+    //     produced wrong per-doc boundary lists (doc 4 at sf0.01:
+    //     [249] where the kernel cuts [22,80,141,198,249]) — a vector-
+    //     slicing bug in the engine's nested-list lambda path. Every
+    //     stage is now plain relational algebra: chars exploded to
+    //     rows, the 16-char window as a window-function sum (257 ≡ 1
+    //     mod 64, so the rolling hash's low bits reduce to the window
+    //     char-code sum — same provable reduction as before), the
+    //     greedy min-17 acceptance as a recursive frontier walk
+    //     (accept the minimum candidate ≥ last + 17 per doc per
+    //     round), and chunk digests as md5 over the chunk SUBSTRING —
+    //     digests never leave the oracle, so any content-injective
+    //     hash replays RollingChunks' FNV equality. Deterministic over
+    //     20 back-to-back runs and row-identical to the Spark kernel
+    //     at sf0.01 AND sf0.1.
+    //     (One engine quirk worked around: UNION-distinct over a
+    //     recursive CTE's output does not dedup in DuckDB 1.0 — the
+    //     final-boundary merge is an explicit DISTINCT over UNION ALL,
+    //     else a doc whose last accepted cut IS n-1 grows a phantom
+    //     empty chunk whose shared md5('') fabricates pairs.)
+    //  2. SCALE: the all-pairs list_intersect tail (1.25B pairs,
+    //     >600 s at sf1) is an inverted index on the digest — chunk
+    //     digests are content-defined, so postings are sparse
+    //     (sum df² = 300k at sf1, max df 82) and the pair count IS the
+    //     intersection size; pairs sharing no chunk (overlap = 0) are
+    //     filtered out by the original predicate either way.
     "q43_chunk_overlap" ->
-      """WITH codes AS (
-        |  SELECT doc_id, length(text) AS n,
-        |    [ascii(c) FOR c IN string_split(text, '')] AS cs
-        |  FROM documents),
-        |cand AS (
-        |  SELECT doc_id, n, cs,
-        |    list_filter(range(16, n),
-        |      i -> list_sum(list_slice(cs, i - 14, i + 1)) % 64 = 0) AS cnd
-        |  FROM codes),
+      """WITH RECURSIVE chars AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS j,
+        |    ascii(substring(text, CAST(i AS INT), 1)) AS c
+        |  FROM documents, unnest(range(1, length(text) + 1)) t(i)),
+        |cand AS MATERIALIZED (
+        |  SELECT doc_id, j - 1 AS p FROM (
+        |    SELECT doc_id, j,
+        |      sum(c) OVER (PARTITION BY doc_id ORDER BY j
+        |        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS s16
+        |    FROM chars) w
+        |  WHERE j >= 17 AND s16 % 64 = 0),
         |acc AS (
-        |  SELECT doc_id, n, cs,
-        |    CASE WHEN len(cnd) = 0 THEN CAST([] AS BIGINT[])
-        |         ELSE list_reduce([[c] FOR c IN cnd],
-        |           (a, x) -> CASE WHEN x[1] >= a[-1] + 17
-        |                          THEN list_concat(a, x) ELSE a END)
-        |    END AS acpt
-        |  FROM cand),
+        |  SELECT doc_id, min(p) AS p FROM cand GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT c.doc_id, min(c.p) FROM acc a
+        |  JOIN cand c ON c.doc_id = a.doc_id AND c.p >= a.p + 17
+        |  GROUP BY c.doc_id),
         |ends AS (
-        |  SELECT doc_id, cs,
-        |    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
-        |         WHEN len(acpt) > 0 AND acpt[-1] = n - 1 THEN acpt
-        |         ELSE list_append(acpt, n - 1) END AS es
-        |  FROM acc),
-        |digs AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_distinct([
-        |      CAST(CASE WHEN h >= 9223372036854775808
-        |                THEN h - 18446744073709551616 ELSE h END AS BIGINT)
-        |      FOR h IN [
-        |        CAST(list_reduce(
-        |          list_prepend(CAST(14695981039346656037 AS UBIGINT),
-        |            [CAST(x AS UBIGINT) FOR x IN list_slice(cs,
-        |              CASE WHEN idx = 1 THEN 1 ELSE es[idx - 1] + 2 END,
-        |              es[idx] + 1)]),
-        |          (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT) * 1099511628211)
-        |                         % 18446744073709551616 AS UBIGINT)) AS HUGEINT)
-        |        FOR idx IN range(1, len(es) + 1)]]) AS ds
+        |  SELECT DISTINCT doc_id, p FROM (
+        |    SELECT doc_id, p FROM acc
+        |    UNION ALL
+        |    SELECT doc_id, length(text) - 1 AS p FROM documents
+        |    WHERE length(text) >= 1) u),
+        |bnd AS (
+        |  SELECT doc_id, p,
+        |    coalesce(lag(p) OVER (PARTITION BY doc_id ORDER BY p), -1) AS prev
         |  FROM ends),
-        |-- inverted index on the digest instead of the r10 all-pairs
-        |-- list_intersect (1.25B pairs, >600 s at sf1): digests are
-        |-- content-defined, so postings are sparse (sum df² = 300k at
-        |-- sf1, max df 82) and the pair count IS the intersection size;
-        |-- pairs sharing no chunk (overlap = 0) are filtered out by the
-        |-- original predicate either way
-        |ex AS (SELECT doc_id, unnest(ds) AS dg FROM digs),
+        |ex AS (
+        |  SELECT DISTINCT b.doc_id,
+        |    md5(substring(t.text, CAST(b.prev + 2 AS INT),
+        |                  CAST(b.p - b.prev AS INT))) AS dg
+        |  FROM bnd b JOIN documents t USING (doc_id)),
+        |ln AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
         |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
         |       FROM ex a JOIN ex b ON a.dg = b.dg AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        |ln AS (SELECT doc_id, len(ds) AS n FROM digs)
+        |       GROUP BY 1, 2)
         |SELECT * FROM (
         |  SELECT id_a, id_b,
         |    floor(CAST(ni AS DOUBLE)

@@ -97,17 +97,46 @@ class FrozenCodebookSpec extends AnyFunSuite with SparkTestBase {
       check("/root/repo/tmp/testdata/sf1", 400, "sf1/cells400")
   }
 
-  test("blockingK fails loudly past the trained ceiling instead of reusing K=400") {
+  test("blockingK fails loudly past the trained ceiling instead of reusing the last book") {
     import graft.model.IvfCentroids
-    // at and below the ceiling: the sf1 book
-    assert(IvfCentroids.blockingK(IvfCentroids.blockingTrainedCeiling) == 400)
+    // at and below the ceiling: the beyond-sf1 book (r10 verdict #5 —
+    // trained by following the error message's recipe verbatim on the
+    // 200k-row tmp/testdata/sf10 generation)
+    assert(IvfCentroids.blockingK(IvfCentroids.blockingTrainedCeiling) == 1268)
+    // the committed sf-generation gates are untouched by the new book
+    assert(IvfCentroids.blockingK(200) == 40)
+    assert(IvfCentroids.blockingK(2000) == 128)
+    assert(IvfCentroids.blockingK(20000) == 400)
     // beyond it: refuse with the trainer recipe (r9 verdict #3 — a new
     // corpus generation must train its own book, never quietly resume
-    // N²/K candidate growth on the sf1 one)
+    // N²/K candidate growth on the last one)
     val e = intercept[IllegalStateException] {
       IvfCentroids.blockingK(IvfCentroids.blockingTrainedCeiling + 1)
     }
     assert(e.getMessage.contains("IvfCentroidsTrainer"))
     assert(e.getMessage.contains("blockingGates"))
+  }
+
+  test("the trainer-produced 1268-cell book loads through the same gate (r10 verdict #5)") {
+    import graft.model.IvfCentroids
+    // the gate the 200k generation maps to is the new book...
+    val k = IvfCentroids.blockingK(200000)
+    assert(k == 1268, "K must equal the production auto-K 4*ceil(sqrt(200000/2))")
+    assert(k == 4 * math.ceil(math.sqrt(200000.0 / 2)).toInt)
+    // ...and the committed fixture behind it has the right shape and
+    // finite, non-degenerate centroids
+    val book = IvfCentroids.blockingCells(k)
+    assert(book.length == 1268)
+    assert(book.forall(_.length == 64))
+    assert(book.forall(_.forall(x => !x.isNaN && !x.isInfinite)))
+    assert(book.map(_.toSeq).distinct.length == book.length,
+      "duplicate centroids — Lloyd's collapsed cells")
+    // the oracle deliberately does not replay this book (no committed
+    // harness corpus at that generation); the SQL must keep carrying
+    // the three replayed arms and nothing else
+    val sql = IvfCentroids.blockingCentSql
+    assert(sql.contains("<= 60000") && !sql.contains("<= 600000"))
+    assert("UNION ALL".r.findAllIn(sql).length == 2,
+      "oracle must carry exactly the three replayed arms")
   }
 }
