@@ -31,13 +31,25 @@ object TextScaleBench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B aid: SPARK_GRAFT_SQLCONF="k=v;k=v" applies runtime SQL confs
+    // (e.g. spark.graft.exactSubstr.markViaAgg=true) before timing
+    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     val queries = Seq("q101_bm25_topk", "q102_inverted_index",
       "q105_span_dedup", "q42_tfidf_top_term",
       // r10 additions: truncated RRF (the heap-based arm must stay
       // linear where q104's full ranking pays the range exchange) and
       // exact substring dedup (one digest shuffle + per-doc merge)
-      "q132_hybrid_rrf_topk", "q133_dup_substr_spans")
+      "q132_hybrid_rrf_topk", "q133_dup_substr_spans",
+      // r11: the span-cut apply stage (same digest shuffle + a keeper
+      // rank, then a co-partitioned stitch join back to the corpus),
+      // DSIR selection (two corpus passes + a 1024-bucket broadcast),
+      // and concat-and-split packing (the two-pass distributed token
+      // scan — per-partition totals prefix-summed, NO global window)
+      "q134_dup_substr_cut", "q135_dsir_select", "q136_pack_offsets")
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"
@@ -62,7 +74,11 @@ object TextScaleBench {
                     floor(lit(5000.0) * pow(u(pos * 7L + 3L), 3.0))
                       .cast("long").cast("string")))
               })).as("text"),
-          lit("en").as("lang"),
+          // 60/20/20 en/de/fr so the DSIR target-vs-raw split (q135,
+          // target = en) stays non-degenerate as the corpus grows
+          element_at(
+            array(lit("en"), lit("en"), lit("en"), lit("de"), lit("fr")),
+            (pmod(col("doc_id"), lit(5L)) + 1).cast("int")).as("lang"),
           concat(lit("src"), pmod(col("doc_id"), lit(20L)).cast("string")).as("source"))
         .withColumn("n_chars", length(col("text")))
         .repartition(cpus.toInt)

@@ -70,10 +70,7 @@ object ExactSubstr {
       .select(col("__id"), (col("__p0") + 1).as("pos"), col("__h"))
     // mark: window duplicated corpus-wide (count over the digest key;
     // the only corpus-sized shuffle)
-    val dup = wins
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__h"))))
-      .filter(col("__cnt") >= 2)
-      .select(col("__id"), col("pos"))
+    val dup = markDuplicated(wins)
     // merge: gaps-and-islands per doc — window starts p1 < p2 cover a
     // contiguous character run iff p2 ≤ p1 + L
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("pos"))
@@ -91,6 +88,44 @@ object ExactSubstr {
         col("span_start"),
         col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Mark stage: the (id, pos) rows whose window digest occurs ≥ 2
+    * times corpus-wide. Two spellings, A/B'd at the TEXTSCALE 200k
+    * point (r10 verdict #8 — the corpus-sized window SORT was the one
+    * part of this plan to question at 100 TB):
+    *
+    *  - `agg` (default): map-side-combinable count per digest →
+    *    filter ≥ 2 → semi-join back. The duplicated-digest build side
+    *    is tiny for real corpora, so AQE turns the semi-join into a
+    *    broadcast and NO corpus-sized sort happens anywhere.
+    *  - `window`: count over a digest-partitioned window — one corpus
+    *    shuffle, but the window exec sorts every partition by the
+    *    16-byte digest.
+    *
+    * Measured (2 runs each, 200k docs / ~49M windows, min): q133 agg
+    * 21.3 s vs window 23.0 s, q134 (mark + cut + stitch) agg 22.3 s vs
+    * window 25.8 s — the sort the agg saves outweighs its second join
+    * arm, and the gap widens when downstream stages reuse the corpus.
+    * `spark.graft.exactSubstr.markViaAgg=false` keeps the window
+    * spelling selectable for degenerate near-all-duplicated corpora
+    * where the dup-digest side stops being broadcastable.
+    */
+  private def markDuplicated(wins: DataFrame): DataFrame = {
+    val viaAgg =
+      try wins.sparkSession.conf.get("spark.graft.exactSubstr.markViaAgg").toBoolean
+      catch { case _: java.util.NoSuchElementException => true }
+    if (viaAgg) {
+      val dupH = wins.groupBy(col("__h"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= 2)
+        .select(col("__h"))
+      wins.join(dupH, Seq("__h"), "left_semi").select(col("__id"), col("pos"))
+    } else
+      wins
+        .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(col("__h"))))
+        .filter(col("__cnt") >= 2)
+        .select(col("__id"), col("pos"))
   }
 
   /** The APPLY stage (Lee et al. §3: remove duplicated text, keep one

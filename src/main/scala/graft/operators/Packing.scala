@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -53,6 +53,103 @@ object Packing {
           else used += s
           bin
         }
+      }
+    }
+  }
+
+  /** Global token offset of every document under a total order — the
+    * concat-and-split packing family (Brown et al. 2020 §2.3 / Raffel
+    * et al. 2020: concatenate the ordered corpus into one token stream,
+    * then cut it into fixed-length training sequences; a document's
+    * placement is purely its stream offset). Appends `outCol` = the
+    * exclusive prefix sum of `sizeCol` over `orderCols`.
+    *
+    * The naive spelling — `sum(size).over(Window.orderBy(order))` — is
+    * an `Exchange SinglePartition`: one task scans and sums the entire
+    * corpus. This is instead the classic two-pass distributed scan, the
+    * [[Ranking.globalRowNumber]] shape with token sums in place of row
+    * counts: ONE range exchange on the order key (partition i's rows
+    * all order before partition i+1's), per-partition token totals — a
+    * map-side-combinable aggregate, ≤ nPart rows — prefix-summed via
+    * the explode trick and broadcast-joined back, then a streaming
+    * O(1)-state `mapPartitions` pass emits `pid offset + running local
+    * sum`. Every stage is parallel; nothing is driver-side.
+    *
+    * The eager localCheckpoint is LOAD-BEARING exactly as in
+    * `globalRowNumber`: the sorted frame feeds TWO consumers (the
+    * totals aggregate and the fold) that must observe the SAME physical
+    * partition layout — the pin makes the shared subtree a
+    * deterministic leaf so ReuseExchange collapses both reads into one
+    * exchange. Under AQE, adjacent range partitions may coalesce; the
+    * fold therefore keys its running sum on the per-row `__pid` and
+    * resets at pid boundaries, so a task holding several (contiguous)
+    * pids still emits exact offsets.
+    *
+    * Offsets are exchange-boundary-invariant: wherever the sampler cuts
+    * the range partitions, prefix sums over a total order come out
+    * identical — the output is a pure function of the data (spec'd by
+    * re-running under different partition counts).
+    *
+    * @param sizeCol   token count (numeric; null/negative ⇒ 0)
+    * @param orderCols deterministic TOTAL order (include a unique
+    *                  tiebreaker — with ties the split of equal rows
+    *                  across partitions would reorder offsets)
+    */
+  def tokenOffsets(
+      df: DataFrame,
+      sizeCol: String,
+      orderCols: Seq[String],
+      outCol: String = "tok_start"): DataFrame = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.conf
+    val nPart = math.max(
+      conf.numShufflePartitions,
+      conf.getConf(org.apache.spark.sql.internal.SQLConf
+        .COALESCE_PARTITIONS_INITIAL_PARTITION_NUM).getOrElse(0))
+    val order: Seq[Column] = orderCols.map(col)
+    val sorted = df.localCheckpoint(true)
+      .repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .select(col("*"), spark_partition_id().as("__pid"))
+    val stats = sorted.groupBy(col("__pid"))
+      .agg(sum(greatest(coalesce(col(sizeCol).cast("long"), lit(0L)), lit(0L)))
+        .as("__tot"))
+    // prefix-sum via explode: partition p's total lands on every later
+    // partition, then one hash agg — ≤ nPart² intermediate rows total
+    val contrib = stats
+      .filter(col("__pid") < lit(nPart - 1))
+      .select(
+        explode(sequence(col("__pid") + 1, lit(nPart - 1))).as("__pid"),
+        col("__tot"))
+      .groupBy(col("__pid")).agg(sum(col("__tot")).as("__off"))
+    val offsets = stats.join(contrib, Seq("__pid"), "left")
+      .select(col("__pid"), coalesce(col("__off"), lit(0L)).as("__off"))
+    // broadcast hash join streams the sorted side — partitioning and
+    // within-partition order both survive into the fold below
+    val joined = sorted.join(broadcast(offsets), Seq("__pid"))
+    val inSchema = joined.schema
+    val pi = inSchema.fieldIndex("__pid")
+    val oi = inSchema.fieldIndex("__off")
+    val si = inSchema.fieldIndex(sizeCol)
+    val outSchema = df.schema.add(outCol, LongType, nullable = false)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    val width = df.schema.length
+    joined.mapPartitions { rows =>
+      // O(1) state: running local token sum, reset per pid run (AQE may
+      // coalesce several contiguous pids into one task)
+      var curPid = -1
+      var run = 0L
+      rows.map { r =>
+        val pid = r.getInt(pi)
+        if (pid != curPid) { curPid = pid; run = 0L }
+        val s =
+          if (r.isNullAt(si)) 0L
+          else math.max(0L, r.get(si).asInstanceOf[Number].longValue())
+        val start = r.getLong(oi) + run
+        run += s
+        // usingColumns join lays out [__pid, df columns…, __off]; emit
+        // the original columns + the offset
+        Row.fromSeq(r.toSeq.slice(1, 1 + width) :+ start)
       }
     }
   }

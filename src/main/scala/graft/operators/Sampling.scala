@@ -119,6 +119,85 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by the log importance ratio of a hashed-ngram bag-of-words model
+    * of the TARGET domain vs the RAW corpus, then Gumbel-top-k sample —
+    * the "pick web pages that look like Wikipedia" move.
+    *
+    * Model: word uni+bigrams hashed into `buckets` buckets; per-bucket
+    * add-1-smoothed multinomials p_target / p_raw estimated from the
+    * corpus itself (`isTarget` marks the target rows); per-doc
+    * log-ratio = Σ_occurrences log(p_t(b)/p_r(b)). Selection follows
+    * the paper's sampled (not argmax) variant via Gumbel perturbation,
+    * with all randomness md5-derived so the sample is a pure function
+    * of the data.
+    *
+    * Determinism: per-BUCKET log-ratios are quantized once to 1e-6
+    * fixed-point LONGs (B values), so every per-doc score is an
+    * integer sum — associative under any partial-agg schedule (the
+    * same order-independence rule the money sums follow; a double sum
+    * here would flip low bits with partitioning). Gumbel noise is
+    * likewise one quantized LONG per doc.
+    *
+    * Scale design (100 TB): two scan-parallel corpus passes — (1) the
+    * histogram, a map-side-combinable agg onto `buckets` keys whose
+    * result is broadcast back; (2) the per-doc score, one shuffle on
+    * the doc id with integer partial aggregation. Selection is a
+    * TakeOrdered heap, never a global sort. Nothing is all-pairs; the
+    * only driver-side object is the B-row histogram (broadcast).
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 1024,
+      k: Int = 100): DataFrame = {
+    require(buckets > 0 && k > 0, "buckets and k must be positive")
+    val base = docs.select(col(idCol), col(textCol).as("__txt"), isTarget.as("__t"))
+    // per-occurrence uni+bigram features, hashed to a bucket id
+    val feats = base.select(
+      col(idCol), col("__t"),
+      explode(concat(
+        QualityRules.wordNGramsAll(col("__txt"), 1),
+        QualityRules.wordNGramsAll(col("__txt"), 2))).as("__f"))
+      .select(
+        col(idCol), col("__t"),
+        (conv(substring(md5(col("__f")), 1, 7), 16, 10).cast("long")
+          % buckets).as("__b"))
+    // add-1-smoothed per-bucket log ratio, quantized to 1e-6 LONG once
+    val hist = feats.groupBy(col("__b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+      count(lit(1)).as("__rc"))
+    val tot = hist.agg(
+      sum(col("__tc")).as("__tt"), sum(col("__rc")).as("__rr"))
+    val qlr = hist.crossJoin(broadcast(tot)).select(
+      col("__b"),
+      floor(
+        (log((col("__tc") + 1.0) / (col("__tt") + buckets.toDouble))
+          - log((col("__rc") + 1.0) / (col("__rr") + buckets.toDouble)))
+          * 1000000 + lit(0.50001)).cast("long").as("__qlr"))
+    val scores = feats
+      .join(broadcast(qlr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__qlr")).as("logratio_fp"))
+    // Gumbel(0,1) = -ln(-ln(u)); u clamped below 1 so the outer ln
+    // never sees 0 (u = 1 is the all-F md5 prefix — astronomically
+    // rare but defined)
+    val u = least(md5Uniform(col(idCol)), lit(0.999999999999999))
+    docs.select(col(idCol))
+      .join(scores, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("logratio_fp"), lit(0L)).as("logratio_fp"),
+        (coalesce(col("logratio_fp"), lit(0L))
+          + floor(-log(-log(u)) * 1000000 + lit(0.50001)).cast("long"))
+          .as("sel_fp"))
+      .orderBy(col("sel_fp").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-group quota: keep the top `n` rows of each group under
     * `orderCols` (must be a deterministic total order), with the rank
     * appended — "cap every domain/language at N documents".

@@ -21,6 +21,44 @@ import scala.collection.parallel.CollectionConverters._
   */
 object Similarity {
 
+  /** Monotone suffix for cell-cap observation names: observe() names
+    * must be unique within one query, and a caller may compose several
+    * blocked passes into a single plan.
+    */
+  private val capObsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val capListenerOn = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Attach the star-verification metrics to the occupancy aggregate
+    * (`graft.cell_cap.N`: capped_cells, max_occupancy, max_cell) and
+    * register — once per JVM — a QueryExecutionListener that logs a
+    * warning whenever a query star-verified at least one cell, so the
+    * cap's recall loss is observable by default instead of silent.
+    */
+  private[operators] def observeCellCap(occ: DataFrame, maxCell: Long): DataFrame = {
+    val spark = occ.sparkSession
+    if (capListenerOn.compareAndSet(false, true))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private def report(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft.cell_cap.") && row.getLong(0) > 0L)
+                org.apache.log4j.Logger.getLogger(classOf[Similarity.type])
+                  .warn(s"$name: ${row.getLong(0)} oversized cell(s) star-verified " +
+                    s"(max occupancy ${row.getLong(1)}, cap ${row.getLong(2)}) — " +
+                    "in-cell non-star pairs lost their direct edge; pass " +
+                    "maxCellFactor = Double.MaxValue for exact in-cell recall")
+            }
+          override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+            report(qe)
+          override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+        })
+    occ.observe(
+      s"graft.cell_cap.${capObsSeq.incrementAndGet()}",
+      sum(when(col("__cnt") > maxCell, 1L).otherwise(0L)).as("capped_cells"),
+      coalesce(max(col("__cnt")), lit(0L)).as("max_occupancy"),
+      lit(maxCell).as("max_cell"))
+  }
+
   /** Dot product of two double arrays (codegen'd HOFs, no UDF). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -333,8 +371,18 @@ object Similarity {
     // it trades for carrying zero extra bytes through any exchange.
     val maxCell = math.max(
       64L, math.ceil(maxCellFactor * nprobe * n / centroids.length).toLong)
-    val occ = cells.groupBy(col("__cell"))
-      .agg(count(lit(1)).as("__cnt"), min(col("__id")).as("__minid"))
+    // capped cells trade recall for skew safety (non-star pairs inside
+    // an oversized cell lose their direct edge) — that loss must be
+    // OBSERVABLE, not silent (r10 advice): an observe() on the K-row
+    // occupancy aggregate records how many cells star-verified and the
+    // worst occupancy, free of extra jobs or shuffles, and a
+    // once-per-JVM listener logs a warning whenever the count is
+    // nonzero. Callers wanting exact in-cell recall pass
+    // maxCellFactor = Double.MaxValue explicitly.
+    val occ = Similarity.observeCellCap(
+      cells.groupBy(col("__cell"))
+        .agg(count(lit(1)).as("__cnt"), min(col("__id")).as("__minid")),
+      maxCell)
     val starters = cells
       .join(broadcast(occ), Seq("__cell"))
       .filter(col("__cnt") <= maxCell || col("__id") === col("__minid"))

@@ -105,12 +105,26 @@ object Spread {
     if (openCost > 0 && files.length >= cores &&
         files.length.toLong * openCost >= cores.toLong * maxPartitionBytes)
       return df
-    // stat-cost ceiling: a file list big enough to land here anyway
-    // (openCost tuned toward zero) is a production-scale input whose
-    // packing we won't pay thousands of sequential driver stats to
-    // model — pass through (the cheap direction: no extra shuffle)
-    if (files.length > math.max(1024, 32 * cores)) return df
-    val est = estimate(spark, files, cores, maxPartitionBytes, openCost)
+    // stat-cost ceiling: a file list big enough to land here (openCost
+    // tuned toward zero) is a production-scale input whose packing we
+    // won't pay thousands of sequential driver stats to model exactly.
+    // r10 advice: don't go BLIND either — the low-openCost many-small-
+    // file merge cliff is precisely this regime — so stat a bounded
+    // stride sample and extrapolate (each unsampled file takes a
+    // sampled size round-robin; splittability still comes from every
+    // file's real name). The estimate degrades from exact to
+    // mean-based, which is the right trade at 100 TB: one bounded
+    // batch of driver stats instead of either a full listing walk or
+    // an unmodeled pass-through.
+    val statCeiling = math.max(1024, 32 * cores)
+    val sampled = files.length > statCeiling
+    val statTargets =
+      if (!sampled) files
+      else {
+        val stride = files.length.toDouble / statCeiling
+        Array.tabulate(statCeiling)(i => files((i * stride).toInt))
+      }
+    val est = estimate(spark, files, statTargets, cores, maxPartitionBytes, openCost)
     val floor = math.max(1L,
       (minBytesPerCore / math.max(computeWeight, 1e-9)).toLong)
     if (est.partitions < cores && est.totalBytes >= floor * cores)
@@ -161,11 +175,12 @@ object Spread {
   private def estimate(
       spark: org.apache.spark.sql.SparkSession,
       files: Array[String],
+      statTargets: Array[String],
       cores: Int,
       maxPartitionBytes: Long,
       openCost: Long): Estimate = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val sizes = files.toSeq.map { f =>
+    val statted = statTargets.map { f =>
       try {
         val p = new org.apache.hadoop.fs.Path(f)
         p.getFileSystem(hconf).getFileStatus(p).getLen
@@ -177,6 +192,12 @@ object Spread {
         case _: IllegalArgumentException => 0L
       }
     }
+    // sampled mode (statTargets ⊂ files): every unsampled file takes a
+    // sampled size round-robin — total bytes and the packed count then
+    // extrapolate from the sample mean instead of going unmodeled
+    val sizes: Seq[Long] =
+      if (statTargets.length == files.length) statted.toSeq
+      else files.indices.map(i => statted(i % statted.length))
     val minPartitionNum = math.max(1L,
       try spark.conf.get("spark.sql.files.minPartitionNum").toLong
       catch {

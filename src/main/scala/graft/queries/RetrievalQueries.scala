@@ -283,6 +283,44 @@ object RetrievalQueries {
     "q128_incremental_index" -> q128,
     "q132_hybrid_rrf_topk" -> q132)
 
+  /** The shared hybrid-scoring CTE prefix of the q104/q132 oracles
+    * (toks → dl/stats → tf/dfreq → bm25s, norms → coss) — one builder
+    * so the two replays cannot drift (r10 advice: the Scala side was
+    * factored into `hybridScores` for exactly this reason while the
+    * oracles carried two inline copies). q104 consumes `bm25s`/`coss`
+    * with full rankings; q132 with per-arm top-200 truncation.
+    */
+  private def hybridScoringCtes: String =
+    """toks AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |    FROM documents) t
+      |  WHERE length(token) > 0),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |tf_all AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |tf AS (SELECT * FROM tf_all
+      |       WHERE token IN ('spark', 'merge', 'window')),
+      |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |bm25s AS (
+      |  SELECT tf.doc_id,
+      |    floor(sum(
+      |      ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+      |      * (tf.tf * 2.2)
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+      |    ) * 1000000 + 0.50001) / 1000000 AS bm25
+      |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+      |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+      |  GROUP BY 1),
+      |norms AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS BIGINT)) AS nrm
+      |          FROM tf_all GROUP BY 1),
+      |coss AS (
+      |  SELECT t.doc_id,
+      |    floor(CAST(sum(t.tf) AS BIGINT) / (n.nrm * sqrt(3.0))
+      |      * 1000000 + 0.50001) / 1000000 AS cos
+      |  FROM tf t JOIN norms n ON t.doc_id = n.doc_id
+      |  GROUP BY t.doc_id, n.nrm)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // merge-invariance: the incrementally-maintained index must equal
     // the from-scratch rebuild — q102's oracle, reused verbatim
@@ -330,37 +368,9 @@ object RetrievalQueries {
         |  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
         |FROM tf GROUP BY token""".stripMargin,
     "q104_hybrid_rrf" ->
-      """WITH toks AS (
-        |  SELECT doc_id, token FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |    FROM documents) t
-        |  WHERE length(token) > 0),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |tf_all AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |tf AS (SELECT * FROM tf_all
-        |       WHERE token IN ('spark', 'merge', 'window')),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |bm25s AS (
-        |  SELECT tf.doc_id,
-        |    floor(sum(
-        |      ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
-        |    ) * 1000000 + 0.50001) / 1000000 AS bm25
-        |  FROM tf JOIN dfreq ON tf.token = dfreq.token
-        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |  GROUP BY 1),
+      s"""WITH $hybridScoringCtes,
         |bm25r AS (SELECT doc_id, row_number() OVER (
         |    ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM bm25s),
-        |norms AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS BIGINT)) AS nrm
-        |          FROM tf_all GROUP BY 1),
-        |coss AS (
-        |  SELECT t.doc_id,
-        |    floor(CAST(sum(t.tf) AS BIGINT) / (n.nrm * sqrt(3.0))
-        |      * 1000000 + 0.50001) / 1000000 AS cos
-        |  FROM tf t JOIN norms n ON t.doc_id = n.doc_id
-        |  GROUP BY t.doc_id, n.nrm),
         |cosr AS (SELECT doc_id, row_number() OVER (
         |    ORDER BY cos DESC, doc_id) AS r_cos FROM coss),
         |fused AS (
@@ -373,38 +383,10 @@ object RetrievalQueries {
         |  FROM fused)
         |SELECT doc_id, rrf, rank FROM ranked WHERE rank <= 20""".stripMargin,
     "q132_hybrid_rrf_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, token FROM (
-        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |    FROM documents) t
-        |  WHERE length(token) > 0),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |tf_all AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |tf AS (SELECT * FROM tf_all
-        |       WHERE token IN ('spark', 'merge', 'window')),
-        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-        |bm25s AS (
-        |  SELECT tf.doc_id,
-        |    floor(sum(
-        |      ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
-        |      * (tf.tf * 2.2)
-        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
-        |    ) * 1000000 + 0.50001) / 1000000 AS bm25
-        |  FROM tf JOIN dfreq ON tf.token = dfreq.token
-        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
-        |  GROUP BY 1),
+      s"""WITH $hybridScoringCtes,
         |bt AS (SELECT * FROM (
         |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
         |    FROM bm25s) WHERE r_bm25 <= 200),
-        |norms AS (SELECT doc_id, sqrt(CAST(sum(tf * tf) AS BIGINT)) AS nrm
-        |          FROM tf_all GROUP BY 1),
-        |coss AS (
-        |  SELECT t.doc_id,
-        |    floor(CAST(sum(t.tf) AS BIGINT) / (n.nrm * sqrt(3.0))
-        |      * 1000000 + 0.50001) / 1000000 AS cos
-        |  FROM tf t JOIN norms n ON t.doc_id = n.doc_id
-        |  GROUP BY t.doc_id, n.nrm),
         |ct AS (SELECT * FROM (
         |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_cos
         |    FROM coss) WHERE r_cos <= 200),

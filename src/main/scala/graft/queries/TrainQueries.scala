@@ -174,6 +174,80 @@ object TrainQueries {
       Tables.documents(s, d).select("doc_id", "lang"), "doc_id", "lang",
       Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.25))
 
+  /** DSIR importance resampling: treat English documents as the target
+    * domain, score everything by the hashed uni+bigram log importance
+    * ratio, Gumbel-top-100. Integer fixed-point scores end-to-end.
+    */
+  private def q135(s: SparkSession, d: String): DataFrame =
+    Sampling.dsirSelect(
+      Spread.ensure(Tables.documents(s, d).select("doc_id", "text", "lang")),
+      "doc_id", "text", isTarget = col("lang") === "en",
+      buckets = 1024, k = 100)
+
+  /** Concat-and-split packing context length (tokens per training
+    * sequence) shared by q136/q137.
+    */
+  private val packLen = 512L
+
+  /** Shared q136/q137 frame: every document's global token-stream
+    * offset under doc_id order ([[Packing.tokenOffsets]] — the two-pass
+    * distributed scan, NOT a single-partition window).
+    */
+  private def packedOffsets(s: SparkSession, d: String): DataFrame = {
+    // spread BEFORE the tokenize projection (the q53 rule): the
+    // operator's eager localCheckpoint materializes the token counts,
+    // which must not happen on the single scan partition
+    val sized = Spread.ensure(Tables.documents(s, d).select("doc_id", "text"))
+      .select(
+        col("doc_id"),
+        coalesce(size(QualityRules.spaceTokens(col("text"))).cast("long"), lit(0L))
+          .as("n_tokens"))
+    Packing.tokenOffsets(sized, "n_tokens", Seq("doc_id"))
+  }
+
+  /** Concat-and-split sequence packing (Brown et al. 2020 / Raffel et
+    * al. 2020 style): the corpus in doc_id order is ONE token stream
+    * cut into 512-token training sequences; each document reports its
+    * stream offset and the sequence span it covers. Integer DIV
+    * end-to-end — no float in any bucketing decision.
+    */
+  private def q136(s: SparkSession, d: String): DataFrame =
+    packedOffsets(s, d).select(
+      col("doc_id"), col("n_tokens"), col("tok_start"),
+      expr(s"tok_start DIV $packLen").as("seq_first"),
+      when(col("n_tokens") > 0,
+        expr(s"(tok_start + n_tokens - 1) DIV $packLen"))
+        .otherwise(expr(s"tok_start DIV $packLen")).as("seq_last"),
+      when(col("n_tokens") > 0,
+        expr(s"(tok_start + n_tokens - 1) DIV $packLen")
+          - expr(s"tok_start DIV $packLen") + 1L)
+        .otherwise(lit(0L)).as("n_seqs"))
+
+  /** The per-sequence manifest a training job reads: for every packed
+    * 512-token sequence, how many documents contribute, the exact token
+    * count (== 512 except the final partial sequence), and the first /
+    * last contributing doc. Pure relational fan-out of q136's offsets
+    * (explode over the covered sequence range) + one hash aggregation.
+    */
+  private def q137(s: SparkSession, d: String): DataFrame =
+    packedOffsets(s, d)
+      .filter(col("n_tokens") > 0)
+      .select(
+        col("doc_id"), col("n_tokens"), col("tok_start"),
+        explode(sequence(
+          expr(s"tok_start DIV $packLen"),
+          expr(s"(tok_start + n_tokens - 1) DIV $packLen"))).as("seq_id"))
+      .select(
+        col("seq_id"), col("doc_id"),
+        (least((col("seq_id") + 1L) * packLen, col("tok_start") + col("n_tokens"))
+          - greatest(col("seq_id") * packLen, col("tok_start"))).as("__tok"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
   val defs: Map[String, Q] = Map(
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
@@ -187,7 +261,10 @@ object TrainQueries {
     "q60_lm_score" -> q60,
     "q61_balance_groups" -> q61,
     "q62_chunk_windows" -> q62,
-    "q63_mix_to_target" -> q63
+    "q63_mix_to_target" -> q63,
+    "q135_dsir_select" -> q135,
+    "q136_pack_offsets" -> q136,
+    "q137_pack_manifest" -> q137
   )
 
   val oracles: Map[String, String] = Map(
@@ -378,6 +455,86 @@ object TrainQueries {
         |      FROM j, m)
         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
         |WHERE CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |        AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0 <= r.rate""".stripMargin
+        |        AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0 <= r.rate""".stripMargin,
+    // DSIR replay: same hashed uni+bigram histogram, the identical
+    // 1e-6-quantized per-bucket log ratio (integer sums from there on),
+    // and the identical md5-derived Gumbel — so the top-100 is
+    // bit-comparable despite the float model underneath
+    "q135_dsir_select" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $duckToks AS tk FROM documents),
+         |feats AS (
+         |  SELECT doc_id, lang,
+         |    unnest(tk || [array_to_string(tk[i:i+1], ' ')
+         |                  for i in generate_series(1, len(tk) - 1)]) AS f
+         |  FROM toks),
+         |bk AS (SELECT doc_id, lang,
+         |    CAST(CONCAT('0x', substring(md5(f), 1, 7)) AS BIGINT) % 1024 AS b
+         |  FROM feats),
+         |hist AS (SELECT b,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tc,
+         |    count(*) AS rc
+         |  FROM bk GROUP BY 1),
+         |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rr FROM hist),
+         |qlr AS (SELECT b,
+         |    CAST(floor((ln((tc + 1.0) / (tt + 1024.0))
+         |              - ln((rc + 1.0) / (rr + 1024.0)))
+         |         * 1000000 + 0.50001) AS BIGINT) AS q
+         |  FROM hist CROSS JOIN tot),
+         |sc AS (SELECT bk.doc_id, sum(q) AS logratio_fp
+         |       FROM bk JOIN qlr USING (b) GROUP BY 1),
+         |gum AS (SELECT doc_id,
+         |    CAST(floor(-ln(-ln(least(
+         |      CAST(CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |          AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0,
+         |      0.999999999999999))) * 1000000 + 0.50001) AS BIGINT) AS g
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sc.logratio_fp, 0) AS BIGINT) AS logratio_fp,
+         |  CAST(coalesce(sc.logratio_fp, 0) + gum.g AS BIGINT) AS sel_fp
+         |FROM documents d
+         |LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |JOIN gum ON d.doc_id = gum.doc_id
+         |ORDER BY sel_fp DESC, d.doc_id ASC LIMIT 100""".stripMargin,
+    // exclusive prefix sum over the doc_id total order — the oracle can
+    // afford the single-threaded window the Spark side must not use
+    "q136_pack_offsets" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, coalesce(CAST(len($duckToks) AS BIGINT), 0) AS n_tokens
+         |  FROM documents),
+         |pre AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start
+         |  FROM sized)
+         |SELECT doc_id, n_tokens, CAST(tok_start AS BIGINT) AS tok_start,
+         |  CAST(tok_start // 512 AS BIGINT) AS seq_first,
+         |  CAST(CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+         |       ELSE tok_start // 512 END AS BIGINT) AS seq_last,
+         |  CAST(CASE WHEN n_tokens > 0
+         |       THEN (tok_start + n_tokens - 1) // 512 - tok_start // 512 + 1
+         |       ELSE 0 END AS BIGINT) AS n_seqs
+         |FROM pre""".stripMargin,
+    "q137_pack_manifest" ->
+      s"""WITH sized AS (
+         |  SELECT doc_id, coalesce(CAST(len($duckToks) AS BIGINT), 0) AS n_tokens
+         |  FROM documents),
+         |pre AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start
+         |  FROM sized),
+         |spans AS (
+         |  SELECT doc_id, n_tokens, tok_start,
+         |    unnest(generate_series(tok_start // 512,
+         |                           (tok_start + n_tokens - 1) // 512)) AS seq_id
+         |  FROM pre WHERE n_tokens > 0)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least((seq_id + 1) * 512, tok_start + n_tokens)
+         |         - greatest(seq_id * 512, tok_start)) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM spans GROUP BY 1""".stripMargin
   )
 }

@@ -35,6 +35,10 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     "q123_pq_adc",           // PQ ADC scan: corpus codes × broadcast query
                              // LUTs — the compressed-domain analogue of
                              // q24's broadcast brute force
+    "q135_dsir_select",      // ONE-ROW corpus totals (target/raw feature
+                             // counts) broadcast against the B-row bucket
+                             // histogram — a scalar attach, not a
+                             // combinatorial product
     "q129_triangle_approx"   // final ONE-ROW × ONE-ROW attach of the exact
                              // yardstick to the sampled estimate — two
                              // scalar aggregates, bounded by construction

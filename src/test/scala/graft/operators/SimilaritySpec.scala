@@ -201,6 +201,59 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert((survivors & plantedIds) == Set(1000L))
   }
 
+  test("cell-cap star-verification is observable: metric fires iff a cell capped (r10 advice)") {
+    // same planted fixture as the cap test: 100 near-identical vectors
+    // in one cell vs cap 64
+    val planted = (0 until 100).map { i =>
+      val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(1) = 0.001f * (i % 7)
+      (1000L + i, v)
+    }
+    val rnd = new scala.util.Random(43)
+    val background = (1 to 200).map { i =>
+      val v = Array.fill(8)((rnd.nextDouble() - 0.5).toFloat); v(0) = 0.0f
+      (i.toLong, v)
+    }
+    val vecs = (planted ++ background).toDF("vec_id", "embedding")
+    val axes = Array.tabulate(8) { c =>
+      val a = Array.fill(8)(0.0); a(c) = 1.0; a
+    }
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val probe = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.cell_cap."))
+            seen.add((row.getLong(0), row.getLong(1), row.getLong(2)))
+        }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(probe)
+    try {
+      def run(factor: Double) = {
+        seen.clear()
+        Similarity.blockedNearDupPairs(vecs, "vec_id", "embedding", tau = 0.4,
+          nprobe = 1, frozenCentroids = Some(axes), maxCellFactor = factor)
+          .write.format("noop").mode("overwrite").save()
+        // listener callbacks are async — poll
+        eventually { assert(!seen.isEmpty, "observed metric never arrived") }
+        seen.iterator().next()
+      }
+      val (capped, maxOcc, cap) = run(1.0)
+      assert(capped == 1L, s"exactly the planted cell should cap, got $capped")
+      // ≥ 100: the planted cluster, plus any background vector whose
+      // components are all negative (cell-0 score −0.5 then wins)
+      assert(maxOcc >= 100L && cap == 64L)
+      val (capped2, _, _) = run(1e9)
+      assert(capped2 == 0L, "no cell capped at an effectively-unbounded factor")
+    } finally spark.listenerManager.unregister(probe)
+  }
+
+  private def eventually(body: => Unit): Unit = {
+    var left = 50
+    while (left > 0)
+      try { body; left = 0 }
+      catch { case e: Throwable if left > 1 => Thread.sleep(100); left -= 1 }
+  }
+
   test("lshBucket is deterministic and splits the corpus") {
     val emb = Tables.embeddings(spark, sf)
     val b1 = emb.select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))

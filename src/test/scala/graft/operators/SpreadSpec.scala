@@ -81,6 +81,34 @@ class SpreadSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("beyond the stat ceiling, a stride sample still models the merge cliff (r10 advice)") {
+    // 1100 files (> the max(1024, 32·cores) ceiling at 4 test cores)
+    // of ~1 KB each with openCost=0 and minPartitionNum=1: Spark packs
+    // everything into ONE partition. The r10 code passed through
+    // unmodeled here — the exact regime the low-openCost cliff lives
+    // in; the sampled estimate must still see 1 < cores over enough
+    // bytes and fire the spread.
+    val dir = java.nio.file.Files.createTempDirectory("spread_sample")
+    val line = ("x" * 63) + "\n"
+    for (i <- 0 until 1100) {
+      val f = dir.resolve(f"part-$i%04d.txt")
+      java.nio.file.Files.write(f, (line * 16).getBytes("UTF-8")) // 1 KB
+    }
+    val conf = spark.conf
+    val prevOpen = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      conf.set("spark.sql.files.minPartitionNum", "1")
+      val df = spark.read.text(dir.toString)
+      assert(df.inputFiles.length == 1100)
+      val p = plan(Spread.ensure(df))
+      assert(p.contains("RoundRobinPartitioning"), p)
+    } finally {
+      conf.set("spark.sql.files.openCostInBytes", prevOpen)
+      conf.unset("spark.sql.files.minPartitionNum")
+    }
+  }
+
   test("unsplittable (.gz) files clamp to one partition each, so the spread fires") {
     // two ~200 KB gzip text files with maxPartitionBytes=64k: the naive
     // byte-range estimate says ceil(200k/64k)=4 splits/file = 8 ≥ cores

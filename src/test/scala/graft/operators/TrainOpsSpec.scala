@@ -117,6 +117,69 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     assert((1L to 20L).count(s1.contains) >= 18)
   }
 
+  test("dsirSelect: deterministic, target-like docs outscore off-domain ones") {
+    // target domain speaks {alpha beta gamma}; the raw background speaks
+    // {zulu yankee xray}. Two non-target probes: one written in the
+    // target vocabulary, one in the background vocabulary — DSIR must
+    // rank the target-like probe far above the background-like one.
+    val docs =
+      (1L to 20L).map(i => (i, "alpha beta gamma alpha beta gamma alpha", "t")) ++
+        (21L to 40L).map(i => (i, "zulu yankee xray zulu yankee xray zulu", "r")) ++
+        Seq(
+          (97L, "alpha beta gamma alpha beta gamma alpha", "r"), // target-like probe
+          (98L, "zulu yankee xray zulu yankee xray zulu", "r"),  // background probe
+          (99L, "", "r"))                                        // featureless
+    val df = docs.toDF("doc_id", "text", "lang")
+    def run() = Sampling
+      .dsirSelect(df, "doc_id", "text", isTarget = $"lang" === "t",
+        buckets = 64, k = 43)
+      .select("doc_id", "logratio_fp", "sel_fp")
+      .as[(Long, Long, Long)].collect()
+    val r1 = run()
+    assert(r1.toSeq == run().toSeq, "selection must be a pure function of the data")
+    assert(r1.length == 43)
+    val byId = r1.map(r => r._1 -> r._2).toMap
+    assert(byId(97L) > byId(98L),
+      s"target-like probe must outscore the background probe: $byId")
+    assert(byId(97L) == byId(1L), "identical text ⇒ identical logratio")
+    assert(byId(99L) == 0L, "featureless doc scores the empty sum")
+    // Gumbel-perturbed order is descending in sel_fp
+    assert(r1.map(_._3).toSeq == r1.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("tokenOffsets: exact exclusive prefix sum, invariant to partitioning") {
+    // sizes with nulls, zeros, negatives (→ 0) and a giant doc
+    val rng = new scala.util.Random(7)
+    val rows = (1L to 500L).map { i =>
+      val sz: java.lang.Long =
+        if (i % 71 == 0) null
+        else if (i % 53 == 0) -5L
+        else if (i == 250L) 100000L
+        else rng.nextInt(900).toLong
+      (i, sz)
+    }
+    val df = rows.toDF("doc_id", "n_tokens")
+    // sequential brute force
+    var acc = 0L
+    val expect = rows.sortBy(_._1).map { case (id, sz) =>
+      val s = Option(sz).map(_.longValue).filter(_ > 0).getOrElse(0L)
+      val r = (id, acc); acc += s; r
+    }.toMap
+    def run(): Map[Long, Long] = Packing
+      .tokenOffsets(df, "n_tokens", Seq("doc_id"))
+      .select("doc_id", "tok_start").as[(Long, Long)].collect().toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      assert(run() == expect)
+      // exchange-boundary invariance: same offsets under a different
+      // range-partition width
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      assert(run() == expect)
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(run() == expect)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("jaccardJoin matches brute force on a small corpus") {
     val rng = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
