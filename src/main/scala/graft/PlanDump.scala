@@ -54,7 +54,10 @@ object PlanDump {
       "q129_triangle_approx" -> "sampled triangle estimate: md5 keep-gate inline in the edge scan, the SAME oriented merge-walk kernel on both branches, one-row attach",
       "q130_mp3_meta" -> "MP3 header walk: collect_list-bounded group payloads, per-group byte walk in a deterministic map, one agg shuffle",
       "q132_hybrid_rrf_topk" -> "truncated RRF: each arm a TakeOrderedAndProject (bounded heaps, no range exchange), full-outer fusion of two 200-row frames",
-      "q133_dup_substr_spans" -> "exact substring dedup: unhex(md5) window digests, ONE digest-keyed count window, per-doc gaps-and-islands merge")
+      "q133_dup_substr_spans" -> "exact substring dedup: unhex(md5) window digests, agg+semi-join mark (no corpus-sized sort), per-doc gaps-and-islands merge",
+      "q134_dup_substr_cut" -> "span-cut apply: keeper-ranked duplicate windows, co-partitioned stitch join back to the corpus",
+      "q135_dsir_select" -> "DSIR: two corpus passes (bucket histogram broadcast back, per-doc integer log-ratio sum), Gumbel TakeOrdered top-k",
+      "q136_pack_offsets" -> "concat-and-split packing: ONE range exchange reused by both consumers (per-partition totals + fold), no single-partition window")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")

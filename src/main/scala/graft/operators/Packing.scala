@@ -116,17 +116,23 @@ object Packing {
         .as("__tot"))
     // prefix-sum via explode: partition p's total lands on every later
     // partition, then one hash agg — ≤ nPart² intermediate rows total
-    val contrib = stats
+    // offsets carry rows ONLY for pids with at least one non-empty
+    // predecessor; the fold coalesces absent pids (pid 0, leading-empty
+    // runs) to offset 0. Deliberately NOT left-joined back onto `stats`
+    // to enumerate every pid: that arm would need only `__pid`, column
+    // pruning would narrow ITS copy of the range exchange below full
+    // width, and the canonical mismatch re-splits the exchange the
+    // whole correctness argument needs shared (caught by the
+    // reuse-invariant spec).
+    val offsets = stats
       .filter(col("__pid") < lit(nPart - 1))
       .select(
         explode(sequence(col("__pid") + 1, lit(nPart - 1))).as("__pid"),
         col("__tot"))
       .groupBy(col("__pid")).agg(sum(col("__tot")).as("__off"))
-    val offsets = stats.join(contrib, Seq("__pid"), "left")
-      .select(col("__pid"), coalesce(col("__off"), lit(0L)).as("__off"))
     // broadcast hash join streams the sorted side — partitioning and
     // within-partition order both survive into the fold below
-    val joined = sorted.join(broadcast(offsets), Seq("__pid"))
+    val joined = sorted.join(broadcast(offsets), Seq("__pid"), "left")
     val inSchema = joined.schema
     val pi = inSchema.fieldIndex("__pid")
     val oi = inSchema.fieldIndex("__off")
@@ -145,7 +151,8 @@ object Packing {
         val s =
           if (r.isNullAt(si)) 0L
           else math.max(0L, r.get(si).asInstanceOf[Number].longValue())
-        val start = r.getLong(oi) + run
+        val off = if (r.isNullAt(oi)) 0L else r.getLong(oi)
+        val start = off + run
         run += s
         // usingColumns join lays out [__pid, df columns…, __off]; emit
         // the original columns + the offset

@@ -180,6 +180,25 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("tokenOffsets executes with exactly ONE live range exchange (reuse invariant)") {
+    // offset correctness rests on the totals aggregate and the fold
+    // consuming the SAME physical partition boundaries: AQE's runtime
+    // stage reuse must collapse the consumers' canonically-identical
+    // range exchanges into one (independent exchanges sample different
+    // boundaries → wrong offsets, no error). Same guard as
+    // RankingSpec's globalRowNumber test.
+    val df = (1L to 2000L).map(i => (i, i % 97)).toDF("doc_id", "n_tokens")
+    val q = Packing.tokenOffsets(df, "n_tokens", Seq("doc_id"))
+    q.collect() // reuse applies at RUNTIME; inspect the executed plan
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    val nRange = finalSection.linesIterator.count(l =>
+      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
+    assert(nRange == 1,
+      s"expected exactly one live range exchange (reuse invariant), got $nRange:\n$p")
+  }
+
   test("jaccardJoin matches brute force on a small corpus") {
     val rng = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
