@@ -175,10 +175,24 @@ object StreamScaleBench {
         runStream(src, n, "update", EventStreams.sessionCountsStreaming(_))),
       "dedup_watermark" -> (() =>
         runStream(src, n, "append", EventStreams.dedupEvents(_))),
-      "attribution_join" -> (() =>
-        runStream(src, n, "append", df => EventStreams.attributedClicks(
+      "attribution_join" -> (() => {
+        // r10 verdict #6 follow-through: this path's ~42 s fixed cost
+        // was profiled to the symmetric-hash-join state fan-out — 4
+        // stores/partition × 32 shuffle partitions = 128 delta-file
+        // commits per micro-batch REGARDLESS of row volume (the other
+        // paths carry 1 store/partition). Stream-stream joins want
+        // fewer, larger state partitions: at 8 the commit fan-out
+        // drops 4× (measured ~11 s fixed), results identical (keyed
+        // join; 2M events hold ~130 MB state total — far under one
+        // partition's memory at 8). Bound at query start, restored
+        // after, so sibling paths keep the default width.
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try runStream(src, n, "append", df => EventStreams.attributedClicks(
           df.filter(col("event_type") === "purchase"),
-          df.filter(col("event_type") === "click")))),
+          df.filter(col("event_type") === "click")))
+        finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }),
       "allocation_fmgws" -> (() =>
         runStream(src, n, "append", df => AllocationStreaming.greedy(
           df.select(
