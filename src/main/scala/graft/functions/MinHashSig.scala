@@ -69,7 +69,11 @@ object MinHashSig {
   }
 
   private val saltCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
-  private def saltsFor(k: Int): Array[Long] =
+  /** Exposed within the package so the q21 oracle SQL interpolates the
+    * IDENTICAL salt constants (the codebook-fixture rule: one source of
+    * truth, fixture and oracle can never drift).
+    */
+  private[graft] def saltsFor(k: Int): Array[Long] =
     saltCache.computeIfAbsent(k, salts(_))
 
   private def mix(v: Long): Long = { // SplitMix64 finalizer
