@@ -57,7 +57,9 @@ object PlanDump {
       "q133_dup_substr_spans" -> "exact substring dedup: unhex(md5) window digests, agg+semi-join mark (no corpus-sized sort), per-doc gaps-and-islands merge",
       "q134_dup_substr_cut" -> "span-cut apply: keeper-ranked duplicate windows, co-partitioned stitch join back to the corpus",
       "q135_dsir_select" -> "DSIR: two corpus passes (bucket histogram broadcast back, per-doc integer log-ratio sum), Gumbel TakeOrdered top-k",
-      "q136_pack_offsets" -> "concat-and-split packing: ONE range exchange reused by both consumers (per-partition totals + fold), no single-partition window")
+      "q136_pack_offsets" -> "concat-and-split packing: ONE range exchange reused by both consumers (per-partition totals + fold), no single-partition window",
+      "q138_kn_lm_score" -> "Kneser-Ney LM: one exploded bigram pass (checkpointed) feeds type table; model stats = 3 aggs over the TYPE table + 1-row broadcast; integer score sums",
+      "q139_embed_decontam" -> "semantic decontamination: eval probes 4 cells, corpus touched via rank-1 indexed cell only — candidate volume nprobe*|eval|*N/K, never |eval|*N")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")

@@ -49,7 +49,10 @@ object TextScaleBench {
       // DSIR selection (two corpus passes + a 1024-bucket broadcast),
       // and concat-and-split packing (the two-pass distributed token
       // scan — per-partition totals prefix-summed, NO global window)
-      "q134_dup_substr_cut", "q135_dsir_select", "q136_pack_offsets")
+      "q134_dup_substr_cut", "q135_dsir_select", "q136_pack_offsets",
+      // r11b: interpolated Kneser-Ney scoring (model stats are
+      // TYPE-table-sized aggs; the corpus pays two exploded passes)
+      "q138_kn_lm_score")
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"

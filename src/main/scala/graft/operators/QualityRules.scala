@@ -128,6 +128,88 @@ object QualityRules {
           .as("lm_logprob"))
   }
 
+  /** Interpolated Kneser-Ney bigram-LM quality score — the smoothing
+    * KenLM/CCNet-family perplexity filters actually use (Kneser & Ney
+    * 1995; Chen & Goodman 1999 interpolated form), a genuine step past
+    * [[bigramLmScore]]'s add-one: probability mass discounted from seen
+    * bigrams is redistributed by CONTINUATION counts (how many distinct
+    * contexts a word follows), not raw frequency, so boilerplate tokens
+    * that appear often in one context stop dominating the backoff.
+    *
+    *   P(w2|w1) = (c(w1 w2) - D)/c(w1·) + D·N1+(w1·)/c(w1·) · P_cont(w2)
+    *   P_cont(w2) = N1+(·w2) / |bigram types|
+    *   D = n1/(n1 + 2·n2)  (Ney et al. estimate from singleton/doubleton
+    *       type counts; 0.5 if the corpus has neither)
+    *
+    * Determinism at any scale (the q135/DSIR pattern + the r10 money-sum
+    * lesson): each bigram TYPE's log-probability is quantized ONCE to a
+    * 1e-6 fixed-point LONG in the model table; per-document scores are
+    * then plain LONG sums — order-independent under any partial-agg
+    * schedule, so sf1+ hashes cannot flip with accumulation order.
+    *
+    * Scale design: one exploded bigram pass (localCheckpoint — it feeds
+    * both the count table and the scoring join); ALL model statistics
+    * (context totals c(w1·), right-diversity N1+(w1·), left-continuation
+    * N1+(·w2), type/singleton/doubleton totals) derive from the
+    * bigram-TYPE table, which is vocabulary²-bounded and tiny next to
+    * the corpus — three map-side-combinable aggs plus one 1-row
+    * broadcast. Scoring joins hash-keyed count tables exactly like
+    * [[bigramLmScore]]. Nothing string-typed shuffles (64-bit token
+    * hashes; collisions ~2e-9 at 1e5 types, and the oracle agrees
+    * because counts, not token identities, reach the output).
+    *
+    * Output: (id, n_bigrams, kn_fp) where kn_fp = Σ quantized log-probs
+    * (LONG, exact); callers derive the rounded mean. Documents with
+    * fewer than 2 tokens drop (no bigrams), as in [[bigramLmScore]].
+    */
+  def knBigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val src = Spread.ensure(df.select(col(idCol), col(textCol)))
+    // one shingle pass serves both the type-count table and the scoring
+    // join (localCheckpoint: materialized once, lineage cut)
+    val bgr = src
+      .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
+      .select(
+        col(idCol),
+        xxhash64(col("__bg")).as("__bgh"),
+        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"),
+        xxhash64(substring_index(col("__bg"), " ", -1)).as("__w2h"))
+      .localCheckpoint(true)
+    // bigram TYPE table: within a __bgh group the token hashes are
+    // functionally determined (min() spells that deterministically)
+    val cb = bgr.groupBy("__bgh").agg(
+      count(lit(1)).as("__cb"),
+      min(col("__w1h")).as("__w1h"),
+      min(col("__w2h")).as("__w2h"))
+      .localCheckpoint(true)
+    val ctx = cb.groupBy("__w1h").agg(
+      sum(col("__cb")).as("__c1"), count(lit(1)).as("__n1p"))
+    val cont = cb.groupBy("__w2h").agg(count(lit(1)).as("__n1l"))
+    // T, n1, n2 in ONE 1-row aggregate, broadcast back (no collect)
+    val tot = cb.agg(
+      count(lit(1)).as("__t"),
+      sum(when(col("__cb") === 1, 1L).otherwise(0L)).as("__n1"),
+      sum(when(col("__cb") === 2, 1L).otherwise(0L)).as("__n2"))
+    val d = when(col("__n1") + col("__n2") * 2 > 0,
+      col("__n1").cast("double") / (col("__n1") + col("__n2") * 2))
+      .otherwise(lit(0.5))
+    val model = cb
+      .join(ctx, "__w1h")
+      .join(cont, "__w2h")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("__bgh"),
+        floor(
+          log(
+            (col("__cb") - d) / col("__c1")
+              + d * col("__n1p") / col("__c1")
+                * (col("__n1l").cast("double") / col("__t")))
+            * 1000000 + lit(0.50001)).cast("long").as("__qlp"))
+    bgr
+      .join(model, "__bgh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__qlp")).as("kn_fp"))
+  }
+
   /** Within-document repetition: the duplicate-bigram signal. For each
     * document, the count of its most frequent word bigram, the total
     * bigram count, and their ratio — the standard "top n-gram fraction"

@@ -469,6 +469,58 @@ object Similarity {
         coalesce(col("__hist_id"), col("__bdup_id")).as("dup_of"))
   }
 
+  /** SEMANTIC decontamination: corpus vectors within cosine τ of any
+    * EVAL-set vector, found through the IVF cell index — the embedding
+    * lift of [[Contamination.benchmarkOverlap]]'s n-gram check (q56),
+    * catching paraphrased/reworded benchmark leakage that shares no
+    * 5-gram with the eval text (the gap n-gram decontamination is known
+    * to leave open). Same read pattern as [[incrementalSemDedup]]:
+    * each corpus vector is INDEXED at its rank-1 cell (what a stored
+    * cell-partitioned layout serves, q126/q127), each eval vector
+    * PROBES its `nprobe` nearest cells — so checking a benchmark suite
+    * against a 100 TB corpus touches nprobe·|eval| cells, never the
+    * corpus, and candidate volume is ≈ nprobe·|eval|·N/K, not
+    * |eval|·N. Corpus-side rank-1 assignment means each (corpus, eval)
+    * pair can surface through at most one cell — no dedup pass needed.
+    *
+    * Returns one row per CONTAMINATED corpus id: `n_eval_hits` (how
+    * many eval vectors matched) and `eval_id` (the LOWEST matching eval
+    * id — min, not argmax, so no float ranking crosses engines).
+    * Dropping flagged ids is the caller's anti-join (the q30/q31
+    * apply pattern). Recall is nprobe-bounded like every IVF read —
+    * the q94/CROSSOVER recall story; callers wanting the exact check
+    * run the brute-force sibling at yardstick scale.
+    */
+  def evalContaminated(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      centroids: Array[Array[Double]],
+      nprobe: Int = 4): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    val indexed = corpus
+      .select(col(idCol).cast("long").as("__cid"),
+        toDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cell",
+        element_at(
+          graft.functions.NearestCells.toCol(col("__cv"), centroids, 1), 1))
+    val probes = evalSet
+      .select(col(idCol).cast("long").as("__eid"),
+        toDouble(col(vecCol)).as("__ev"))
+      .select(col("__eid"), col("__ev"),
+        explode(
+          graft.functions.NearestCells.toCol(col("__ev"), centroids, nprobe))
+          .as("__pcell"))
+    probes
+      .join(indexed, col("__pcell") === col("__cell"))
+      .filter(expr("cosine_sim(__ev, __cv)") >= tau)
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_eval_hits"), min(col("__eid")).as("eval_id"))
+      .select(col("__cid").as(idCol), col("n_eval_hits"), col("eval_id"))
+  }
+
   /** Sign-pattern LSH bucket id for a vector column — one fused native
     * pass over the vector (see [[graft.functions.LshBuckets]]); bit-
     * identical to the per-plane HOF formulation it replaced.

@@ -428,8 +428,24 @@ object ScaleQueries {
       centroids = graft.model.IvfCentroids.blockingFor(s, d))
   }
 
+  /** SEMANTIC decontamination (q56's embedding lift): every 25th vector
+    * is the "benchmark suite" (the q56 convention); corpus vectors
+    * within cosine 0.4 of any eval vector are flagged through the same
+    * scale-keyed frozen IVF index as q131 — eval PROBES 4 cells, corpus
+    * is touched only through its rank-1 indexed cell.
+    */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.evalContaminated(
+      vecs.filter(col("vec_id") % 25 =!= 0),
+      vecs.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", tau = 0.4,
+      centroids = graft.model.IvfCentroids.blockingFor(s, d))
+  }
+
   val defs: Map[String, Q] = Map(
     "q131_incremental_semdedup" -> q131,
+    "q139_embed_decontam" -> q139,
     "q95_interval_union" -> q95,
     "q92_snapshot_diff" -> q92,
     "q93_sequence_gaps" -> q93,
@@ -541,8 +557,37 @@ object ScaleQueries {
        |${BlockingOracleSql.poisonGuard("CAST(-1 AS BIGINT), CAST(-1 AS INTEGER)")}""".stripMargin
   }
 
+  /** q139's oracle: rank-1 indexed corpus cells, rn≤4 eval probes —
+    * the q131 assignment CTEs with the sides swapped — then cosine ≥ τ
+    * and the (count, min) attribution. No DISTINCT needed: a corpus
+    * row lives in exactly ONE indexed cell, so a (corpus, eval) pair
+    * cannot surface twice.
+    */
+  private def q139OracleSql: String = {
+    s"""WITH ${BlockingOracleSql.assignPrefix(nprobe = 4)},
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cpos AS cell FROM (
+       |    SELECT vec_id, cpos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM cells WHERE vec_id % 25 = 0),
+       |cand AS (
+       |  SELECT a.vec_id AS cid, p.vec_id AS eid
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  JOIN ev cv ON cv.vec_id = a.vec_id
+       |  JOIN ev pv ON pv.vec_id = p.vec_id
+       |  WHERE a.vec_id % 25 <> 0
+       |    AND list_cosine_similarity(pv.v, cv.v) >= 0.4)
+       |SELECT cid AS vec_id,
+       |  CAST(count(*) AS BIGINT) AS n_eval_hits,
+       |  min(eid) AS eval_id
+       |FROM cand GROUP BY cid""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q131_incremental_semdedup" -> q131OracleSql,
+    "q139_embed_decontam" -> q139OracleSql,
     "q94_semdedup_blocked" -> q94OracleSql,
     "q95_interval_union" ->
       """WITH iv AS (

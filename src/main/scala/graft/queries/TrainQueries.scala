@@ -142,6 +142,17 @@ object TrainQueries {
         col("doc_id"), col("n_bigrams"),
         r6(col("lm_logprob")).as("lm_logprob"))
 
+  /** Interpolated Kneser-Ney bigram LM score (the KenLM/CCNet smoothing;
+    * add-one yardstick stays q60). Mean derived from the exact LONG sum,
+    * so the value is order-independent at any scale.
+    */
+  private def q138(s: SparkSession, d: String): DataFrame =
+    QualityRules.knBigramLmScore(Tables.documents(s, d), "doc_id", "text")
+      .select(
+        col("doc_id"), col("n_bigrams"), col("kn_fp"),
+        (floor(col("kn_fp").cast("double") / col("n_bigrams") + lit(0.50001))
+          / 1000000).as("kn_logprob_mean"))
+
   /** Deterministic rebalance: every language downsampled to the size of
     * the smallest one (md5 gate — stable across runs and engines).
     */
@@ -264,7 +275,8 @@ object TrainQueries {
     "q63_mix_to_target" -> q63,
     "q135_dsir_select" -> q135,
     "q136_pack_offsets" -> q136,
-    "q137_pack_manifest" -> q137
+    "q137_pack_manifest" -> q137,
+    "q138_kn_lm_score" -> q138
   )
 
   val oracles: Map[String, String] = Map(
@@ -421,6 +433,43 @@ object TrainQueries {
          |  floor(avg(ln((bi.cb + 1) * 1.0 / (uni.cu + v.vocab))) * 1000000
          |        + 0.50001) / 1000000 AS lm_logprob
          |FROM bgr JOIN bi USING (bg) JOIN uni USING (w1), v
+         |GROUP BY doc_id""".stripMargin,
+    // Kneser-Ney replay: identical type-table statistics (context totals,
+    // right-diversity, left-continuation, singleton/doubleton discount),
+    // the identical 1e-6-quantized per-TYPE log-prob, integer sums from
+    // there on — grouped by bigram STRING where Spark groups by xxhash64
+    // (counts, not token identities, reach the output; collisions ~2e-9)
+    "q138_kn_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |bgr AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+         |               tk[i] || ' ' || tk[i + 1] AS bg
+         |        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+         |        WHERE len(tk) >= 2),
+         |cb AS MATERIALIZED (
+         |  SELECT bg, min(w1) AS w1, min(w2) AS w2, count(*) AS cb
+         |  FROM bgr GROUP BY bg),
+         |ctx AS (SELECT w1, sum(cb) AS c1, count(*) AS n1p FROM cb GROUP BY w1),
+         |cont AS (SELECT w2, count(*) AS n1l FROM cb GROUP BY w2),
+         |tot AS (SELECT count(*) AS t,
+         |               sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
+         |               sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2
+         |        FROM cb),
+         |d AS (SELECT t, CASE WHEN n1 + 2 * n2 > 0
+         |                     THEN n1 * 1.0 / (n1 + 2 * n2)
+         |                     ELSE 0.5 END AS dd FROM tot),
+         |model AS (
+         |  SELECT bg,
+         |    CAST(floor(ln((cb.cb - d.dd) / ctx.c1
+         |                  + d.dd * ctx.n1p / ctx.c1
+         |                    * (n1l * 1.0 / d.t)) * 1000000 + 0.50001)
+         |         AS BIGINT) AS qlp
+         |  FROM cb JOIN ctx USING (w1) JOIN cont USING (w2), d)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(qlp) AS BIGINT) AS kn_fp,
+         |  floor(CAST(sum(qlp) AS DOUBLE) / count(*) + 0.50001) / 1000000
+         |    AS kn_logprob_mean
+         |FROM bgr JOIN model USING (bg)
          |GROUP BY doc_id""".stripMargin,
     "q61_balance_groups" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

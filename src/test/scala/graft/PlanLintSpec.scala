@@ -39,6 +39,9 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
                              // counts) broadcast against the B-row bucket
                              // histogram — a scalar attach, not a
                              // combinatorial product
+    "q138_kn_lm_score",      // ONE-ROW (T, n1, n2) discount totals
+                             // broadcast against the bigram-TYPE table —
+                             // the same scalar attach as q135
     "q129_triangle_approx"   // final ONE-ROW × ONE-ROW attach of the exact
                              // yardstick to the sampled estimate — two
                              // scalar aggregates, bounded by construction

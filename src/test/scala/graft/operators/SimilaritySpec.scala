@@ -158,6 +158,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(nonKept > 0, "fixture has no cross-split near-dups — test is vacuous")
   }
 
+  test("evalContaminated: exact when every cell is probed; precise and " +
+    "rank-1-indexed under blocking") {
+    val sf01 = "/root/testdata/sf0.01"
+    val vecs = Tables.embeddings(spark, sf01).select(col("vec_id"), col("embedding"))
+    val corpus = vecs.filter(col("vec_id") % 25 =!= 0)
+    val evalSet = vecs.filter(col("vec_id") % 25 === 0)
+    val book = graft.model.IvfCentroids.blockingCells(128)
+    val all = vecs.as[(Long, Array[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val evalIds = all.keys.filter(_ % 25 == 0).toSeq
+    val brute = all.keys.filter(_ % 25 != 0).flatMap { c =>
+      val hits = evalIds.filter(e => cos(all(c), all(e)) >= 0.4)
+      if (hits.isEmpty) None else Some(c -> ((hits.size.toLong, hits.min)))
+    }.toMap
+    assert(brute.nonEmpty, "fixture has no contamination — test is vacuous")
+    // nprobe = K: the eval side probes EVERY cell, blocking is
+    // exhaustive, so the report must equal brute force exactly
+    val exhaustive = Similarity.evalContaminated(
+      corpus, evalSet, "vec_id", "embedding", tau = 0.4,
+      centroids = book, nprobe = book.length)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(exhaustive == brute)
+    // production nprobe: every flagged (id, attribution) must be a TRUE
+    // contamination (precision exact; recall nprobe-bounded), and the
+    // hit count can never exceed the true count
+    val blocked = Similarity.evalContaminated(
+      corpus, evalSet, "vec_id", "embedding", tau = 0.4, centroids = book)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(blocked.nonEmpty)
+    for ((c, (n, e)) <- blocked) {
+      assert(brute.contains(c), s"$c flagged but clean under brute force")
+      assert(cos(all(c), all(e)) >= 0.4, s"$c -> $e not a true hit")
+      assert(n <= brute(c)._1)
+    }
+  }
+
   test("per-cell cap: a degenerate near-identical cluster star-verifies, never expands quadratically") {
     // r9 verdict #1: auto-K balances EXPECTED occupancy, but a planted
     // boilerplate cluster (100 near-identical vectors ≈ 10× the mean

@@ -251,6 +251,66 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(out(3L)._2 - math.log(2.0 / 5)) < 1e-12)
   }
 
+  /** Independent in-memory interpolated-KN replica (Chen & Goodman 1999
+    * eq. 4.25 bigram form) used by both knBigramLmScore tests.
+    */
+  private def knBrute(corpus: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val bgs = corpus.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))).toSeq
+    }
+    val cb = bgs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = cb.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1l = cb.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = cb.size.toLong
+    val n1 = cb.values.count(_ == 1L)
+    val n2 = cb.values.count(_ == 2L)
+    val d = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2) else 0.5
+    val qlp = cb.map { case (bg, c) =>
+      val p = (c - d) / c1(bg._1) +
+        d * n1p(bg._1) / c1(bg._1) * (n1l(bg._2).toDouble / t)
+      bg -> math.floor(math.log(p) * 1000000 + 0.50001).toLong
+    }
+    bgs.filter(_._2.nonEmpty).map { case (id, bb) =>
+      id -> ((bb.size.toLong, bb.map(qlp).sum))
+    }.toMap
+  }
+
+  test("knBigramLmScore: interpolated Kneser-Ney, hand-checked discounts") {
+    val corpus = Seq((1L, "a b a"), (2L, "a b"), (3L, "c c"), (4L, "solo"))
+    val out = QualityRules.knBigramLmScore(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "n_bigrams", "kn_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // types: "a b"=2, "b a"=1, "c c"=1 → n1=2 n2=1 → D=0.5, T=3
+    // P(b|a) = 1.5/2 + 0.5*(1/2)*(1/3) = 5/6; P(a|b) = P(c|c) = 2/3
+    val q56 = math.floor(math.log(5.0 / 6) * 1000000 + 0.50001).toLong
+    val q23 = math.floor(math.log(2.0 / 3) * 1000000 + 0.50001).toLong
+    assert(out == Map(
+      1L -> ((2L, q56 + q23)), 2L -> ((1L, q56)), 3L -> ((1L, q23))))
+    assert(out == knBrute(corpus)) // replica agrees with the hand math
+  }
+
+  test("property: knBigramLmScore matches the in-memory replica; " +
+    "partition-invariant (seeded random corpora)") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "ff", "gg")
+    for (_ <- 1 to 3) {
+      val corpus = (1L to 60L).map { i =>
+        i -> Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }
+      val df = corpus.toDF("doc_id", "text")
+      val got = QualityRules.knBigramLmScore(df, "doc_id", "text")
+        .select("doc_id", "n_bigrams", "kn_fp")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == knBrute(corpus))
+      val got7 = QualityRules.knBigramLmScore(df.repartition(7), "doc_id", "text")
+        .select("doc_id", "n_bigrams", "kn_fp")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got7 == got) // LONG fixed-point sums: schedule-independent
+    }
+  }
+
   test("balanceGroups: min group kept whole, others downsampled to parity") {
     val docs = ((1L to 500L).map(i => (i, "en")) ++ (501L to 600L).map(i => (i, "de")))
       .toDF("doc_id", "lang")
