@@ -487,9 +487,24 @@ object Similarity {
     * many eval vectors matched) and `eval_id` (the LOWEST matching eval
     * id — min, not argmax, so no float ranking crosses engines).
     * Dropping flagged ids is the caller's anti-join (the q30/q31
-    * apply pattern). Recall is nprobe-bounded like every IVF read —
-    * the q94/CROSSOVER recall story; callers wanting the exact check
-    * run the brute-force sibling at yardstick scale.
+    * apply pattern).
+    *
+    * Recall is nprobe-bounded like every IVF read, and — unlike the
+    * SemDeDup family — no component closure repairs blocking misses
+    * here, so the bound is the DIRECT pair-capture rate. Measured at
+    * sf1 against the exact 96M-pair check (50k corpus, 2k eval, frozen
+    * sf1 book): in the true contamination regime τ ≥ 0.6 — eval
+    * near-copies, which is what benchmark leakage looks like in
+    * embedding space — recall is 1.0 (14/14 planted pairs; a
+    * near-copy's rank-1 cell is its original's rank-1 cell). At
+    * speculative low thresholds the geometry genuinely spreads across
+    * cells and the rank-1×4-probe read captures 0.22 of τ=0.4 pairs
+    * (0.75 even at nprobe=64, 0.45 under symmetric 4×4
+    * multi-assignment — raising nprobe does not buy this regime back);
+    * a 66°-apart pair is not "contamination", but callers screening
+    * that loosely should run the exact brute-force sibling at
+    * yardstick scale instead. Precision is exact in every regime:
+    * each emitted hit is cosine-verified.
     */
   def evalContaminated(
       corpus: DataFrame,

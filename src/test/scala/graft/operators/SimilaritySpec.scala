@@ -199,6 +199,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("evalContaminated: planted near-copy contamination is caught at " +
+    "recall 1.0 through the production nprobe") {
+    // the regime decontamination exists for: eval rows that are
+    // near-copies of corpus rows (cos ~ 1). A near-copy's rank-1 cell
+    // is its original's rank-1 cell, so the blocked read must flag
+    // EVERY planted pair — recall 1.0, not merely nprobe-bounded
+    val rng = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(8)(rng.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] =
+      v.map(x => x + 0.001f * rng.nextGaussian().toFloat)
+    val corpusRows = (1L to 400L).map(i => (i, vec()))
+    val planted = corpusRows.filter(_._1 % 40 == 0) // 10 contaminated ids
+    val evalRows = planted.map { case (i, v) => (i * 100000L, jitter(v)) } ++
+      (1L to 30L).map(i => (i + 900000L, vec())) // clean eval rows
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val evalSet = evalRows.toDF("vec_id", "embedding")
+    val book = Similarity.fitCentroids(
+      corpusRows.map(_._2.map(_.toDouble)).toArray, k = 16, iters = 10, seed = 3L)
+    val got = Similarity.evalContaminated(
+      corpus, evalSet, "vec_id", "embedding", tau = 0.9, centroids = book)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(planted.map(_._1).toSet.subsetOf(got.keySet),
+      s"missed planted contamination: ${planted.map(_._1).toSet -- got.keySet}")
+    for ((cid, eid) <- got if cid % 40 == 0)
+      assert(eid == cid * 100000L || eid < cid * 100000L) // true attribution
+  }
+
   test("per-cell cap: a degenerate near-identical cluster star-verifies, never expands quadratically") {
     // r9 verdict #1: auto-K balances EXPECTED occupancy, but a planted
     // boilerplate cluster (100 near-identical vectors ≈ 10× the mean
