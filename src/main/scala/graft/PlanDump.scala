@@ -59,7 +59,8 @@ object PlanDump {
       "q135_dsir_select" -> "DSIR: two corpus passes (bucket histogram broadcast back, per-doc integer log-ratio sum), Gumbel TakeOrdered top-k",
       "q136_pack_offsets" -> "concat-and-split packing: ONE range exchange reused by both consumers (per-partition totals + fold), no single-partition window",
       "q138_kn_lm_score" -> "Kneser-Ney LM: one exploded bigram pass (checkpointed) feeds type table; model stats = 3 aggs over the TYPE table + 1-row broadcast; integer score sums",
-      "q139_embed_decontam" -> "semantic decontamination: eval probes 4 cells, corpus touched via rank-1 indexed cell only — candidate volume nprobe*|eval|*N/K, never |eval|*N")
+      "q139_embed_decontam" -> "semantic decontamination: eval probes 4 cells, corpus touched via rank-1 indexed cell only — candidate volume nprobe*|eval|*N/K, never |eval|*N",
+      "q140_ccnet_lm_filter" -> "CCNet filter: target-slice KN model (LEFT-join OOV ladder), global rank via the q136 range-exchange prefix count — no single-partition window, integer 30/40/30 cuts")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")

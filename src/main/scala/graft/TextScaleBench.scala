@@ -52,7 +52,9 @@ object TextScaleBench {
       "q134_dup_substr_cut", "q135_dsir_select", "q136_pack_offsets",
       // r11b: interpolated Kneser-Ney scoring (model stats are
       // TYPE-table-sized aggs; the corpus pays two exploded passes)
-      "q138_kn_lm_score")
+      // and the CCNet cross-corpus filter (target-slice model + the
+      // q136 range-exchange global rank)
+      "q138_kn_lm_score", "q140_ccnet_lm_filter")
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"

@@ -210,6 +210,95 @@ object QualityRules {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__qlp")).as("kn_fp"))
   }
 
+  /** CROSS-CORPUS interpolated-KN scoring — the CCNet shape (Wenzek et
+    * al. 2020): the LM is trained on a TARGET corpus (`modelDf`, e.g.
+    * the trusted in-domain slice) and scores a DIFFERENT corpus, which
+    * is where out-of-vocabulary mass appears ([[knBigramLmScore]]'s
+    * self-scoring never meets an unseen bigram). OOV treatment, exact
+    * and SQL-replayable:
+    *
+    *  - seen bigram:        (c−D)/c(w1·) + D·N1+(w1·)/c(w1·)·P_cont(w2)
+    *  - seen w1, new pair:  D·N1+(w1·)/c(w1·)·P_cont(w2)   (backoff mass)
+    *  - unseen w1:          P_cont(w2)                      (continuation)
+    *  - unseen w2 anywhere: P_cont floors at 1/(2T) — half the smallest
+    *    seen continuation mass, so OOV words score strictly below every
+    *    in-vocabulary word and ln() never sees 0. Deterministic by
+    *    construction, no char-level backoff model needed.
+    *
+    * Quantization happens once per SCORED-corpus bigram type (the model
+    * tables no longer cover them), then per-doc scores are the same
+    * order-independent LONG sums. Model statistics stay TYPE-table-
+    * bounded; the scored corpus pays one exploded pass.
+    */
+  def knBigramLmScoreAgainst(
+      df: DataFrame,
+      modelDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val mbgr = Spread.ensure(modelDf.select(col(textCol)))
+      .select(explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
+      .select(
+        xxhash64(col("__bg")).as("__bgh"),
+        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"),
+        xxhash64(substring_index(col("__bg"), " ", -1)).as("__w2h"))
+    val mcb = mbgr.groupBy("__bgh").agg(
+      count(lit(1)).as("__cb"),
+      min(col("__w1h")).as("__w1h"),
+      min(col("__w2h")).as("__w2h"))
+      .localCheckpoint(true)
+    val mctx = mcb.groupBy("__w1h").agg(
+      sum(col("__cb")).as("__c1"), count(lit(1)).as("__n1p"))
+    val mcont = mcb.groupBy("__w2h").agg(count(lit(1)).as("__n1l"))
+    val mtot = mcb.agg(
+      count(lit(1)).as("__t"),
+      sum(when(col("__cb") === 1, 1L).otherwise(0L)).as("__n1"),
+      sum(when(col("__cb") === 2, 1L).otherwise(0L)).as("__n2"))
+    val d = when(col("__n1") + col("__n2") * 2 > 0,
+      col("__n1").cast("double") / (col("__n1") + col("__n2") * 2))
+      .otherwise(lit(0.5))
+    val bgr = Spread.ensure(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
+      .select(
+        col(idCol),
+        xxhash64(col("__bg")).as("__bgh"),
+        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"),
+        xxhash64(substring_index(col("__bg"), " ", -1)).as("__w2h"))
+      .localCheckpoint(true)
+    // SCORED-corpus bigram types, LEFT-joined to the model stats —
+    // quantized once per type, as in the self-scoring path
+    val stypes = bgr.groupBy("__bgh").agg(
+      min(col("__w1h")).as("__w1h"), min(col("__w2h")).as("__w2h"))
+    // loud guard: a model corpus with zero bigrams must error, not emit
+    // log(x/0) garbage (lazy branch — raise_error evaluates only if hit)
+    val contP = when(col("__t") > 0,
+      coalesce(
+        col("__n1l").cast("double") / col("__t"),
+        lit(0.5) / col("__t")))
+      .otherwise(expr(
+        "raise_error('knBigramLmScoreAgainst: model corpus has no bigrams')")
+        .cast("double"))
+    val model = stypes
+      .join(mcb.select(col("__bgh"), col("__cb")), Seq("__bgh"), "left")
+      .join(mctx, Seq("__w1h"), "left")
+      .join(mcont, Seq("__w2h"), "left")
+      .crossJoin(broadcast(mtot))
+      .select(
+        col("__bgh"),
+        floor(
+          log(
+            when(col("__cb").isNotNull,
+              (col("__cb") - d) / col("__c1")
+                + d * col("__n1p") / col("__c1") * contP)
+              .when(col("__c1").isNotNull,
+                d * col("__n1p") / col("__c1") * contP)
+              .otherwise(contP))
+            * 1000000 + lit(0.50001)).cast("long").as("__qlp"))
+    bgr
+      .join(model, "__bgh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__qlp")).as("kn_fp"))
+  }
+
   /** Within-document repetition: the duplicate-bigram signal. For each
     * document, the count of its most frequent word bigram, the total
     * bigram count, and their ratio — the standard "top n-gram fraction"

@@ -30,6 +30,60 @@ object TrainQueries {
   private val duckShingles5 =
     "list_distinct([array_to_string(tk[i:i+4], ' ') for i in generate_series(1, len(tk) - 4)])"
 
+  /** Shared interpolated-KN CTE chain for the q138/q140 oracles (one
+    * builder so the two replays cannot drift — the q104/q132 rule):
+    * bigram pass, model type-table statistics over the `modelWhere`
+    * slice of documents, the OOV CASE ladder of
+    * [[QualityRules.knBigramLmScoreAgainst]] (seen pair → discounted +
+    * backoff; seen context → backoff mass; unseen context →
+    * continuation; unseen continuation floors at 1/(2T)), per-TYPE
+    * 1e-6 quantization, and the per-doc integer sums — ends in
+    * `perdoc(doc_id, n_bigrams, kn_fp)`.
+    */
+  private def knScoreCtes(modelWhere: String): String =
+    s"""toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |bgr AS MATERIALIZED (
+       |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
+       |         tk[i] || ' ' || tk[i + 1] AS bg
+       |  FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
+       |  WHERE len(tk) >= 2),
+       |mcb AS MATERIALIZED (
+       |  SELECT bg, min(w1) AS w1, min(w2) AS w2, count(*) AS cb
+       |  FROM bgr JOIN documents dd USING (doc_id)
+       |  WHERE $modelWhere GROUP BY bg),
+       |mctx AS (SELECT w1, sum(cb) AS c1, count(*) AS n1p FROM mcb GROUP BY w1),
+       |mcont AS (SELECT w2, count(*) AS n1l FROM mcb GROUP BY w2),
+       |tot AS (SELECT count(*) AS t,
+       |               sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
+       |               sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2
+       |        FROM mcb),
+       |d AS (SELECT t, CASE WHEN n1 + 2 * n2 > 0
+       |                     THEN n1 * 1.0 / (n1 + 2 * n2)
+       |                     ELSE 0.5 END AS dd FROM tot),
+       |stypes AS (SELECT bg, min(w1) AS w1, min(w2) AS w2 FROM bgr GROUP BY bg),
+       |model AS MATERIALIZED (
+       |  SELECT st.bg,
+       |    CAST(floor(ln(
+       |      CASE WHEN mb.cb IS NOT NULL
+       |             THEN (mb.cb - d.dd) / mx.c1 + d.dd * mx.n1p / mx.c1
+       |                  * coalesce(mc.n1l * 1.0 / d.t, 0.5 / d.t)
+       |           WHEN mx.c1 IS NOT NULL
+       |             THEN d.dd * mx.n1p / mx.c1
+       |                  * coalesce(mc.n1l * 1.0 / d.t, 0.5 / d.t)
+       |           ELSE coalesce(mc.n1l * 1.0 / d.t, 0.5 / d.t)
+       |      END) * 1000000 + 0.50001) AS BIGINT) AS qlp
+       |  FROM stypes st
+       |  LEFT JOIN mcb mb ON mb.bg = st.bg
+       |  LEFT JOIN mctx mx ON mx.w1 = st.w1
+       |  LEFT JOIN mcont mc ON mc.w2 = st.w2
+       |  CROSS JOIN d),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(qlp) AS BIGINT) AS kn_fp
+       |  FROM bgr JOIN model ON model.bg = bgr.bg
+       |  GROUP BY doc_id)""".stripMargin
+
   /** Gopher-style quality filter: rule signals + the pass predicate. */
   private def q51(s: SparkSession, d: String): DataFrame =
     QualityRules.gopherSignals(Tables.documents(s, d), "text")
@@ -152,6 +206,32 @@ object TrainQueries {
         col("doc_id"), col("n_bigrams"), col("kn_fp"),
         (floor(col("kn_fp").cast("double") / col("n_bigrams") + lit(0.50001))
           / 1000000).as("kn_logprob_mean"))
+
+  /** CCNet-style LM filter (Wenzek et al. 2020): the KN model is
+    * trained on the TARGET slice (lang = 'en'), every document scored
+    * against it (OOV handled in [[QualityRules.knBigramLmScoreAgainst]]),
+    * and the corpus cut into head/middle/tail by the 30/40/30 global
+    * score rank. The global rank is [[Packing.tokenOffsets]] with a
+    * unit size column — an exclusive prefix COUNT through ONE range
+    * exchange, no single-partition window anywhere (the q136
+    * machinery); bucket cuts are integer arithmetic (`n*3 div 10`), so
+    * no float percentile can flip a boundary between engines.
+    */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = QualityRules.knBigramLmScoreAgainst(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+      .withColumn("__negm", -(col("kn_fp").cast("double") / col("n_bigrams")))
+      .withColumn("__one", lit(1L))
+    val ranked = Packing.tokenOffsets(
+      scored, "__one", Seq("__negm", "doc_id"), outCol = "rn")
+    val tot = ranked.agg(count(lit(1)).as("__nn"))
+    ranked.crossJoin(broadcast(tot)).select(
+      col("doc_id"), col("n_bigrams"), col("kn_fp"), col("rn"),
+      when(col("rn") < expr("__nn * 3 div 10"), "head")
+        .when(col("rn") >= col("__nn") - expr("__nn * 3 div 10"), "tail")
+        .otherwise("middle").as("bucket"))
+  }
 
   /** Deterministic rebalance: every language downsampled to the size of
     * the smallest one (md5 gate — stable across runs and engines).
@@ -276,7 +356,8 @@ object TrainQueries {
     "q135_dsir_select" -> q135,
     "q136_pack_offsets" -> q136,
     "q137_pack_manifest" -> q137,
-    "q138_kn_lm_score" -> q138
+    "q138_kn_lm_score" -> q138,
+    "q140_ccnet_lm_filter" -> q140
   )
 
   val oracles: Map[String, String] = Map(
@@ -438,39 +519,34 @@ object TrainQueries {
     // right-diversity, left-continuation, singleton/doubleton discount),
     // the identical 1e-6-quantized per-TYPE log-prob, integer sums from
     // there on — grouped by bigram STRING where Spark groups by xxhash64
-    // (counts, not token identities, reach the output; collisions ~2e-9)
+    // (counts, not token identities, reach the output; collisions ~2e-9).
+    // Shared CTE builder with q140 (the factored-prefix rule): with the
+    // model trained on the full corpus every scored bigram is seen, so
+    // the CASE collapses to its first branch — value-identical to an
+    // inner-join spelling.
     "q138_kn_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |bgr AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2,
-         |               tk[i] || ' ' || tk[i + 1] AS bg
-         |        FROM toks, unnest(generate_series(1, len(tk) - 1)) AS g(i)
-         |        WHERE len(tk) >= 2),
-         |cb AS MATERIALIZED (
-         |  SELECT bg, min(w1) AS w1, min(w2) AS w2, count(*) AS cb
-         |  FROM bgr GROUP BY bg),
-         |ctx AS (SELECT w1, sum(cb) AS c1, count(*) AS n1p FROM cb GROUP BY w1),
-         |cont AS (SELECT w2, count(*) AS n1l FROM cb GROUP BY w2),
-         |tot AS (SELECT count(*) AS t,
-         |               sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS n1,
-         |               sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS n2
-         |        FROM cb),
-         |d AS (SELECT t, CASE WHEN n1 + 2 * n2 > 0
-         |                     THEN n1 * 1.0 / (n1 + 2 * n2)
-         |                     ELSE 0.5 END AS dd FROM tot),
-         |model AS (
-         |  SELECT bg,
-         |    CAST(floor(ln((cb.cb - d.dd) / ctx.c1
-         |                  + d.dd * ctx.n1p / ctx.c1
-         |                    * (n1l * 1.0 / d.t)) * 1000000 + 0.50001)
-         |         AS BIGINT) AS qlp
-         |  FROM cb JOIN ctx USING (w1) JOIN cont USING (w2), d)
-         |SELECT doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  CAST(sum(qlp) AS BIGINT) AS kn_fp,
-         |  floor(CAST(sum(qlp) AS DOUBLE) / count(*) + 0.50001) / 1000000
+      s"""WITH ${knScoreCtes(modelWhere = "TRUE")}
+         |SELECT doc_id, n_bigrams, kn_fp,
+         |  floor(CAST(kn_fp AS DOUBLE) / n_bigrams + 0.50001) / 1000000
          |    AS kn_logprob_mean
-         |FROM bgr JOIN model USING (bg)
-         |GROUP BY doc_id""".stripMargin,
+         |FROM perdoc""".stripMargin,
+    // CCNet replay: the q138 CTEs with the model restricted to the
+    // target slice (LEFT joins + OOV cases live in the shared builder),
+    // then the identical global rank (mean DESC, doc_id) and integer
+    // 30/40/30 bucket cuts
+    "q140_ccnet_lm_filter" ->
+      s"""WITH ${knScoreCtes(modelWhere = "dd.lang = 'en'")},
+         |scored AS (SELECT doc_id, n_bigrams, kn_fp,
+         |    CAST(kn_fp AS DOUBLE) / n_bigrams AS m FROM perdoc),
+         |tot2 AS (SELECT count(*) AS nn FROM scored),
+         |rk AS (SELECT doc_id, n_bigrams, kn_fp,
+         |    row_number() OVER (ORDER BY m DESC, doc_id ASC) - 1 AS rn
+         |  FROM scored)
+         |SELECT doc_id, n_bigrams, kn_fp, CAST(rn AS BIGINT) AS rn,
+         |  CASE WHEN rn < (nn * 3) // 10 THEN 'head'
+         |       WHEN rn >= nn - (nn * 3) // 10 THEN 'tail'
+         |       ELSE 'middle' END AS bucket
+         |FROM rk, tot2""".stripMargin,
     "q61_balance_groups" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
         |m AS (SELECT min(n) AS mn FROM c)

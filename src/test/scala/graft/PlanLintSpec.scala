@@ -42,6 +42,8 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     "q138_kn_lm_score",      // ONE-ROW (T, n1, n2) discount totals
                              // broadcast against the bigram-TYPE table —
                              // the same scalar attach as q135
+    "q140_ccnet_lm_filter",  // the q138 attach plus a ONE-ROW corpus
+                             // count for the integer 30/40/30 cuts
     "q129_triangle_approx"   // final ONE-ROW × ONE-ROW attach of the exact
                              // yardstick to the sampled estimate — two
                              // scalar aggregates, bounded by construction

@@ -252,14 +252,19 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   /** Independent in-memory interpolated-KN replica (Chen & Goodman 1999
-    * eq. 4.25 bigram form) used by both knBigramLmScore tests.
+    * eq. 4.25 bigram form) used by the knBigramLmScore tests. With
+    * `model` given, replays the cross-corpus OOV ladder of
+    * knBigramLmScoreAgainst (backoff mass for seen contexts, pure
+    * continuation for unseen ones, 1/(2T) continuation floor).
     */
-  private def knBrute(corpus: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
-    val bgs = corpus.map { case (id, t) =>
-      id -> t.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
-        .map(a => (a(0), a(1))).toSeq
-    }
-    val cb = bgs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+  private def knBrute(
+      corpus: Seq[(Long, String)],
+      model: Option[Seq[String]] = None): Map[Long, (Long, Long)] = {
+    def big(t: String) = t.split(" ").filter(_.nonEmpty).sliding(2)
+      .filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    val bgs = corpus.map { case (id, t) => id -> big(t) }
+    val cb = model.map(_.flatMap(big)).getOrElse(bgs.flatMap(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
     val c1 = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     val n1p = cb.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
     val n1l = cb.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
@@ -267,11 +272,15 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     val n1 = cb.values.count(_ == 1L)
     val n2 = cb.values.count(_ == 2L)
     val d = if (n1 + 2 * n2 > 0) n1.toDouble / (n1 + 2 * n2) else 0.5
-    val qlp = cb.map { case (bg, c) =>
-      val p = (c - d) / c1(bg._1) +
-        d * n1p(bg._1) / c1(bg._1) * (n1l(bg._2).toDouble / t)
+    val qlp = bgs.flatMap(_._2).distinct.map { bg =>
+      val contP = n1l.get(bg._2).map(_.toDouble / t).getOrElse(0.5 / t)
+      val p = (cb.get(bg), c1.get(bg._1)) match {
+        case (Some(c), Some(cc)) => (c - d) / cc + d * n1p(bg._1) / cc * contP
+        case (None, Some(cc))    => d * n1p(bg._1) / cc * contP
+        case _                   => contP
+      }
       bg -> math.floor(math.log(p) * 1000000 + 0.50001).toLong
-    }
+    }.toMap
     bgs.filter(_._2.nonEmpty).map { case (id, bb) =>
       id -> ((bb.size.toLong, bb.map(qlp).sum))
     }.toMap
@@ -309,6 +318,50 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
         .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got7 == got) // LONG fixed-point sums: schedule-independent
     }
+  }
+
+  test("knBigramLmScoreAgainst: OOV ladder hand-checked; cross-corpus " +
+    "property vs the replica; empty model errors loudly") {
+    // model: "a b a" — types "a b"(1), "b a"(1); T=2, n1=2, n2=0 → D=1.0
+    // c(a·)=1, N1+(a·)=1; contP: b -> 1/2, a -> 1/2; OOV floor 1/(2·2)
+    val model = Seq("a b a")
+    val scored = Seq(
+      (1L, "a b"),    // seen pair:     (1-1)/1 + 1*(1/1)*(1/2)   = 0.5
+      (2L, "a c"),    // seen ctx, OOV: 1*(1/1)*0.25              = 0.25
+      (3L, "z b"),    // unseen ctx:    contP(b)                  = 0.5
+      (4L, "z q"))    // all OOV:       floor                     = 0.25
+    val out = QualityRules.knBigramLmScoreAgainst(
+      scored.toDF("doc_id", "text"),
+      model.map(Tuple1(_)).toDF("text"), "doc_id", "text")
+      .select("doc_id", "n_bigrams", "kn_fp")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def q(p: Double) = math.floor(math.log(p) * 1000000 + 0.50001).toLong
+    assert(out == Map(
+      1L -> ((1L, q(0.5))), 2L -> ((1L, q(0.25))),
+      3L -> ((1L, q(0.5))), 4L -> ((1L, q(0.25)))))
+    assert(out == knBrute(scored, Some(model)))
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "ff", "gg", "hh", "ii")
+    for (_ <- 1 to 2) {
+      val corpus = (1L to 80L).map { i =>
+        i -> Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      }
+      // model = a vocabulary-restricted slice, so real OOV mass appears
+      val modelTexts = (1 to 25).map(_ =>
+        Seq.fill(1 + rng.nextInt(10))(vocab(rng.nextInt(4))).mkString(" "))
+      val got = QualityRules.knBigramLmScoreAgainst(
+        corpus.toDF("doc_id", "text"),
+        modelTexts.map(Tuple1(_)).toDF("text"), "doc_id", "text")
+        .select("doc_id", "n_bigrams", "kn_fp")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == knBrute(corpus, Some(modelTexts)))
+    }
+    val err = intercept[Exception] {
+      QualityRules.knBigramLmScoreAgainst(
+        Seq((1L, "a b")).toDF("doc_id", "text"),
+        Seq(Tuple1("solo")).toDF("text"), "doc_id", "text").collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("balanceGroups: min group kept whole, others downsampled to parity") {
