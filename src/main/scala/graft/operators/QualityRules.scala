@@ -192,9 +192,16 @@ object QualityRules {
     val d = when(col("__n1") + col("__n2") * 2 > 0,
       col("__n1").cast("double") / (col("__n1") + col("__n2") * 2))
       .otherwise(lit(0.5))
-    val model = cb
-      .join(ctx, "__w1h")
-      .join(cont, "__w2h")
+    // every model-side join is SHUFFLE_HASH-hinted: the type tables are
+    // only small relative to the corpus — they grow with vocabulary²,
+    // and a "small enough by estimate" broadcast of a multi-million-row
+    // HashedRelation OOMs the driver (caught by TextScaleBench's
+    // 200k-doc point, ~100k-token vocab). Shuffle-hash keeps each
+    // build per-partition-sized at any vocabulary; no sort needed on
+    // 64-bit hash keys.
+    val model = cb.hint("shuffle_hash")
+      .join(ctx.hint("shuffle_hash"), "__w1h")
+      .join(cont.hint("shuffle_hash"), "__w2h")
       .crossJoin(broadcast(tot))
       .select(
         col("__bgh"),
@@ -205,7 +212,7 @@ object QualityRules {
                 * (col("__n1l").cast("double") / col("__t")))
             * 1000000 + lit(0.50001)).cast("long").as("__qlp"))
     bgr
-      .join(model, "__bgh")
+      .join(model.hint("shuffle_hash"), "__bgh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__qlp")).as("kn_fp"))
   }
@@ -277,10 +284,13 @@ object QualityRules {
       .otherwise(expr(
         "raise_error('knBigramLmScoreAgainst: model corpus has no bigrams')")
         .cast("double"))
-    val model = stypes
-      .join(mcb.select(col("__bgh"), col("__cb")), Seq("__bgh"), "left")
-      .join(mctx, Seq("__w1h"), "left")
-      .join(mcont, Seq("__w2h"), "left")
+    // shuffle-hash on every type-table join — same driver-OOM reasoning
+    // as the self-scoring path above (type tables grow with vocabulary)
+    val model = stypes.hint("shuffle_hash")
+      .join(mcb.select(col("__bgh"), col("__cb")).hint("shuffle_hash"),
+        Seq("__bgh"), "left")
+      .join(mctx.hint("shuffle_hash"), Seq("__w1h"), "left")
+      .join(mcont.hint("shuffle_hash"), Seq("__w2h"), "left")
       .crossJoin(broadcast(mtot))
       .select(
         col("__bgh"),
@@ -294,7 +304,7 @@ object QualityRules {
               .otherwise(contP))
             * 1000000 + lit(0.50001)).cast("long").as("__qlp"))
     bgr
-      .join(model, "__bgh")
+      .join(model.hint("shuffle_hash"), "__bgh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__qlp")).as("kn_fp"))
   }
