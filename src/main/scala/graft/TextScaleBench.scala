@@ -33,10 +33,13 @@ object TextScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     // A/B aid: SPARK_GRAFT_SQLCONF="k=v;k=v" applies runtime SQL confs
     // (e.g. spark.graft.exactSubstr.markViaAgg=true) before timing
-    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    // segments without '=' (or empty, e.g. a trailing ';') are skipped
+    // rather than MatchError-ing the whole bench at startup
+    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(
+      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
 
     val queries = Seq("q101_bm25_topk", "q102_inverted_index",
       "q105_span_dedup", "q42_tfidf_top_term",

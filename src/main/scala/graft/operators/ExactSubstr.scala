@@ -144,9 +144,8 @@ object ExactSubstr {
     * NEIGHBORING cut window overlapping it — the same granularity the
     * detection pass reports.
     *
-    * Scale shape: identical to [[duplicateSpans]] — the one corpus-sized
-    * shuffle on the 16-byte digest now also ranks occurrences inside
-    * each digest bucket (row_number over the same exchange; a bucket
+    * Scale shape: identical to [[duplicateSpans]] — the digest agg now
+    * also carries the keeper (min (id, pos) per digest; a bucket
     * duplicated a million times costs its bucket size, never a pair
     * arm), the island merge shuffles only cut positions by doc, and the
     * final stitch is a co-partitioned join back to the corpus on id.
@@ -167,15 +166,47 @@ object ExactSubstr {
           s"transform(sequence(1, length($textCol) - ${L - 1}), " +
             s"i -> unhex(md5(substring($textCol, i, $L))))")).as(Seq("__p0", "__h")))
       .select(col("__id"), (col("__p0") + 1).as("pos"), col("__h"))
-    // one digest-keyed shuffle carries both decisions: duplicated at
-    // all (count ≥ 2) and keeper (rank 1 in (id, pos) order)
-    val byDigest = Window.partitionBy(col("__h"))
-    val cut = wins
-      .withColumn("__cnt", count(lit(1)).over(byDigest))
-      .withColumn("__rk",
-        row_number().over(byDigest.orderBy(col("__id"), col("pos"))))
-      .filter(col("__cnt") >= 2 && col("__rk") > 1)
-      .select(col("__id"), col("pos"))
+    // Keeper decision — duplicated at all (count ≥ 2) and keeper
+    // (min (id, pos)) — in the same two spellings as [[markDuplicated]],
+    // selected by the same `spark.graft.exactSubstr.markViaAgg` conf
+    // (r11 verdict #4: the window spelling sorts ALL ~49M (id,pos,digest)
+    // rows by the 16-byte digest at the 200k point, exactly the
+    // corpus-sized sort the q133 A/B showed the agg avoids):
+    //
+    //  - agg (default): map-side-combinable (count, min-struct) per
+    //    digest → filter ≥ 2 → join back, keeping every non-keeper
+    //    occurrence. The duplicated-digest side is tiny for real corpora
+    //    so AQE broadcasts it; no corpus-sized sort anywhere. Measured at
+    //    the TEXTSCALE 200k point (~49M windows, 2 runs each, min):
+    //    agg 20.0 s vs window 21.7 s — the same ~8% the q133 A/B found,
+    //    and the gap is all in the mark+rank stage.
+    //  - window: count + row_number over the digest window — ONE shuffle
+    //    carries both decisions, for degenerate near-all-duplicated
+    //    corpora where the dup-digest join side stops being small.
+    val viaAgg =
+      try df.sparkSession.conf.get("spark.graft.exactSubstr.markViaAgg").toBoolean
+      catch { case _: java.util.NoSuchElementException => true }
+    val cut =
+      if (viaAgg) {
+        val keep = wins.groupBy(col("__h"))
+          .agg(
+            count(lit(1)).as("__cnt"),
+            min(struct(col("__id"), col("pos"))).as("__keep"))
+          .filter(col("__cnt") >= 2)
+          .select(col("__h"), col("__keep"))
+        wins.join(keep, Seq("__h"))
+          .filter(
+            col("__id") =!= col("__keep.__id") || col("pos") =!= col("__keep.pos"))
+          .select(col("__id"), col("pos"))
+      } else {
+        val byDigest = Window.partitionBy(col("__h"))
+        wins
+          .withColumn("__cnt", count(lit(1)).over(byDigest))
+          .withColumn("__rk",
+            row_number().over(byDigest.orderBy(col("__id"), col("pos"))))
+          .filter(col("__cnt") >= 2 && col("__rk") > 1)
+          .select(col("__id"), col("pos"))
+      }
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("pos"))
     val spans = cut
       .withColumn("__gap",

@@ -75,15 +75,22 @@ object Packing {
     * O(1)-state `mapPartitions` pass emits `pid offset + running local
     * sum`. Every stage is parallel; nothing is driver-side.
     *
-    * The eager localCheckpoint is LOAD-BEARING exactly as in
-    * `globalRowNumber`: the sorted frame feeds TWO consumers (the
-    * totals aggregate and the fold) that must observe the SAME physical
-    * partition layout — the pin makes the shared subtree a
-    * deterministic leaf so ReuseExchange collapses both reads into one
-    * exchange. Under AQE, adjacent range partitions may coalesce; the
-    * fold therefore keys its running sum on the per-row `__pid` and
-    * resets at pid boundaries, so a task holding several (contiguous)
-    * pids still emits exact offsets.
+    * The sorted frame feeds TWO consumers (the totals aggregate and the
+    * fold) that must observe the SAME physical partition layout. That
+    * invariant is enforced by MATERIALIZATION, not plan canonicalization:
+    * the range exchange runs exactly once, inside an eager
+    * localCheckpoint of the sorted+pid-stamped frame, and both consumers
+    * read the frozen blocks — so correctness cannot silently depend on
+    * AQE/ReuseExchange collapsing two canonically-identical exchanges
+    * (r11 ADVICE: `spark.sql.execution.reuseExchange=false`, or a future
+    * optimizer pruning one consumer's columns, would have re-split the
+    * exchanges and produced wrong offsets with no error; now either
+    * simply re-reads the same blocks). A second, earlier checkpoint pins
+    * the INPUT so the range partitioner's boundary-sampling job doesn't
+    * re-run the caller's upstream plan. Under AQE, adjacent range
+    * partitions may coalesce; the fold therefore keys its running sum on
+    * the per-row `__pid` and resets at pid boundaries, so a task holding
+    * several (contiguous) pids still emits exact offsets.
     *
     * Offsets are exchange-boundary-invariant: wherever the sampler cuts
     * the range partitions, prefix sums over a total order come out
@@ -107,23 +114,22 @@ object Packing {
       conf.getConf(org.apache.spark.sql.internal.SQLConf
         .COALESCE_PARTITIONS_INITIAL_PARTITION_NUM).getOrElse(0))
     val order: Seq[Column] = orderCols.map(col)
+    // the trailing localCheckpoint is the correctness pin: ONE range
+    // exchange executes (inside this materialization) and every
+    // consumer below reads its frozen blocks — see the scaladoc
     val sorted = df.localCheckpoint(true)
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .select(col("*"), spark_partition_id().as("__pid"))
+      .localCheckpoint(true)
     val stats = sorted.groupBy(col("__pid"))
       .agg(sum(greatest(coalesce(col(sizeCol).cast("long"), lit(0L)), lit(0L)))
         .as("__tot"))
     // prefix-sum via explode: partition p's total lands on every later
-    // partition, then one hash agg — ≤ nPart² intermediate rows total
+    // partition, then one hash agg — ≤ nPart² intermediate rows total.
     // offsets carry rows ONLY for pids with at least one non-empty
     // predecessor; the fold coalesces absent pids (pid 0, leading-empty
-    // runs) to offset 0. Deliberately NOT left-joined back onto `stats`
-    // to enumerate every pid: that arm would need only `__pid`, column
-    // pruning would narrow ITS copy of the range exchange below full
-    // width, and the canonical mismatch re-splits the exchange the
-    // whole correctness argument needs shared (caught by the
-    // reuse-invariant spec).
+    // runs) to offset 0.
     val offsets = stats
       .filter(col("__pid") < lit(nPart - 1))
       .select(

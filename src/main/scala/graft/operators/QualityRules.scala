@@ -154,15 +154,30 @@ object QualityRules {
     * bigram-TYPE table, which is vocabulary²-bounded and tiny next to
     * the corpus — three map-side-combinable aggs plus one 1-row
     * broadcast. Scoring joins hash-keyed count tables exactly like
-    * [[bigramLmScore]]. Nothing string-typed shuffles (64-bit token
-    * hashes; collisions ~2e-9 at 1e5 types, and the oracle agrees
-    * because counts, not token identities, reach the output).
+    * [[bigramLmScore]]: nothing string-typed ever shuffles, and the
+    * oracle agrees because counts, not token identities, reach the
+    * output.
+    *
+    * Key-width domain (see [[knKey]]): the default 64-bit xxhash64 keys
+    * are collision-clean for harness/enterprise vocabularies (expected
+    * merged type pairs ≈ n²/2⁶⁵: ~2.7e-4 at 1e5 bigram types, ~0.03 at
+    * 1e6) but a web-scale model corpus with ~1e9 bigram types expects
+    * ~2.7e4 merged pairs — each merge adds two types' counts together,
+    * a ppm-level perturbation of an LM *filter* score, invisible next
+    * to the discounting itself, but nonzero. The 100 TB design point
+    * sets `spark.graft.kn.wideKeys=true`: every type key becomes the
+    * 16-byte md5 digest (expected collisions ~1.5e-21 at 1e9 types),
+    * same plan shape, keys twice as wide on the vocabulary-sized
+    * shuffles only — the corpus-sized per-document agg never carries
+    * them. Proven bit-identical to the default on the test corpus
+    * (`QualityRulesSpec`).
     *
     * Output: (id, n_bigrams, kn_fp) where kn_fp = Σ quantized log-probs
     * (LONG, exact); callers derive the rounded mean. Documents with
     * fewer than 2 tokens drop (no bigrams), as in [[bigramLmScore]].
     */
   def knBigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val key = knKey(df)
     val src = Spread.ensure(df.select(col(idCol), col(textCol)))
     // one shingle pass serves both the type-count table and the scoring
     // join (localCheckpoint: materialized once, lineage cut)
@@ -170,9 +185,9 @@ object QualityRules {
       .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
       .select(
         col(idCol),
-        xxhash64(col("__bg")).as("__bgh"),
-        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"),
-        xxhash64(substring_index(col("__bg"), " ", -1)).as("__w2h"))
+        key(col("__bg")).as("__bgh"),
+        key(substring_index(col("__bg"), " ", 1)).as("__w1h"),
+        key(substring_index(col("__bg"), " ", -1)).as("__w2h"))
       .localCheckpoint(true)
     // bigram TYPE table: within a __bgh group the token hashes are
     // functionally determined (min() spells that deterministically)
@@ -242,12 +257,13 @@ object QualityRules {
       modelDf: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    val key = knKey(df)
     val mbgr = Spread.ensure(modelDf.select(col(textCol)))
       .select(explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
       .select(
-        xxhash64(col("__bg")).as("__bgh"),
-        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"),
-        xxhash64(substring_index(col("__bg"), " ", -1)).as("__w2h"))
+        key(col("__bg")).as("__bgh"),
+        key(substring_index(col("__bg"), " ", 1)).as("__w1h"),
+        key(substring_index(col("__bg"), " ", -1)).as("__w2h"))
     val mcb = mbgr.groupBy("__bgh").agg(
       count(lit(1)).as("__cb"),
       min(col("__w1h")).as("__w1h"),
@@ -267,9 +283,9 @@ object QualityRules {
       .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
       .select(
         col(idCol),
-        xxhash64(col("__bg")).as("__bgh"),
-        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"),
-        xxhash64(substring_index(col("__bg"), " ", -1)).as("__w2h"))
+        key(col("__bg")).as("__bgh"),
+        key(substring_index(col("__bg"), " ", 1)).as("__w1h"),
+        key(substring_index(col("__bg"), " ", -1)).as("__w2h"))
       .localCheckpoint(true)
     // SCORED-corpus bigram types, LEFT-joined to the model stats —
     // quantized once per type, as in the self-scoring path
@@ -307,6 +323,20 @@ object QualityRules {
       .join(model.hint("shuffle_hash"), "__bgh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__qlp")).as("kn_fp"))
+  }
+
+  /** Type-table key builder for the KN/CCNet model joins: 64-bit
+    * xxhash64 by default; the 16-byte md5 digest when the session sets
+    * `spark.graft.kn.wideKeys=true` (the 100 TB design point — see the
+    * key-width-domain note on [[knBigramLmScore]]). One source of truth
+    * so the self-scoring and cross-corpus paths can never key
+    * differently.
+    */
+  private def knKey(df: DataFrame): Column => Column = {
+    val wide =
+      try df.sparkSession.conf.get("spark.graft.kn.wideKeys").toBoolean
+      catch { case _: java.util.NoSuchElementException => false }
+    if (wide) c => unhex(md5(c)) else c => xxhash64(c)
   }
 
   /** Within-document repetition: the duplicate-bigram signal. For each

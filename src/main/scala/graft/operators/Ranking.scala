@@ -72,23 +72,24 @@ object Ranking {
       conf.numShufflePartitions,
       conf.getConf(org.apache.spark.sql.internal.SQLConf
         .COALESCE_PARTITIONS_INITIAL_PARTITION_NUM).getOrElse(0))
-    // the eager localCheckpoint of the INPUT is LOAD-BEARING twice over:
-    //  (a) cost — the range exchange's boundary SAMPLING is its own job
-    //      over the child; unpinned, it would re-run the caller's whole
-    //      upstream (scans, joins, aggs) once more before the shuffle
-    //      even starts (measured ~1.9× on q104);
-    //  (b) correctness — the sorted frame below is consumed twice
-    //      (per-partition stats + join-back), and the two consumers MUST
-    //      see the same partition layout. RangePartitioner's sample seed
-    //      mixes in the shuffle RDD's id, so two INDEPENDENT exchanges
-    //      would draw different boundaries — correctness rests on the two
-    //      consumer subtrees staying canonically identical so
-    //      ReuseExchange collapses them into ONE exchange. The pin makes
-    //      the shared subtree a leaf (checkpointed scan), removing the
-    //      input nondeterminism that could otherwise break canonical
-    //      equality; any future edit that projects/filters ONE consumer
-    //      before the exchange would re-split them and corrupt ranks —
-    //      keep both consumers reading `sorted` verbatim.
+    // TWO eager localCheckpoints, each load-bearing:
+    //  (a) cost — the INPUT pin: the range exchange's boundary SAMPLING
+    //      is its own job over the child; unpinned, it would re-run the
+    //      caller's whole upstream (scans, joins, aggs) once more before
+    //      the shuffle even starts (measured ~1.9× on q104);
+    //  (b) correctness — the SORTED-frame pin: the frame below is
+    //      consumed twice (per-partition stats + join-back), and the two
+    //      consumers MUST see the same partition layout.
+    //      RangePartitioner's sample seed mixes in the shuffle RDD's id,
+    //      so two INDEPENDENT exchanges would draw different boundaries
+    //      — corrupted ranks, no error. Materializing the sorted frame
+    //      makes that structurally impossible: the exchange runs exactly
+    //      ONCE (inside the checkpoint job, __pid/__mid frozen in the
+    //      blocks) and both consumers read the blocks — correctness no
+    //      longer depends on AQE/ReuseExchange collapsing two
+    //      canonically-identical plans (r11 ADVICE on the Packing
+    //      sibling: reuseExchange=false, or an optimizer pruning one
+    //      consumer's columns, would have silently re-split them).
     // Callers rank narrow (key, score) frames, so the pinned bytes are
     // rows × a few columns — corpus-fraction row count, but thin.
     //
@@ -106,6 +107,7 @@ object Ranking {
       .select(col("*"),
         spark_partition_id().as("__pid"),
         monotonically_increasing_id().as("__mid"))
+      .localCheckpoint(true)
     val stats = sorted.groupBy(col("__pid"))
       .agg(min(col("__mid")).as("__mn"), count(lit(1)).as("__cnt"))
     // prefix-sum via explode: partition p's count lands on every later

@@ -55,19 +55,18 @@ class RankingSpec extends AnyFunSuite with SparkTestBase {
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
-    // EXACTLY one live range exchange: rank correctness rests on the
-    // stats and join-back consumers sharing ONE exchange (independent
-    // exchanges sample different boundaries → corrupted ranks, no
-    // error). The reused consumers print as 'ReusedExchange ..., Exchange
-    // rangepartitioning(...)' on one line, and AQE appends the
-    // pre-reuse '== Initial Plan ==' — count only non-reused exchange
-    // lines in the final section, and fail loudly if a future edit
-    // re-splits the consumers.
-    val finalSection = p.split("== Initial Plan ==")(0)
-    val nRange = finalSection.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
-    assert(nRange == 1,
-      s"expected exactly one live range exchange (reuse invariant), got $nRange:\n$p")
+    // ZERO range exchanges in the executed plan: rank correctness rests
+    // on the stats and join-back consumers seeing the same partition
+    // boundaries, and that is now enforced by MATERIALIZATION — the one
+    // range exchange runs inside the eager checkpoint of the sorted
+    // frame, so the query plan reads frozen blocks. A range exchange
+    // reappearing here means a future edit re-introduced a per-consumer
+    // sort and correctness is back to resting on ReuseExchange
+    // canonicalization (independent exchanges sample different
+    // boundaries → corrupted ranks, no error).
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"expected the range exchange to live ONLY inside the checkpoint materialization:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
   }
 
   test("globalRowNumber emits long ranks (no 2^31 overflow by schema)") {

@@ -180,23 +180,46 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  test("tokenOffsets executes with exactly ONE live range exchange (reuse invariant)") {
+  test("tokenOffsets: consumers read the materialized sort — no range exchange in the executed plan") {
     // offset correctness rests on the totals aggregate and the fold
-    // consuming the SAME physical partition boundaries: AQE's runtime
-    // stage reuse must collapse the consumers' canonically-identical
-    // range exchanges into one (independent exchanges sample different
-    // boundaries → wrong offsets, no error). Same guard as
-    // RankingSpec's globalRowNumber test.
+    // consuming the SAME physical partition boundaries. That used to
+    // lean on AQE's runtime exchange reuse (r11 ADVICE: reuseExchange
+    // off, or one consumer getting column-pruned, silently re-splits the
+    // exchanges → wrong offsets, no error); the sorted+pid-stamped frame
+    // is now eagerly checkpointed, so the ONE range exchange runs inside
+    // the materialization job and the query plan itself must contain
+    // NONE — a range exchange reappearing here means a future edit
+    // re-introduced a per-consumer sort and the invariant is back to
+    // resting on plan canonicalization.
     val df = (1L to 2000L).map(i => (i, i % 97)).toDF("doc_id", "n_tokens")
     val q = Packing.tokenOffsets(df, "n_tokens", Seq("doc_id"))
-    q.collect() // reuse applies at RUNTIME; inspect the executed plan
+    q.collect()
     val p = q.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"), p)
-    val finalSection = p.split("== Initial Plan ==")(0)
-    val nRange = finalSection.linesIterator.count(l =>
-      l.contains("Exchange rangepartitioning") && !l.contains("ReusedExchange"))
-    assert(nRange == 1,
-      s"expected exactly one live range exchange (reuse invariant), got $nRange:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"expected the range exchange to live ONLY inside the checkpoint materialization:\n$p")
+    // and the pin is real: the plan reads checkpointed blocks, not lineage
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
+
+  test("tokenOffsets is reuseExchange-independent (the r11 ADVICE scenario)") {
+    // under the OLD reliance, spark.sql.execution.reuseExchange=false
+    // made the two consumers sample DIFFERENT range boundaries → silently
+    // wrong offsets. The materialization pin must make this config a
+    // no-op for correctness.
+    val rows = (1L to 500L).map(i => (i, (i * 31) % 113))
+    val df = rows.toDF("doc_id", "n_tokens")
+    var acc = 0L
+    val expect = rows.sortBy(_._1).map { case (id, sz) =>
+      val r = (id, acc); acc += sz; r
+    }.toMap
+    val key = "spark.sql.execution.exchange.reuse"
+    spark.conf.set(key, "false")
+    try {
+      val got = Packing.tokenOffsets(df, "n_tokens", Seq("doc_id"))
+        .select("doc_id", "tok_start").as[(Long, Long)].collect().toMap
+      assert(got == expect)
+    } finally spark.conf.unset(key)
   }
 
   test("jaccardJoin matches brute force on a small corpus") {
@@ -318,6 +341,31 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
         .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got7 == got) // LONG fixed-point sums: schedule-independent
     }
+  }
+
+  test("kn wideKeys=true (16-byte md5 type keys) is bit-identical to the " +
+    "64-bit default, self-scoring and cross-corpus") {
+    val rng = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "ff", "gg", "hh")
+    val corpus = (1L to 60L).map { i =>
+      i -> Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    }
+    val modelTexts = (1 to 20).map(_ =>
+      Seq.fill(1 + rng.nextInt(10))(vocab(rng.nextInt(4))).mkString(" "))
+    val df = corpus.toDF("doc_id", "text")
+    val mdf = modelTexts.map(Tuple1(_)).toDF("text")
+    def self() = QualityRules.knBigramLmScore(df, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "kn_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    def cross() = QualityRules.knBigramLmScoreAgainst(df, mdf, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "kn_fp")
+      .as[(Long, Long, Long)].collect().toSet
+    val (s64, c64) = (self(), cross())
+    spark.conf.set("spark.graft.kn.wideKeys", "true")
+    try {
+      assert(self() == s64, "wide keys changed the self-scoring output")
+      assert(cross() == c64, "wide keys changed the cross-corpus output")
+    } finally spark.conf.unset("spark.graft.kn.wideKeys")
   }
 
   test("knBigramLmScoreAgainst: OOV ladder hand-checked; cross-corpus " +
