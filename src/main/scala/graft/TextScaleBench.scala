@@ -57,7 +57,11 @@ object TextScaleBench {
       // TYPE-table-sized aggs; the corpus pays two exploded passes)
       // and the CCNet cross-corpus filter (target-slice model + the
       // q136 range-exchange global rank)
-      "q138_kn_lm_score", "q140_ccnet_lm_filter")
+      "q138_kn_lm_score", "q140_ccnet_lm_filter",
+      // r12: frozen-BPE encode (dictionary segmentation + shuffle-hash
+      // join back — cost should track DISTINCT words, ~5k here, plus
+      // the corpus join) and packing over its real token counts
+      "q142_bpe_encode", "q143_pack_bpe")
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"

@@ -1,0 +1,65 @@
+package graft.model
+
+/** Frozen BPE tokenizer — the [[IvfCentroids]] freeze discipline applied
+  * to [[graft.operators.Bpe]]: the iterative merge TRAINING (not
+  * SQL-replayable — each iteration's argmax depends on the previous
+  * merge) runs ONCE offline in [[BpeMergesTrainer]]; the merge table
+  * freezes as a committed CSV resource; the consuming encode queries
+  * apply it as plan literals and are hash-checked against a DuckDB
+  * replay that re-applies the SAME frozen table (one source of truth —
+  * this object — interpolated into both engines, the
+  * `MinHashSig.saltsFor` pattern).
+  *
+  * Unlike the per-scale blocking codebooks there is ONE table, not one
+  * per corpus generation: a tokenizer is a production artifact trained
+  * once and applied to every corpus thereafter (GPT-2's BPE outlived
+  * its training set by years) — re-training per corpus would change
+  * every token id downstream. Coverage, not correctness, is what a
+  * corpus shift moves: unseen CHARACTERS encode as id −1
+  * (see [[idOf]]), unseen character SEQUENCES simply merge less.
+  *
+  * Vocabulary ids, deterministic by construction:
+  *   - 0                : the `</w>` end-of-word marker
+  *   - 1 .. 36          : the fixed base alphabet a–z, 0–9 (code-point
+  *                        order) — fixed rather than corpus-observed so
+  *                        the id space never depends on which corpus
+  *                        trained the table
+  *   - 37 + i           : merge i's output token, in training order
+  *                        (two merges CAN produce the same string, e.g.
+  *                        a+bc and ab+c; the string keeps its FIRST id)
+  *
+  * Provenance: trained on /root/testdata/sf0.01 documents (500 docs,
+  * 31-word vocabulary), 96 merges, minFreq 2 — see [[BpeMergesTrainer]].
+  */
+object BpeMerges {
+
+  val endWord = "</w>"
+
+  /** Fixed base alphabet (code-point order). */
+  val baseAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+
+  /** The frozen merge rules, training order, from the committed CSV. */
+  lazy val merges: Seq[(String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.csv")
+    require(in != null, "missing fixture /graft/bpe_merges.csv — run " +
+      "sbt \"runMain graft.model.BpeMergesTrainer\"")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { line =>
+      val Array(l, r) = line.split(",", 2)
+      (l, r)
+    }.toSeq
+    finally src.close()
+  }
+
+  /** token → id (first writer wins on duplicate merge strings). */
+  lazy val idOf: Map[String, Int] = {
+    val base = (endWord -> 0) +:
+      baseAlphabet.zipWithIndex.map { case (c, i) => c -> (i + 1) }
+    val merged = merges.zipWithIndex
+      .map { case ((l, r), i) => (l + r) -> (baseAlphabet.size + 1 + i) }
+    (base ++ merged).foldLeft(Map.empty[String, Int]) {
+      case (m, (t, id)) => if (m.contains(t)) m else m + (t -> id)
+    }
+  }
+}

@@ -98,7 +98,12 @@ object Bpe {
     * merge of non-empty symbols.
     */
   private[operators] def applyMerge(syms: Column, a: String, b: String): Column = {
-    val empty = slice(syms, 1, 0) // typed empty array<string>
+    // a LITERAL empty array<string> — NOT slice(syms, 1, 0): that would
+    // reference `syms` a second time, and under [[segment]]'s nesting
+    // each layer's input is the previous layer's whole expression tree,
+    // so one extra reference per layer is a 2^depth tree blowup (96
+    // frozen merges OOM'd the driver building the plan)
+    val empty = typedlit(Seq.empty[String])
     aggregate(
       syms,
       struct(empty.as("acc"), lit("").as("prev")),
@@ -119,14 +124,92 @@ object Bpe {
   /** Segment a text column with a trained merge list: chars + `</w>`,
     * then every merge applied in training order. The merge rules are
     * literals compiled into the expression tree — broadcast-by-construction.
+    *
+    * `chunk` bounds the expression DEPTH: every `chunk` merges the frame
+    * is eagerly localCheckpointed, so a production-sized merge table
+    * (tens of thousands of rules) compiles as many shallow expression
+    * trees instead of one tree deep enough to break codegen — the
+    * intended input here is the DICTIONARY frame (distinct words), so
+    * each checkpoint materializes a vocabulary-sized, not corpus-sized,
+    * frame.
     */
-  def segment(corpus: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+  def segment(
+      corpus: DataFrame,
+      textCol: String,
+      merges: Seq[(String, String)],
+      chunk: Int = 32): DataFrame = {
     // sequence(1, 0) would count DOWN ([1, 0]); empty text gets just the marker
     val base = when(length(col(textCol)) === 0, array(lit("</w>")))
       .otherwise(concat(
         expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"),
         array(lit("</w>"))))
-    val tokens = merges.foldLeft(base: Column) { case (c, (a, b)) => applyMerge(c, a, b) }
-    corpus.withColumn("bpe_tokens", tokens)
+    merges.grouped(math.max(1, chunk)).zipWithIndex
+      .foldLeft(corpus.withColumn("bpe_tokens", base)) {
+        case (df, (grp, gi)) =>
+          val applied = df.withColumn("bpe_tokens",
+            grp.foldLeft(col("bpe_tokens")) {
+              case (c, (a, b)) => applyMerge(c, a, b)
+            })
+          // checkpoint BETWEEN chunks only (the last chunk stays lazy so
+          // trivial merge tables add no materialization at all)
+          if ((gi + 1) * chunk < merges.size) applied.localCheckpoint(true)
+          else applied
+      }
+  }
+
+  /** Encode a corpus to BPE token ids under a FROZEN merge table + id
+    * vocabulary (e.g. the committed [[graft.model.BpeMerges]] fixture) —
+    * the tokenizer-apply stage of a training-data pipeline. Output one
+    * row per document: `n_tokens` (total BPE tokens, the number sequence
+    * packing actually batches by) and `bpe_ids` (the id stream,
+    * space-joined — deterministic, engine-portable). Tokens outside the
+    * id vocabulary (e.g. characters the table was never trained over)
+    * encode as −1, the documented OOV convention.
+    *
+    * Scale design — the same Zipf observation that makes [[train]]
+    * feasible: the corpus is NOT segmented row by row. Distinct words
+    * (vocabulary-sized) are segmented once each, then the encoded
+    * dictionary joins back to the corpus' exploded word stream and one
+    * per-document aggregation stitches the streams. Plan shape: one
+    * exploded corpus pass → distinct (map-side combinable) →
+    * vocabulary-sized segmentation (the expensive fold runs per TYPE,
+    * not per occurrence) → SHUFFLE_HASH dictionary join (the r11
+    * broadcast-OOM lesson: a "small" dictionary grows with vocabulary;
+    * shuffle-hash keeps the build per-partition-sized at any corpus) →
+    * one groupBy(id). The id map itself is fixture-sized (vocab of the
+    * FROZEN tokenizer, not the corpus) and compiles into the plan as a
+    * literal map.
+    */
+  def encode(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)],
+      idOf: Map[String, Int]): DataFrame = {
+    val words = Spread.ensure(corpus.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .filter(length(col("__w")) > 0)
+    val (toks, ids) = idOf.toSeq.sorted.unzip
+    val idMap = map_from_arrays(
+      lit(toks.toArray), lit(ids.map(_.toLong).toArray))
+    val dict = segment(words.select(col("__w")).distinct(), "__w", merges)
+      .select(
+        col("__w"),
+        size(col("bpe_tokens")).cast("long").as("__n"),
+        array_join(
+          transform(col("bpe_tokens"),
+            t => coalesce(element_at(idMap, t), lit(-1L)).cast("string")),
+          " ").as("__ids"))
+    words
+      .join(dict.hint("shuffle_hash"), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__ids")))),
+            s => s.getField("__ids")),
+          " ").as("bpe_ids"))
   }
 }

@@ -502,8 +502,10 @@ object Similarity {
     * (0.75 even at nprobe=64, 0.45 under symmetric 4×4
     * multi-assignment — raising nprobe does not buy this regime back);
     * a 66°-apart pair is not "contamination", but callers screening
-    * that loosely should run the exact brute-force sibling at
-    * yardstick scale instead. Precision is exact in every regime:
+    * that loosely should run the exact brute-force sibling
+    * [[evalContaminatedExact]] (q141 — registered and oracle-checked,
+    * the same exact-vs-scale pairing as q33→q94, q104→q132, q110→q129)
+    * at yardstick scale instead. Precision is exact in every regime:
     * each emitted hit is cosine-verified.
     */
   def evalContaminated(
@@ -531,6 +533,48 @@ object Similarity {
     probes
       .join(indexed, col("__pcell") === col("__cell"))
       .filter(expr("cosine_sim(__ev, __cv)") >= tau)
+      .groupBy(col("__cid"))
+      .agg(count(lit(1)).as("n_eval_hits"), min(col("__eid")).as("eval_id"))
+      .select(col("__cid").as(idCol), col("n_eval_hits"), col("eval_id"))
+  }
+
+  /** EXACT cross-set decontamination — [[evalContaminated]]'s
+    * brute-force yardstick (the measurement q139's per-regime recall
+    * was taken against at sf1): every (corpus, eval) pair is
+    * cosine-checked, so recall is 1.0 by construction at ANY τ. Same
+    * output contract as the IVF path — one row per contaminated corpus
+    * id, `(n_eval_hits, min eval_id)`.
+    *
+    * Scale shape: O(|corpus|·|eval|) with the eval side BROADCAST —
+    * the eval set is a benchmark suite (thousands of rows, not a
+    * corpus), so the corpus streams map-side with zero shuffle and the
+    * pass parallelizes over corpus splits; the per-pair cosine is the
+    * fused native [[graft.functions.CosineSim]] kernel. This is the
+    * yardstick arm: at 100 TB the production read is
+    * [[evalContaminated]]'s nprobe·|eval|·N/K cell probe, and THIS
+    * pass — linear in the corpus, embarrassingly parallel — is what
+    * you run once per benchmark-suite release to measure that read's
+    * recall in your τ regime (or simply run directly when |eval| is
+    * small enough that corpus×|eval| flops are affordable — it has no
+    * recall asterisk at all).
+    */
+  def evalContaminatedExact(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double): DataFrame = {
+    graft.functions.CosineSim.register(corpus.sparkSession)
+    // spread: the broadcast join's parallelism is the streamed corpus
+    // side's split count (the q82 lesson — a single-row-group file
+    // caps the whole N·E cosine pass at 1-2 cores)
+    val c = Spread.ensure(corpus
+      .select(col(idCol).cast("long").as("__cid"),
+        toDouble(col(vecCol)).as("__cv")))
+    val e = evalSet
+      .select(col(idCol).cast("long").as("__eid"),
+        toDouble(col(vecCol)).as("__ev"))
+    c.join(broadcast(e), expr("cosine_sim(__cv, __ev)") >= tau)
       .groupBy(col("__cid"))
       .agg(count(lit(1)).as("n_eval_hits"), min(col("__eid")).as("eval_id"))
       .select(col("__cid").as(idCol), col("n_eval_hits"), col("eval_id"))

@@ -443,9 +443,27 @@ object ScaleQueries {
       centroids = graft.model.IvfCentroids.blockingFor(s, d))
   }
 
+  /** q139's EXACT yardstick (r11 verdict #1): the brute-force
+    * eval×corpus cosine check q139's per-regime recall was measured
+    * against at sf1, registered in-suite so the scaladoc's "run the
+    * exact sibling" points at a green CORRECTNESS row — the
+    * q33→q94 / q104→q132 / q110→q129 exact-vs-scale pattern applied
+    * to decontamination. Same τ and the same %25 eval split as q139,
+    * so the two outputs are directly comparable (q139 ⊆ q141 rows by
+    * construction; the gap IS the nprobe-bounded recall).
+    */
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    graft.operators.Similarity.evalContaminatedExact(
+      vecs.filter(col("vec_id") % 25 =!= 0),
+      vecs.filter(col("vec_id") % 25 === 0),
+      "vec_id", "embedding", tau = 0.4)
+  }
+
   val defs: Map[String, Q] = Map(
     "q131_incremental_semdedup" -> q131,
     "q139_embed_decontam" -> q139,
+    "q141_exact_decontam" -> q141,
     "q95_interval_union" -> q95,
     "q92_snapshot_diff" -> q92,
     "q93_sequence_gaps" -> q93,
@@ -585,9 +603,33 @@ object ScaleQueries {
        |FROM cand GROUP BY cid""".stripMargin
   }
 
+  /** q141's oracle: the pure brute-force pair check — DuckDB's
+    * vectorized fixed-size cosine kernel prefilters at a `τ - 1e-6`
+    * guard band, survivors re-check with the original variable-size
+    * list kernel (the q82 two-kernel discipline: the band covers ≤
+    * ~1e-14 reassociation drift, nine orders below it), then the same
+    * (count, min) attribution as q139.
+    */
+  private def q141OracleSql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS arr,
+      |    CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |cand AS (
+      |  SELECT c.vec_id AS cid, e.vec_id AS eid
+      |  FROM ev c JOIN ev e
+      |    ON c.vec_id % 25 <> 0 AND e.vec_id % 25 = 0
+      |    AND array_cosine_similarity(c.arr, e.arr) >= 0.4 - 1e-6
+      |  WHERE list_cosine_similarity(c.v, e.v) >= 0.4)
+      |SELECT cid AS vec_id,
+      |  CAST(count(*) AS BIGINT) AS n_eval_hits,
+      |  min(eid) AS eval_id
+      |FROM cand GROUP BY cid""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q131_incremental_semdedup" -> q131OracleSql,
     "q139_embed_decontam" -> q139OracleSql,
+    "q141_exact_decontam" -> q141OracleSql,
     "q94_semdedup_blocked" -> q94OracleSql,
     "q95_interval_union" ->
       """WITH iv AS (

@@ -339,7 +339,41 @@ object TrainQueries {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
 
+  /** BPE tokenizer APPLY under the frozen [[graft.model.BpeMerges]]
+    * table (q108 computes the pair statistics BPE training starts from;
+    * this is the trained tokenizer's encode stage). One row per document
+    * with ≥ 1 word: total BPE token count and the space-joined id
+    * stream. [[graft.operators.Bpe.encode]] — dictionary-encode distinct
+    * words once, shuffle-hash join back, one per-doc agg.
+    */
+  private def q142(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.encode(
+      Tables.documents(s, d), "doc_id", "text",
+      graft.model.BpeMerges.merges, graft.model.BpeMerges.idOf)
+
+  /** Concat-and-split packing over REAL tokenizer output: q136's
+    * two-pass distributed token scan fed by q142's BPE token counts
+    * instead of whitespace counts (r11 verdict #3 — the packing family
+    * previously batched space-token proxies). Every present document
+    * has ≥ 1 token, so the zero-length guards q136 carries are not
+    * needed here.
+    */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val sized = graft.operators.Bpe.encode(
+      Tables.documents(s, d), "doc_id", "text",
+      graft.model.BpeMerges.merges, graft.model.BpeMerges.idOf)
+      .select(col("doc_id"), col("n_tokens"))
+    Packing.tokenOffsets(sized, "n_tokens", Seq("doc_id")).select(
+      col("doc_id"), col("n_tokens"), col("tok_start"),
+      expr(s"tok_start DIV $packLen").as("seq_first"),
+      expr(s"(tok_start + n_tokens - 1) DIV $packLen").as("seq_last"),
+      (expr(s"(tok_start + n_tokens - 1) DIV $packLen")
+        - expr(s"tok_start DIV $packLen") + 1L).as("n_seqs"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "q142_bpe_encode" -> q142,
+    "q143_pack_bpe" -> q143,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -360,7 +394,81 @@ object TrainQueries {
     "q140_ccnet_lm_filter" -> q140
   )
 
+  /** Shared q142/q143 oracle CTEs — replay the FROZEN
+    * [[graft.model.BpeMerges]] table in DuckDB (salts-interpolated-from-
+    * source discipline: merges and ids come from the same object the
+    * Scala query consumes, so the engines cannot pick different
+    * tokenizers).
+    *
+    * String-replace BPE replay: a word renders as `#` + chars joined by
+    * `##` + `##</w>#` (DOUBLE separators between symbols, single at the
+    * ends); merge (l, r) is then `replace('#l##r#' → '#lr#')`. SQL
+    * `replace` scans left-to-right non-overlapping, each match consumes
+    * exactly one separator of each flanking double pair — so adjacent
+    * matches stay matchable and a merged token cannot re-pair within
+    * the same rule: precisely the non-chaining single-pass fold
+    * semantics of [[graft.operators.Bpe.applyMerge]] (property-spec'd
+    * equal in `BpeSpec`). The boundary separators make every pattern
+    * anchor to WHOLE symbols (`#l#` cannot match a symbol that merely
+    * ends or begins with `l`). `#` never occurs in corpus tokens
+    * (alphabet [a-z0-9]; words split on spaces) — an oracle-side
+    * assumption only, the Scala operator works on symbol arrays.
+    */
+  private def bpeEncCtes: String = {
+    val sep = "#"
+    val enc = graft.model.BpeMerges.merges.foldLeft(
+      s"'$sep' || regexp_replace(w, '(.)', '\\1$sep$sep', 'g') || '</w>$sep'") {
+      case (s, (l, r)) => s"replace($s, '$sep$l$sep$sep$r$sep', '$sep$l$r$sep')"
+    }
+    val vocabRows = graft.model.BpeMerges.idOf.toSeq.sorted
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    s"""bpe_w AS MATERIALIZED (
+       |  SELECT doc_id, w, pos FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split(text, ' ')) AS w,
+       |      unnest(range(len(string_split(text, ' ')))) AS pos
+       |    FROM documents) t
+       |  WHERE length(w) > 0),
+       |bpe_vocab(tok, tid) AS (VALUES $vocabRows),
+       |bpe_dict AS MATERIALIZED (
+       |  SELECT w, string_split(substr(s, 2, length(s) - 2), '$sep$sep') AS toks
+       |  FROM (SELECT w, $enc AS s FROM (SELECT DISTINCT w FROM bpe_w))),
+       |bpe_tok AS (
+       |  SELECT w, unnest(toks) AS tok, unnest(range(len(toks))) AS tpos
+       |  FROM bpe_dict),
+       |bpe_enc AS MATERIALIZED (
+       |  SELECT t.w, CAST(count(*) AS BIGINT) AS wn,
+       |    string_agg(CAST(coalesce(v.tid, -1) AS VARCHAR), ' ' ORDER BY t.tpos)
+       |      AS wids
+       |  FROM bpe_tok t LEFT JOIN bpe_vocab v ON v.tok = t.tok
+       |  GROUP BY t.w),
+       |bpe_doc AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(e.wn) AS BIGINT) AS n_tokens,
+       |    string_agg(e.wids, ' ' ORDER BY w.pos) AS bpe_ids
+       |  FROM bpe_w w JOIN bpe_enc e USING (w)
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q142_bpe_encode" ->
+      s"""WITH $bpeEncCtes
+         |SELECT doc_id, n_tokens, bpe_ids FROM bpe_doc""".stripMargin,
+    // q143: the q136 window-replay discipline — the oracle MAY use the
+    // single-partition window Spark must not (DuckDB is single-node)
+    "q143_pack_bpe" ->
+      s"""WITH $bpeEncCtes,
+         |off AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start
+         |  FROM bpe_doc)
+         |SELECT doc_id, n_tokens, tok_start,
+         |  tok_start // $packLen AS seq_first,
+         |  (tok_start + n_tokens - 1) // $packLen AS seq_last,
+         |  (tok_start + n_tokens - 1) // $packLen
+         |    - tok_start // $packLen + 1 AS n_seqs
+         |FROM off""".stripMargin,
     "q51_gopher_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,

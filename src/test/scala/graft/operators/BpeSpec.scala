@@ -116,6 +116,80 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1) == Seq("aa", "aa", "</w>"))
   }
 
+  /** Reference single-word encode: chars + marker, every merge applied
+    * as a left-to-right non-overlapping pass — shares no code with the
+    * Spark path or the DuckDB replay.
+    */
+  private def refEncodeWord(
+      w: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = w.map(_.toString).toVector :+ "</w>"
+    merges.foreach { case (a, b) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  test("frozen BpeMerges fixture: 96 merges, deterministic id space") {
+    val m = graft.model.BpeMerges
+    assert(m.merges.size == 96)
+    assert(m.idOf("</w>") == 0)
+    assert(m.idOf("a") == 1 && m.idOf("z") == 26 && m.idOf("0") == 27 &&
+      m.idOf("9") == 36)
+    // every merge output has an id at or above the base block
+    m.merges.foreach { case (l, r) => assert(m.idOf(l + r) >= 37) }
+  }
+
+  test("encode matches the per-word reference under the FROZEN fixture, " +
+    "including digits, OOV chars, repeated words, and multi-space text") {
+    import spark.implicits._
+    val m = graft.model.BpeMerges
+    val texts = Seq(
+      (1L, "the slow merge window the the"),
+      (2L, "w42 table w42 row7"),            // digits: base ids, no merges
+      (3L, "naïve café x"),                  // OOV chars → -1
+      (4L, "  spaced   out  "),              // empty split tokens drop
+      (5L, "value"))
+    val got = Bpe.encode(texts.toDF("doc_id", "text"), "doc_id", "text",
+      m.merges, m.idOf)
+      .select("doc_id", "n_tokens", "bpe_ids")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = texts.map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(w => refEncodeWord(w, m.merges))
+      id -> ((toks.size.toLong,
+        toks.map(s => m.idOf.getOrElse(s, -1)).mkString(" ")))
+    }.toMap
+    assert(got == want)
+    // id streams are order-exact (doc 1 has repeated words at distinct
+    // positions — a misordered collect_list would still pass a set check)
+    assert(got(1L)._2 == want(1L)._2)
+  }
+
+  test("encode matches the reference on the real sf0.001 documents table") {
+    import spark.implicits._
+    val m = graft.model.BpeMerges
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Bpe.encode(docs, "doc_id", "text", m.merges, m.idOf)
+      .select("doc_id", "n_tokens", "bpe_ids")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.split(" ").filter(_.nonEmpty).toSeq
+          .flatMap(w => refEncodeWord(w, m.merges))
+        id -> ((toks.size.toLong,
+          toks.map(s => m.idOf.getOrElse(s, -1)).mkString(" ")))
+      }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("segment applies trained merges and reassembles to the original text") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
