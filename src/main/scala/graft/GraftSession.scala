@@ -23,6 +23,17 @@ object GraftSession {
       // AQE: runtime re-planning, skew-join splitting, partition coalescing
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Shuffles START wide (8× cores) and AQE coalesces DOWN to the
+      // 64 MB advisory target — AQE can merge partitions but never
+      // split them, so the initial width is the only guard against a
+      // big stage sorting/aggregating in too-few, too-fat tasks. Found
+      // at TextScaleBench's 500k-doc point (r12): the exact-substring
+      // digest sort at 123M windows ran 32-wide → ~150 MB+spill per
+      // task → 2.5× docs cost 4.5× time; at 128-wide the same query
+      // returned to linear (q134 106→53 s). On a cluster size this to
+      // ~8× total cores for the same reason.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions * 8).toString)
       // dimensions up to 64 MB broadcast instead of shuffling the fact side
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       // input split size: 128 MB keeps scan tasks large enough to amortize

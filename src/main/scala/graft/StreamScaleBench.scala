@@ -31,6 +31,10 @@ object StreamScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // shuffles start 8x wide, AQE coalesces down (see GraftSession:
+      // the r12 500k-doc spill cliff — AQE merges but never splits)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
@@ -147,12 +151,21 @@ object StreamScaleBench {
       }
       val schema = batch.schema
       val decided = new java.util.concurrent.atomic.AtomicLong(0L)
-      val ingest: (DataFrame, Long) => Unit = (mb, _) => {
+      val debug = sys.env.contains("SPARK_GRAFT_STREAM_DEBUG")
+      val ingest: (DataFrame, Long) => Unit = (mb, b) => {
+        val t0 = System.nanoTime()
+        val hist = mb.sparkSession.read.parquet(idx)
+        val t1 = System.nanoTime()
         val d = graft.operators.Similarity.incrementalSemDedup(
-          mb.sparkSession.read.parquet(idx), mb, "vec_id", "embedding",
+          hist, mb, "vec_id", "embedding",
           tau = 0.4, centroids = cents).count()
+        val t2 = System.nanoTime()
         decided.addAndGet(d)
         mb.write.mode("append").parquet(idx)
+        val t3 = System.nanoTime()
+        if (debug) System.err.println(
+          f"[semdedup-debug] batch=$b read=${(t1 - t0) / 1e9}%.3f " +
+            f"dedup=${(t2 - t1) / 1e9}%.3f append=${(t3 - t2) / 1e9}%.3f")
       }
       val t0 = System.nanoTime()
       val q = spark.readStream.schema(schema)

@@ -25,6 +25,10 @@ object TextScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // shuffles start 8x wide, AQE coalesces down (see GraftSession:
+      // the r12 500k-doc spill cliff — AQE merges but never splits)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
@@ -62,6 +66,9 @@ object TextScaleBench {
       // join back — cost should track DISTINCT words, ~5k here, plus
       // the corpus join) and packing over its real token counts
       "q142_bpe_encode", "q143_pack_bpe")
+      // optional subset filter (A/B aid): SPARK_GRAFT_TEXT_ONLY=q133,q134
+      .filter(q => sys.env.get("SPARK_GRAFT_TEXT_ONLY").forall(
+        _.split(",").map(_.trim).exists(q.startsWith)))
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"

@@ -91,30 +91,33 @@ object ExactSubstr {
   }
 
   /** Mark stage: the (id, pos) rows whose window digest occurs ≥ 2
-    * times corpus-wide. Two spellings, A/B'd at the TEXTSCALE 200k
-    * point (r10 verdict #8 — the corpus-sized window SORT was the one
-    * part of this plan to question at 100 TB):
+    * times corpus-wide. Two spellings (r10 verdict #8 / r11 verdict #4),
+    * `spark.graft.exactSubstr.markViaAgg` selects:
     *
-    *  - `agg` (default): map-side-combinable count per digest →
-    *    filter ≥ 2 → semi-join back. The duplicated-digest build side
-    *    is tiny for real corpora, so AQE turns the semi-join into a
-    *    broadcast and NO corpus-sized sort happens anywhere.
-    *  - `window`: count over a digest-partitioned window — one corpus
-    *    shuffle, but the window exec sorts every partition by the
-    *    16-byte digest.
+    *  - `window` (default): count over a digest-partitioned window —
+    *    ONE corpus shuffle carries the whole decision; the window exec
+    *    sorts each partition by the 16-byte digest.
+    *  - `agg`: map-side-combinable count per digest → filter ≥ 2 →
+    *    semi-join back. No corpus-sized sort — but the corpus pays a
+    *    SECOND pass (the join arm re-reads every window row) and the
+    *    dup-digest build side is only small when duplication is rare.
     *
-    * Measured (2 runs each, 200k docs / ~49M windows, min): q133 agg
-    * 21.3 s vs window 23.0 s, q134 (mark + cut + stitch) agg 22.3 s vs
-    * window 25.8 s — the sort the agg saves outweighs its second join
-    * arm, and the gap widens when downstream stages reuse the corpus.
-    * `spark.graft.exactSubstr.markViaAgg=false` keeps the window
-    * spelling selectable for degenerate near-all-duplicated corpora
-    * where the dup-digest side stops being broadcastable.
+    * Measured, r12, interleaved processes under right-sized shuffles
+    * (AQE initialPartitionNum = 8× cores — the r11 A/B ran 32-wide
+    * where BOTH arms spilled, read agg ahead within noise, and does not
+    * reproduce): 200k docs / ~49M windows: q133 window 20.9 s vs agg
+    * 23.3 s; 500k / ~123M: 47.3 s vs 58.4 s — window wins and the gap
+    * WIDENS with scale on this corpus, whose Zipf text duplicates a
+    * large fraction of digests (the join arm's build side is
+    * corpus-fraction-sized, nothing is broadcastable). The agg spelling
+    * stays selectable for low-duplication corpora (boilerplate ≪ 1% of
+    * windows), where its build side collapses to broadcast size and the
+    * second scan is the only cost.
     */
   private def markDuplicated(wins: DataFrame): DataFrame = {
     val viaAgg =
       try wins.sparkSession.conf.get("spark.graft.exactSubstr.markViaAgg").toBoolean
-      catch { case _: java.util.NoSuchElementException => true }
+      catch { case _: java.util.NoSuchElementException => false }
     if (viaAgg) {
       val dupH = wins.groupBy(col("__h"))
         .agg(count(lit(1)).as("__cnt"))
@@ -144,11 +147,12 @@ object ExactSubstr {
     * NEIGHBORING cut window overlapping it — the same granularity the
     * detection pass reports.
     *
-    * Scale shape: identical to [[duplicateSpans]] — the digest agg now
-    * also carries the keeper (min (id, pos) per digest; a bucket
-    * duplicated a million times costs its bucket size, never a pair
-    * arm), the island merge shuffles only cut positions by doc, and the
-    * final stitch is a co-partitioned join back to the corpus on id.
+    * Scale shape: identical to [[duplicateSpans]] — the one digest
+    * shuffle now also carries the keeper (min (id, pos) per digest; a
+    * bucket duplicated a million times costs its bucket size, never a
+    * pair arm), the island merge shuffles only cut positions by doc,
+    * and the final stitch is a co-partitioned join back to the corpus
+    * on id.
     */
   def cutDuplicateSpans(
       df: DataFrame,
@@ -169,23 +173,23 @@ object ExactSubstr {
     // Keeper decision — duplicated at all (count ≥ 2) and keeper
     // (min (id, pos)) — in the same two spellings as [[markDuplicated]],
     // selected by the same `spark.graft.exactSubstr.markViaAgg` conf
-    // (r11 verdict #4: the window spelling sorts ALL ~49M (id,pos,digest)
-    // rows by the 16-byte digest at the 200k point, exactly the
-    // corpus-sized sort the q133 A/B showed the agg avoids):
+    // (r11 verdict #4 asked for the agg respell of the keeper rank; it
+    // exists below and was A/B'd — and the WINDOW spelling won):
     //
-    //  - agg (default): map-side-combinable (count, min-struct) per
-    //    digest → filter ≥ 2 → join back, keeping every non-keeper
-    //    occurrence. The duplicated-digest side is tiny for real corpora
-    //    so AQE broadcasts it; no corpus-sized sort anywhere. Measured at
-    //    the TEXTSCALE 200k point (~49M windows, 2 runs each, min):
-    //    agg 20.0 s vs window 21.7 s — the same ~8% the q133 A/B found,
-    //    and the gap is all in the mark+rank stage.
-    //  - window: count + row_number over the digest window — ONE shuffle
-    //    carries both decisions, for degenerate near-all-duplicated
-    //    corpora where the dup-digest join side stops being small.
+    //  - window (default): count + row_number over the digest window —
+    //    ONE corpus shuffle carries both decisions. Measured r12,
+    //    interleaved under right-sized shuffles (see markDuplicated):
+    //    q134 200k: window 23.5 s vs agg 28.9 s; 500k: 57.4 s vs
+    //    116.8 s. The agg arm's keeper join re-shuffles all ~123M
+    //    window rows against a corpus-fraction-sized build (this
+    //    corpus duplicates a large share of digests) and loses 2× at
+    //    the upper decade.
+    //  - agg: (count, min-struct) per digest → filter ≥ 2 → join back,
+    //    keeping non-keeper occurrences — the right spelling only for
+    //    low-duplication corpora where the build side broadcasts.
     val viaAgg =
       try df.sparkSession.conf.get("spark.graft.exactSubstr.markViaAgg").toBoolean
-      catch { case _: java.util.NoSuchElementException => true }
+      catch { case _: java.util.NoSuchElementException => false }
     val cut =
       if (viaAgg) {
         val keep = wins.groupBy(col("__h"))

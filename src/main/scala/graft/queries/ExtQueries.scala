@@ -68,10 +68,14 @@ object ExtQueries {
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
   /** MinHash+LSH near-dup candidate pairs, Jaccard-verified ≥ 0.4.
-    * Oracle = brute-force Jaccard over the same shingles: exact-verified
-    * candidates mean the pair sets agree whenever banding recall is 1.0
-    * on the fixture's near-identical duplicate groups (hash-checked every
-    * round); the probabilistic banding itself is pinned in DedupSpec.
+    * Two complementary contracts (r11 ADVICE): the driver oracle
+    * REPLAYS the banding algorithm (salts interpolated from
+    * `MinHashSig.saltsFor` — cross-engine parity at every SF, honest
+    * about the S-curve pairs banding legitimately misses at sf1), and
+    * `DedupSpec` keeps the ALGORITHM-INDEPENDENT brute-force-equality
+    * check alive at sf0.01, where the duplicate groups are
+    * near-identical and banding recall is 1.0 — so a systematic design
+    * error shared by implementation and replay would still be caught.
     */
   private def q21(s: SparkSession, d: String): DataFrame =
     Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text")

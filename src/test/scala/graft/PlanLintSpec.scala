@@ -44,9 +44,12 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
                              // the same scalar attach as q135
     "q140_ccnet_lm_filter",  // the q138 attach plus a ONE-ROW corpus
                              // count for the integer 30/40/30 cuts
-    "q129_triangle_approx"   // final ONE-ROW × ONE-ROW attach of the exact
+    "q129_triangle_approx",  // final ONE-ROW × ONE-ROW attach of the exact
                              // yardstick to the sampled estimate — two
                              // scalar aggregates, bounded by construction
+    "q141_exact_decontam"    // exact decontamination yardstick: corpus ×
+                             // broadcast EVAL SET cosine (the q24/q82
+                             // brute-force shape; q139 is the scale path)
   )
 
   test("column pruning reaches the parquet scans (spot checks)") {

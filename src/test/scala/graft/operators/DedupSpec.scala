@@ -43,6 +43,43 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains((1L, 4L))) // below threshold
   }
 
+  test("q21 banding equals brute-force all-pairs Jaccard at sf0.01 — " +
+    "algorithm-independent recall check where banding is complete") {
+    // The driver oracle REPLAYS the banding algorithm (r11: salts
+    // interpolated from MinHashSig.saltsFor), which verifies
+    // cross-engine parity but would also pass a systematic design error
+    // shared by both sides. This spec keeps the OLD independent
+    // contract alive in the regime where it held: at sf0.01 the
+    // duplicate groups are near-identical (J ≫ the 16×4 S-curve knee),
+    // banding recall is 1.0, and the banded+verified output must equal
+    // a from-scratch all-pairs shingle-set Jaccard — no FNV-1a, no
+    // SplitMix64, no banding, shared with NO production code. (At sf1,
+    // 8 borderline J 0.40–0.70 pairs legitimately escape banding — that
+    // regime is the replay oracle's job, not this contract's.)
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.SparkEntry.queries("q21_minhash_pairs")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val texts = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    def sh(t: String): Set[String] =
+      if (t.length < 5) Set(t)
+      else (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+    val sets = texts.map { case (id, t) => (id, sh(t)) }
+    val want = (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      inter = (sets(i)._2 & sets(j)._2).size
+      jac = inter.toDouble / (sets(i)._2.size + sets(j)._2.size - inter)
+      if jac >= 0.4
+    } yield (sets(i)._1, sets(j)._1) ->
+      math.floor(jac * 1000000 + 0.50001) / 1000000).toMap
+    assert(want.nonEmpty, "fixture must contain near-dup groups")
+    assert(got == want,
+      s"banding output diverged from the independent brute force: " +
+        s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+  }
+
   test("minhash signature is deterministic and length numHashes") {
     graft.functions.MinHashSig.register(spark)
     val s1 = docs.select(Dedup.minHashSignature("text", 16, 5).as("sig"))

@@ -114,6 +114,20 @@ class ExactSubstrSpec extends AnyFunSuite with SparkTestBase {
       "within-doc repeat keeps its first copy only")
   }
 
+  test("both mark spellings (window default / agg selectable) are " +
+    "bit-identical, spans and cut, on the real sf0.001 documents table") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def all(): (Set[(Long, Long, Long, Long)], Set[(Long, String, Long, Long)]) = (
+      ExactSubstr.duplicateSpans(docs, "doc_id", "text", minLen = 50)
+        .as[(Long, Long, Long, Long)].collect().toSet,
+      ExactSubstr.cutDuplicateSpans(docs, "doc_id", "text", minLen = 50)
+        .as[(Long, String, Long, Long)].collect().toSet)
+    val win = all() // default: window
+    spark.conf.set("spark.graft.exactSubstr.markViaAgg", "true")
+    try assert(all() == win, "agg spelling diverged from window spelling")
+    finally spark.conf.unset("spark.graft.exactSubstr.markViaAgg")
+  }
+
   test("cut stage matches brute force on the real sf0.001 documents table") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
