@@ -21,6 +21,13 @@ object Bench {
       // the r12 500k-doc spill cliff — AQE merges but never splits)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // status-store retention caps (see GraftSession: task-data rows
+      // accumulate per task even with the UI off — 8x-wide stages made
+      // that a real heap floor over a long sweep)
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
@@ -107,6 +114,10 @@ object Bench {
         // once the suite crossed ~10 checkpointing queries. Same hygiene
         // as TextScaleBench; queries are independent by construction.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // drive the ContextCleaner (see TextScaleBench: shuffle/broadcast
+        // state of earlier samples is only released on driver GC; the
+        // explicit collection runs outside the timed window)
+        System.gc()
         s
       }
       val (median, minv) =

@@ -38,6 +38,13 @@ object CrossoverBench {
       // the r12 500k-doc spill cliff — AQE merges but never splits)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // status-store retention caps (see GraftSession: task-data rows
+      // accumulate per task even with the UI off — 8x-wide stages made
+      // that a real heap floor over a long sweep)
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -34,6 +34,17 @@ object GraftSession {
       // ~8× total cores for the same reason.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (shufflePartitions * 8).toString)
+      // The status store retains job/stage/task/SQL-metric rows even
+      // with the UI disabled, and its growth scales with TASK COUNT —
+      // 8×-wide initial stages × a long query sweep accumulated
+      // hundreds of MB of TaskDataWrapper/SQLPlanMetric in an 8 GB
+      // driver JVM before the r12 caps (live-heap histogram evidence;
+      // the floor pushed big-point aggregations over the edge). Keep
+      // enough for post-hoc debugging, not a museum.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       // dimensions up to 64 MB broadcast instead of shuffling the fact side
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       // input split size: 128 MB keeps scan tasks large enough to amortize

@@ -54,10 +54,13 @@ object PlanDump {
       "q129_triangle_approx" -> "sampled triangle estimate: md5 keep-gate inline in the edge scan, the SAME oriented merge-walk kernel on both branches, one-row attach",
       "q130_mp3_meta" -> "MP3 header walk: collect_list-bounded group payloads, per-group byte walk in a deterministic map, one agg shuffle",
       "q132_hybrid_rrf_topk" -> "truncated RRF: each arm a TakeOrderedAndProject (bounded heaps, no range exchange), full-outer fusion of two 200-row frames",
-      "q133_dup_substr_spans" -> "exact substring dedup: unhex(md5) window digests, agg+semi-join mark (no corpus-sized sort), per-doc gaps-and-islands merge",
-      "q134_dup_substr_cut" -> "span-cut apply: keeper-ranked duplicate windows, co-partitioned stitch join back to the corpus",
+      "q133_dup_substr_spans" -> "exact substring dedup: unhex(md5) window digests, ONE digest shuffle carries the dup count (window spelling won the r12 A/B; agg stays conf-selectable), per-doc gaps-and-islands merge",
+      "q134_dup_substr_cut" -> "span-cut apply: the same ONE digest shuffle carries count + keeper rank, co-partitioned stitch join back to the corpus",
       "q135_dsir_select" -> "DSIR: two corpus passes (bucket histogram broadcast back, per-doc integer log-ratio sum), Gumbel TakeOrdered top-k",
-      "q136_pack_offsets" -> "concat-and-split packing: ONE range exchange reused by both consumers (per-partition totals + fold), no single-partition window",
+      "q136_pack_offsets" -> "concat-and-split packing: the range exchange runs ONCE inside the materialized sort (consumers read frozen blocks — no reuse dependence), no single-partition window",
+      "q141_exact_decontam" -> "exact decontamination yardstick: corpus streams map-side vs broadcast eval set, native cosine_sim gate, one agg — zero shuffle before the attribution",
+      "q142_bpe_encode" -> "frozen-BPE encode: distinct words segmented once (vocabulary-sized fold), shuffle-hash dictionary join back, one per-doc agg",
+      "q143_pack_bpe" -> "packing over real tokenizer counts: q142's encode feeding the q136 materialized-sort offset scan",
       "q138_kn_lm_score" -> "Kneser-Ney LM: one exploded bigram pass (checkpointed) feeds type table; model stats = 3 aggs over the TYPE table + 1-row broadcast; integer score sums",
       "q139_embed_decontam" -> "semantic decontamination: eval probes 4 cells, corpus touched via rank-1 indexed cell only — candidate volume nprobe*|eval|*N/K, never |eval|*N",
       "q140_ccnet_lm_filter" -> "CCNet filter: target-slice KN model (LEFT-join OOV ladder), global rank via the q136 range-exchange prefix count — no single-partition window, integer 30/40/30 cuts")

@@ -35,6 +35,13 @@ object StreamScaleBench {
       // the r12 500k-doc spill cliff — AQE merges but never splits)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // status-store retention caps (see GraftSession: task-data rows
+      // accumulate per task even with the UI off — 8x-wide stages made
+      // that a real heap floor over a long sweep)
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
@@ -134,8 +141,20 @@ object StreamScaleBench {
       * the K=400 book beyond its trained regime, measuring exactly the
       * N²/K growth the gate exists to refuse; it now draws the
       * 1268-cell beyond-sf1 book instead).
+      *
+      * Per-batch cost profile (r11 verdict #8, measured via
+      * SPARK_GRAFT_STREAM_DEBUG): the cost is FIXED per micro-batch and
+      * HISTORY-INDEPENDENT — ~0.05 s index read + 0.12–0.18 s dedup
+      * jobs + 0.09–0.17 s append + ~0.2 s micro-batch planning/offset
+      * log, identical at 11k and 110k history rows. The headline
+      * rows/s therefore just measures batch size ÷ ~0.5 s of
+      * irreducible per-trigger machinery: this bench feeds 4 batches of
+      * history/40 rows, so small points read "slow" while per-ROW cost
+      * is flat. `nAppends` exists to prove it: the `_bulk` variant
+      * ingests the SAME rows in 1 batch and the throughput gap is
+      * exactly the amortized fixed cost.
       */
-    def runSemDedupIngest(nHist: Int): R = {
+    def runSemDedupIngest(nHist: Int, nAppends: Int = 4): R = {
       val cents = graft.model.IvfCentroids.blockingCells(
         graft.model.IvfCentroids.blockingK(nHist))
       val root = java.nio.file.Files.createTempDirectory("streamscale_sem")
@@ -144,8 +163,8 @@ object StreamScaleBench {
       genVecs(nHist, 1L).write.mode("overwrite").parquet(idx)
       val nBatch = math.max(nHist / 10, 100)
       val batch = genVecs(nBatch, 0L)
-      for (a <- 0 until 4) {
-        batch.filter(col("vec_id") % 8 === a * 2)
+      for (a <- 0 until nAppends) {
+        batch.filter(pmod(col("vec_id") / 2, lit(nAppends.toLong)) === a)
           .coalesce(1).write.mode("append").parquet(srcDir)
         Thread.sleep(30)
       }
@@ -231,9 +250,15 @@ object StreamScaleBench {
       val src = genEvents(n)
       val timed = selected(src, n).map { case (name, f) => name -> f() }
       val sem =
-        if (only.forall(_("semdedup_ingest")))
+        (if (only.forall(_("semdedup_ingest")))
           Seq("semdedup_ingest" -> runSemDedupIngest(nHist = math.max(n / 20, 1000)))
-        else Nil
+        else Nil) ++
+        // same rows, ONE micro-batch: the throughput delta vs the
+        // 4-batch arm IS the per-trigger fixed cost, amortized
+        (if (only.forall(_("semdedup_ingest_bulk")))
+          Seq("semdedup_ingest_bulk" ->
+            runSemDedupIngest(nHist = math.max(n / 20, 1000), nAppends = 1))
+        else Nil)
       (n, timed ++ sem)
     }
     val json = points.map { case (n, rs) =>

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object TextScaleBench {
   def main(args: Array[String]): Unit = {
-    val sizes = sys.env.getOrElse("SPARK_GRAFT_TEXT_NS", "5000,50000,200000")
+    // 500000 joined the default sweep in r12 (verdict #2: every past
+    // cliff was found at the next decade — this one found two: the
+    // 32-wide sort spill and the mark-spelling reversal)
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_TEXT_NS", "5000,50000,200000,500000")
       .split(",").map(_.trim.toInt).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -29,6 +32,13 @@ object TextScaleBench {
       // the r12 500k-doc spill cliff — AQE merges but never splits)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus.toInt * 8).toString)
+      // status-store retention caps (see GraftSession: task-data rows
+      // accumulate per task even with the UI off — 8x-wide stages made
+      // that a real heap floor over a long sweep)
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
@@ -114,6 +124,17 @@ object TextScaleBench {
       // inflation on untouched queries before this). Unpersist is
       // outside the timed window; each query is independent.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // drive the ContextCleaner: shuffle files, broadcasts, and
+      // checkpoint block metadata of the PREVIOUS query are only
+      // released on driver GC. Without an explicit collection the
+      // in-sweep JVM either OOMs (8g: dead state from 12 earlier
+      // queries + a 123M-row sort) or, given a 24g heap, survives but
+      // times every big sort 2× slower than isolated runs (GC churn on
+      // ~never-collected garbage: q133 at 500k read 93.5 s isolated at
+      // 24g vs 47.3 s at 8g). One System.gc() between queries — outside
+      // the timed window — keeps the fast small-heap regime AND the
+      // sweep alive.
+      System.gc()
       s
     }
 
@@ -125,7 +146,20 @@ object TextScaleBench {
 
     val points = sizes.map { n =>
       val dir = gen(n)
+      // the GraftSession sizing rule applied (see its fallbackThreshold
+      // note: ObjectHashAggregate's sort fallback triggers on group
+      // COUNT, never bytes — it is the only bound on per-group buffer
+      // memory). At ≥500k docs the collect-style aggs (q102 postings,
+      // q142 per-doc id streams) hold ~100 MB+ of buffers per task and
+      // 32 concurrent tasks blow the 8g executor share
+      // (AGGREGATE_OUT_OF_MEMORY, found in the r12 sweep); a low
+      // threshold flips them to the external-sort path, which streams
+      // one group at a time. Small points keep the fast object-hash
+      // regime.
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        if (n >= 500000) "1024" else "2000000")
       val times = queries.map { q =>
+        System.err.println(s"[textscale] running $q @ $n")
         q -> time(SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save())
       }

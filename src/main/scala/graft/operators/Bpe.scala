@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding tokenizer training (Sennrich et al. 2016), the way
@@ -170,15 +170,19 @@ object Bpe {
     * feasible: the corpus is NOT segmented row by row. Distinct words
     * (vocabulary-sized) are segmented once each, then the encoded
     * dictionary joins back to the corpus' exploded word stream and one
-    * per-document aggregation stitches the streams. Plan shape: one
-    * exploded corpus pass → distinct (map-side combinable) →
-    * vocabulary-sized segmentation (the expensive fold runs per TYPE,
-    * not per occurrence) → SHUFFLE_HASH dictionary join (the r11
-    * broadcast-OOM lesson: a "small" dictionary grows with vocabulary;
-    * shuffle-hash keeps the build per-partition-sized at any corpus) →
-    * one groupBy(id). The id map itself is fixture-sized (vocab of the
-    * FROZEN tokenizer, not the corpus) and compiles into the plan as a
-    * literal map.
+    * per-document pass stitches the streams. Plan shape: one exploded
+    * corpus pass → distinct (map-side combinable) → vocabulary-sized
+    * segmentation (the expensive fold runs per TYPE, not per
+    * occurrence) → SHUFFLE_HASH dictionary join (the r11 broadcast-OOM
+    * lesson: a "small" dictionary grows with vocabulary; shuffle-hash
+    * keeps the build per-partition-sized at any corpus) → the
+    * per-document assembly as a [[SortedGroupFold.reduceGroups]]
+    * streaming fold — NOT a `collect_list` aggregate, whose per-group
+    * object buffers are untracked heap and OOM'd the 8 GB bench JVM at
+    * the 200k-doc TEXTSCALE point; the fold holds exactly one
+    * document's id stream at a time over a spillable sort. The id map
+    * itself is fixture-sized (vocab of the FROZEN tokenizer, not the
+    * corpus) and compiles into the plan as a literal map.
     */
   def encode(
       corpus: DataFrame,
@@ -201,15 +205,29 @@ object Bpe {
           transform(col("bpe_tokens"),
             t => coalesce(element_at(idMap, t), lit(-1L)).cast("string")),
           " ").as("__ids"))
-    words
+    val joined = words
       .join(dict.hint("shuffle_hash"), Seq("__w"))
-      .groupBy(col(idCol))
-      .agg(
-        sum(col("__n")).as("n_tokens"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("__pos"), col("__ids")))),
-            s => s.getField("__ids")),
-          " ").as("bpe_ids"))
+      .select(col(idCol), col("__pos"), col("__n"), col("__ids"))
+    val ni = joined.schema.fieldIndex("__n")
+    val si = joined.schema.fieldIndex("__ids")
+    SortedGroupFold.reduceGroups(
+      joined, idCol, Seq("__pos"),
+      Seq(
+        org.apache.spark.sql.types.StructField(
+          "n_tokens", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "bpe_ids", org.apache.spark.sql.types.StringType, nullable = false))) {
+      () => new SortedGroupFold.GroupReducer {
+        private var n = 0L
+        private val sb = new java.lang.StringBuilder
+        def start(r: Row): Unit = { n = 0L; sb.setLength(0) }
+        def next(r: Row): Unit = {
+          n += r.getLong(ni)
+          if (sb.length > 0) sb.append(' ')
+          sb.append(r.getString(si))
+        }
+        def finish(): Seq[Any] = Seq(n, sb.toString)
+      }
+    }
   }
 }

@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object QualityRules {
 
+  /** Eager checkpoint for corpus-sized or vocabulary²-sized
+    * intermediates, pinned DISK_ONLY instead of the default
+    * MEMORY_AND_DISK: a multi-GB block set in the storage pool squeezes
+    * the unified memory manager's EXECUTION side (storageFraction
+    * protects half the pool from eviction), and the KN scorers' own
+    * shuffle-hash builds are the first to starve — q138 at
+    * TextScaleBench's 500k-doc point died UNABLE_TO_ACQUIRE_MEMORY with
+    * its 60M-row bigram checkpoint resident (r12). Disk blocks read
+    * back through the OS page cache; the lineage cut and
+    * materialize-once semantics are identical.
+    */
+  private def pinToDisk(df: DataFrame): DataFrame =
+    df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+
   /** Single-space tokenization, empty tokens dropped — the engine-portable
     * token bag (mirrors `string_split(text, ' ')` + non-empty filter in
     * the DuckDB oracles).
@@ -110,13 +125,12 @@ object QualityRules {
     val vocab = uni.count()
     // one shingle pass serves both the bigram count table and the
     // scoring join (localCheckpoint: materialized once, lineage cut)
-    val bgr = src
+    val bgr = pinToDisk(src
       .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
       .select(
         col(idCol),
         xxhash64(col("__bg")).as("__bgh"),
-        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h"))
-      .localCheckpoint(true)
+        xxhash64(substring_index(col("__bg"), " ", 1)).as("__w1h")))
     val bi = bgr.groupBy("__bgh").agg(count(lit(1)).as("__cb"))
     bgr
       .join(bi, "__bgh")
@@ -181,21 +195,19 @@ object QualityRules {
     val src = Spread.ensure(df.select(col(idCol), col(textCol)))
     // one shingle pass serves both the type-count table and the scoring
     // join (localCheckpoint: materialized once, lineage cut)
-    val bgr = src
+    val bgr = pinToDisk(src
       .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
       .select(
         col(idCol),
         key(col("__bg")).as("__bgh"),
         key(substring_index(col("__bg"), " ", 1)).as("__w1h"),
-        key(substring_index(col("__bg"), " ", -1)).as("__w2h"))
-      .localCheckpoint(true)
+        key(substring_index(col("__bg"), " ", -1)).as("__w2h")))
     // bigram TYPE table: within a __bgh group the token hashes are
     // functionally determined (min() spells that deterministically)
-    val cb = bgr.groupBy("__bgh").agg(
+    val cb = pinToDisk(bgr.groupBy("__bgh").agg(
       count(lit(1)).as("__cb"),
       min(col("__w1h")).as("__w1h"),
-      min(col("__w2h")).as("__w2h"))
-      .localCheckpoint(true)
+      min(col("__w2h")).as("__w2h")))
     val ctx = cb.groupBy("__w1h").agg(
       sum(col("__cb")).as("__c1"), count(lit(1)).as("__n1p"))
     val cont = cb.groupBy("__w2h").agg(count(lit(1)).as("__n1l"))
@@ -264,11 +276,10 @@ object QualityRules {
         key(col("__bg")).as("__bgh"),
         key(substring_index(col("__bg"), " ", 1)).as("__w1h"),
         key(substring_index(col("__bg"), " ", -1)).as("__w2h"))
-    val mcb = mbgr.groupBy("__bgh").agg(
+    val mcb = pinToDisk(mbgr.groupBy("__bgh").agg(
       count(lit(1)).as("__cb"),
       min(col("__w1h")).as("__w1h"),
-      min(col("__w2h")).as("__w2h"))
-      .localCheckpoint(true)
+      min(col("__w2h")).as("__w2h")))
     val mctx = mcb.groupBy("__w1h").agg(
       sum(col("__cb")).as("__c1"), count(lit(1)).as("__n1p"))
     val mcont = mcb.groupBy("__w2h").agg(count(lit(1)).as("__n1l"))
@@ -279,14 +290,13 @@ object QualityRules {
     val d = when(col("__n1") + col("__n2") * 2 > 0,
       col("__n1").cast("double") / (col("__n1") + col("__n2") * 2))
       .otherwise(lit(0.5))
-    val bgr = Spread.ensure(df.select(col(idCol), col(textCol)))
+    val bgr = pinToDisk(Spread.ensure(df.select(col(idCol), col(textCol)))
       .select(col(idCol), explode(wordNGramsAll(col(textCol), 2)).as("__bg"))
       .select(
         col(idCol),
         key(col("__bg")).as("__bgh"),
         key(substring_index(col("__bg"), " ", 1)).as("__w1h"),
-        key(substring_index(col("__bg"), " ", -1)).as("__w2h"))
-      .localCheckpoint(true)
+        key(substring_index(col("__bg"), " ", -1)).as("__w2h")))
     // SCORED-corpus bigram types, LEFT-joined to the model stats —
     // quantized once per type, as in the self-scoring path
     val stypes = bgr.groupBy("__bgh").agg(

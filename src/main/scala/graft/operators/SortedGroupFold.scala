@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** The shared skeleton of sequential per-group operators
   * ([[Allocation.greedy]], [[Packing.greedyPack]]): one hash shuffle on
@@ -60,6 +60,62 @@ object SortedGroupFold {
           fold.start(r)
         }
         Row.fromSeq(r.toSeq :+ fold.next(r))
+      }
+    }
+  }
+
+  /** One-output-row-per-group reducer over the same skeleton. */
+  trait GroupReducer extends Serializable {
+    /** Reset state at the first row of a group (the row is ALSO passed
+      * to `next` immediately after).
+      */
+    def start(row: Row): Unit
+
+    /** Consume one group row (rows arrive in `orderCols` order). */
+    def next(row: Row): Unit
+
+    /** The group's output values (everything except the group key). */
+    def finish(): Seq[Any]
+  }
+
+  /** Streaming sorted-group REDUCTION: one hash shuffle on the group
+    * key, partition-local sort, then one output row per group —
+    * `(groupCol, outFields…)` — with only ONE group's reducer state ever
+    * live. This is the memory-bounded alternative to a
+    * `collect_list`-style ObjectHashAggregate for group-sized payloads
+    * (ordered group concat, per-group sketches): object-agg buffers are
+    * UNTRACKED heap — the memory manager never sees them, the sort
+    * fallback triggers on group count, never bytes, and 32 concurrent
+    * tasks × ~100 MB of JVM-object-inflated buffers OOM'd the 8 GB
+    * bench JVM at TextScaleBench's 200k-doc point (r12, q142's id
+    * streams). Here the only per-task memory is the sorter (spillable,
+    * tracked) plus one group's output under construction.
+    */
+  def reduceGroups(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      outFields: Seq[StructField])(mkRed: () => GroupReducer): DataFrame = {
+    val sortCols = (groupCol +: orderCols).map(col)
+    val parted = df
+      .repartition(col(groupCol))
+      .sortWithinPartitions(sortCols: _*)
+    val inSchema = parted.schema
+    val gi = inSchema.fieldIndex(groupCol)
+    val outSchema = StructType(inSchema(gi) +: outFields)
+    implicit val enc: Encoder[Row] = Encoders.row(outSchema)
+    parted.mapPartitions { rows =>
+      val red = mkRed()
+      val it = rows.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          val first = it.head
+          val key = first.get(gi)
+          red.start(first)
+          while (it.hasNext && it.head.get(gi) == key) red.next(it.next())
+          Row.fromSeq(key +: red.finish())
+        }
       }
     }
   }
