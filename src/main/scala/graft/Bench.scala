@@ -114,10 +114,16 @@ object Bench {
         // once the suite crossed ~10 checkpointing queries. Same hygiene
         // as TextScaleBench; queries are independent by construction.
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-        // drive the ContextCleaner (see TextScaleBench: shuffle/broadcast
-        // state of earlier samples is only released on driver GC; the
-        // explicit collection runs outside the timed window)
-        System.gc()
+        // NO System.gc() here, deliberately (r12): the collection itself
+        // is outside the timed window, but the ContextCleaner work it
+        // triggers — shuffle-file unlinks, broadcast-removal RPCs — runs
+        // ASYNC and lands inside the NEXT sample's window; measured as a
+        // uniform ~+0.1 s per sample (sum of medians 71.7 → ~102 s).
+        // TextScaleBench keeps its inter-QUERY gc because its multi-point
+        // sweep OOMs without it and its queries are seconds-long; this
+        // bench's 143×3 sub-second samples cannot afford the cleaner
+        // echo, and the status-store retention caps already bound the
+        // only accumulation this JVM showed.
         s
       }
       val (median, minv) =
