@@ -164,7 +164,12 @@ object StreamScaleBench {
       val nBatch = math.max(nHist / 10, 100)
       val batch = genVecs(nBatch, 0L)
       for (a <- 0 until nAppends) {
-        batch.filter(pmod(col("vec_id") / 2, lit(nAppends.toLong)) === a)
+        // integer `div`, not `/`: double division makes pmod fractional for
+        // odd vec_ids, which would silently drop them by float-inequality.
+        // The batch (salt=0) holds only EVEN vec_ids (genVecs: id*2+salt;
+        // the salt=1 history owns the odds), so div-2 splits it into
+        // nAppends arms exactly — same rows, integer semantics, no luck
+        batch.filter(expr(s"pmod(vec_id div 2, ${nAppends}L)") === a)
           .coalesce(1).write.mode("append").parquet(srcDir)
         Thread.sleep(30)
       }

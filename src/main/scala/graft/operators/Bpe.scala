@@ -143,7 +143,8 @@ object Bpe {
       .otherwise(concat(
         expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"),
         array(lit("</w>"))))
-    merges.grouped(math.max(1, chunk)).zipWithIndex
+    val step = math.max(1, chunk)
+    merges.grouped(step).zipWithIndex
       .foldLeft(corpus.withColumn("bpe_tokens", base)) {
         case (df, (grp, gi)) =>
           val applied = df.withColumn("bpe_tokens",
@@ -151,8 +152,9 @@ object Bpe {
               case (c, (a, b)) => applyMerge(c, a, b)
             })
           // checkpoint BETWEEN chunks only (the last chunk stays lazy so
-          // trivial merge tables add no materialization at all)
-          if ((gi + 1) * chunk < merges.size) applied.localCheckpoint(true)
+          // trivial merge tables add no materialization at all); `step`,
+          // not raw `chunk`, so chunk<=0 doesn't eagerly pin every merge
+          if ((gi + 1) * step < merges.size) applied.localCheckpoint(true)
           else applied
       }
   }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField}
 
 /** Greedy sequence packing: assign ordered documents to fixed-capacity
   * bins (the training-batch "sequence packing" step — concatenate docs
@@ -163,6 +163,95 @@ object Packing {
         // usingColumns join lays out [__pid, df columns…, __off]; emit
         // the original columns + the offset
         Row.fromSeq(r.toSeq.slice(1, 1 + width) :+ start)
+      }
+    }
+  }
+
+  /** Materialize the packed training sequences themselves — the final
+    * gather from per-document token-id streams into the
+    * `(seq_id, token_ids: array<long>)` rows a training job actually
+    * reads. [[tokenOffsets]] places every document in the global
+    * concat-and-split token stream; this cuts that stream at multiples
+    * of `capacity` and reassembles each sequence from the document
+    * fragments that cover it (a document can span sequences; a sequence
+    * concatenates fragments of adjacent documents). Every sequence holds
+    * exactly `capacity` tokens except the final partial one.
+    *
+    * Input: one row per document — `idsCol` the space-joined token-id
+    * stream (the [[Bpe.encode]] output convention) and `sizeCol` its
+    * token count. Zero-token rows contribute nothing to the stream and
+    * are dropped up front (prefix sums over the survivors are
+    * unchanged — zero-size rows add 0).
+    *
+    * Scale design (100 TB): no stage ever holds more than one document
+    * or one sequence. The doc→fragment fan-out slices each document's id
+    * array ONCE into its covered sequences (`transform` over the covered
+    * range, then `posexplode`), so an exploded row carries only its
+    * ≤ `capacity`-token slice — never the whole document duplicated per
+    * sequence. Assembly is a [[SortedGroupFold.reduceGroups]] streaming
+    * fold (hash shuffle on `seq_id`, spillable partition sort by
+    * `tok_start`, one sequence's buffer live at a time) — NOT
+    * `collect_list`, whose untracked per-group buffers OOM'd the 8 GB
+    * bench JVM at the 200k-doc TEXTSCALE point (r12, q142). Fragment
+    * rows total exactly the corpus token count: the shuffle is one
+    * linear pass over the stream, the same weight class as the
+    * [[tokenOffsets]] exchange that precedes it.
+    *
+    * @param df       per-document frame (must contain `sizeCol`, `idsCol`)
+    * @param sizeCol  token count (long; ≤ 0 ⇒ row dropped)
+    * @param idsCol   space-joined token-id stream, `sizeCol` entries
+    * @param orderCols deterministic TOTAL order of the stream
+    * @param capacity tokens per training sequence (context length)
+    */
+  def gatherSequences(
+      df: DataFrame,
+      sizeCol: String,
+      idsCol: String,
+      orderCols: Seq[String],
+      capacity: Long,
+      seqCol: String = "seq_id",
+      outCol: String = "token_ids"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val L = capacity
+    val withOff = tokenOffsets(
+      df.filter(col(sizeCol) > 0)
+        .select((Seq(col(sizeCol), col(idsCol)) ++ orderCols.map(col)): _*),
+      sizeCol, orderCols)
+    // fragment each doc ONCE: array-of-slices over the covered sequence
+    // range, then posexplode — global sequence s owns stream positions
+    // [s*L, (s+1)*L); the doc owns [tok_start, tok_start+n); the
+    // fragment is their intersection, re-based to 1-based local indices
+    val fragments = withOff
+      .withColumn("__ids_arr", split(col(idsCol), " "))
+      .select(
+        col("tok_start"),
+        expr(s"tok_start DIV $L").as("__sf"),
+        posexplode(expr(
+          s"""transform(
+             |  sequence(tok_start DIV $L, (tok_start + $sizeCol - 1) DIV $L),
+             |  s -> slice(__ids_arr,
+             |    cast(greatest(s * $L, tok_start) - tok_start + 1 as int),
+             |    cast(least((s + 1) * $L, tok_start + $sizeCol)
+             |      - greatest(s * $L, tok_start) as int)))""".stripMargin))
+          .as(Seq("__p", "__frag")))
+      .select(
+        (col("__sf") + col("__p")).as(seqCol),
+        col("tok_start"),
+        col("__frag"))
+    val fi = 2 // (seqCol, tok_start, __frag)
+    SortedGroupFold.reduceGroups(
+      fragments, seqCol, Seq("tok_start"),
+      Seq(
+        StructField("n_tokens", LongType, nullable = false),
+        StructField(outCol, ArrayType(LongType, containsNull = false),
+          nullable = false))) {
+      () => new SortedGroupFold.GroupReducer {
+        // one sequence's ids (≤ capacity) — the only live buffer
+        private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def start(r: Row): Unit = buf.clear()
+        def next(r: Row): Unit =
+          r.getSeq[String](fi).foreach(s => buf += java.lang.Long.parseLong(s))
+        def finish(): Seq[Any] = Seq(buf.length.toLong, buf.toSeq)
       }
     }
   }

@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *
   * Implementors supply a [[SortedGroupFold.Fold]]: `start(row)` is
   * called on the first row of every group (key-change detection uses
-  * universal equality on the group column), then `next(row)` returns the
+  * `Objects.deepEquals` on the group column — array/binary keys such as
+  * 16-byte digests compare by CONTENT, not reference; `==` would have
+  * silently made every binary-keyed row its own group), then `next(row)`
+  * returns the
   * appended column's value for each row, first row included.
   */
 object SortedGroupFold {
@@ -54,7 +57,8 @@ object SortedGroupFold {
       var started = false
       rows.map { r =>
         val k = r.get(gi)
-        if (!started || k != curKey) {
+        // deepEquals (see reduceGroups): binary group keys are arrays
+        if (!started || !java.util.Objects.deepEquals(k, curKey)) {
           curKey = k
           started = true
           fold.start(r)
@@ -113,7 +117,11 @@ object SortedGroupFold {
           val first = it.head
           val key = first.get(gi)
           red.start(first)
-          while (it.hasNext && it.head.get(gi) == key) red.next(it.next())
+          // deepEquals, not ==: binary (Array[Byte]) group keys — e.g. the
+          // 16-byte digests used elsewhere in this repo — compare by
+          // reference under ==, silently making every row its own group
+          while (it.hasNext && java.util.Objects.deepEquals(it.head.get(gi), key))
+            red.next(it.next())
           Row.fromSeq(key +: red.finish())
         }
       }

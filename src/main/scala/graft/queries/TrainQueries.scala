@@ -371,9 +371,30 @@ object TrainQueries {
         - expr(s"tok_start DIV $packLen") + 1L).as("n_seqs"))
   }
 
+  /** Materialized training sequences — the final pipeline stage between
+    * corpus and a training job's input: gather q142's per-document BPE
+    * id streams into per-sequence token arrays cut at q143's 512-token
+    * stream offsets ([[graft.operators.Packing.gatherSequences]] — doc
+    * sliced once into covered-sequence fragments, posexplode, streaming
+    * per-sequence fold; never `collect_list`). The operator emits
+    * `token_ids: array<long>`; the registered projection renders it
+    * space-joined (the q142 engine-portability convention) so the
+    * DuckDB oracle can hash-compare it.
+    */
+  private def q144(s: SparkSession, d: String): DataFrame =
+    Packing.gatherSequences(
+      graft.operators.Bpe.encode(
+        Tables.documents(s, d), "doc_id", "text",
+        graft.model.BpeMerges.merges, graft.model.BpeMerges.idOf),
+      "n_tokens", "bpe_ids", Seq("doc_id"), packLen)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(transform(col("token_ids"), _.cast("string")), " ")
+          .as("token_ids"))
+
   val defs: Map[String, Q] = Map(
     "q142_bpe_encode" -> q142,
     "q143_pack_bpe" -> q143,
+    "q144_pack_gather" -> q144,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -469,6 +490,34 @@ object TrainQueries {
          |  (tok_start + n_tokens - 1) // $packLen
          |    - tok_start // $packLen + 1 AS n_seqs
          |FROM off""".stripMargin,
+    // q144: replay the gather — same window prefix sum as q143, fan each
+    // doc out over its covered sequences, list_slice the id stream to the
+    // fragment, reassemble per sequence in stream (tok_start) order
+    "q144_pack_gather" ->
+      s"""WITH $bpeEncCtes,
+         |off AS (
+         |  SELECT doc_id, n_tokens, bpe_ids,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start
+         |  FROM bpe_doc),
+         |fan AS (
+         |  SELECT tok_start, n_tokens, bpe_ids,
+         |    unnest(generate_series(tok_start // $packLen,
+         |      (tok_start + n_tokens - 1) // $packLen)) AS s
+         |  FROM off),
+         |frag AS (
+         |  SELECT s AS seq_id, tok_start,
+         |    least((s + 1) * $packLen, tok_start + n_tokens)
+         |      - greatest(s * $packLen, tok_start) AS fn,
+         |    array_to_string(list_slice(string_split(bpe_ids, ' '),
+         |      CAST(greatest(s * $packLen, tok_start) - tok_start + 1 AS BIGINT),
+         |      CAST(least((s + 1) * $packLen, tok_start + n_tokens)
+         |        - tok_start AS BIGINT)), ' ') AS frag
+         |  FROM fan)
+         |SELECT seq_id, CAST(sum(fn) AS BIGINT) AS n_tokens,
+         |  string_agg(frag, ' ' ORDER BY tok_start) AS token_ids
+         |FROM frag GROUP BY seq_id""".stripMargin,
     "q51_gopher_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,

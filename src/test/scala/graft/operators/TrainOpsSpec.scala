@@ -180,6 +180,50 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("gatherSequences: hand-checked fragments — spanning doc, abutting docs, partial tail") {
+    // capacity 5; stream = d1(3) d2(4) d3(6) d4(2) = 15 tokens → 3 full seqs
+    // d2 spans seq0/seq1; d3 spans seq1/seq2; seq2 = tail of d3 + all of d4
+    val df = Seq(
+      (1L, 3L, "10 11 12"),
+      (2L, 4L, "20 21 22 23"),
+      (3L, 6L, "30 31 32 33 34 35"),
+      (4L, 2L, "40 41")
+    ).toDF("doc_id", "n_tokens", "bpe_ids")
+    val out = Packing
+      .gatherSequences(df, "n_tokens", "bpe_ids", Seq("doc_id"), capacity = 5L)
+      .select($"seq_id", $"n_tokens", array_join($"token_ids", " "))
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 5L, "10 11 12 20 21"),
+      (1L, 5L, "22 23 30 31 32"),
+      (2L, 5L, "33 34 35 40 41")))
+  }
+
+  test("property: gatherSequences round-trips the stream; every non-final " +
+    "sequence is exactly full (seeded random, zero-size rows dropped)") {
+    val rng = new scala.util.Random(11)
+    for (cap <- Seq(7L, 32L)) {
+      val rows = (1L to 120L).map { i =>
+        val n = rng.nextInt(3) match {
+          case 0 => 0L                       // dropped: contributes nothing
+          case _ => 1L + rng.nextInt(50).toLong
+        }
+        (i, n, (0L until n).map(t => i * 1000 + t).mkString(" "))
+      }
+      val out = Packing
+        .gatherSequences(rows.toDF("doc_id", "n_tokens", "bpe_ids"),
+          "n_tokens", "bpe_ids", Seq("doc_id"), cap)
+        .select($"seq_id", $"n_tokens", array_join($"token_ids", " "))
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      val stream = rows.sortBy(_._1).map(_._3).filter(_.nonEmpty).mkString(" ")
+      val total = rows.map(_._2).sum
+      assert(out.map(_._3).filter(_.nonEmpty).mkString(" ") == stream)
+      assert(out.map(_._1).toSeq == (0L until (total + cap - 1) / cap))
+      assert(out.dropRight(1).forall(_._2 == cap))
+      assert(out.forall(s => s._3.split(" ").length.toLong == s._2))
+    }
+  }
+
   test("tokenOffsets: consumers read the materialized sort — no range exchange in the executed plan") {
     // offset correctness rests on the totals aggregate and the fold
     // consuming the SAME physical partition boundaries. That used to
@@ -213,7 +257,11 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     val expect = rows.sortBy(_._1).map { case (id, sz) =>
       val r = (id, acc); acc += sz; r
     }.toMap
-    val key = "spark.sql.execution.exchange.reuse"
+    // the REAL conf key, taken from SQLConf so a rename fails at compile
+    // time — spark.conf.set silently accepts unknown keys, and the r12
+    // ADVICE caught this test passing vacuously under a misspelled one
+    val key =
+      org.apache.spark.sql.internal.SQLConf.EXCHANGE_REUSE_ENABLED.key
     spark.conf.set(key, "false")
     try {
       val got = Packing.tokenOffsets(df, "n_tokens", Seq("doc_id"))
