@@ -13,31 +13,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // shuffles start 8x wide, AQE coalesces down (see GraftSession:
-      // the r12 500k-doc spill cliff — AQE merges but never splits)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      // status-store retention caps (see GraftSession: task-data rows
-      // accumulate per task even with the UI off — 8x-wide stages made
-      // that a real heap floor over a long sweep)
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "5000")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      // see GraftSession: the stock 128-key fallback turns collect_list/
-      // collect_set aggs into external sorts. Env-overridable for A/B
-      // measurement of the memory/GC tradeoff.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "2000000"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the shared measurement session (BenchHarness: 8x-wide shuffle
+    // start, status-store caps, env-overridable OHA fallback, and —
+    // new in r13 — SPARK_GRAFT_SQLCONF A/B plumbing in this main too)
+    val spark = BenchHarness.session()
 
     // bench prices the PRODUCTION arm of q129: the in-plan exact
     // O(E^1.5) yardstick stays on for Verify/oracle runs (where the
@@ -78,14 +57,10 @@ object Bench {
                   "q126_ivf_partition_prune", "q127_ivf_append"))
       try SparkEntry.queries(q)(spark, sfDir) catch { case _: Throwable => }
 
-    // optional comma-separated subset filter (profiling aid):
-    //   SPARK_GRAFT_ONLY=q21_minhash_pairs,q32_cosine_topk_ivf
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }
+    // optional comma-separated subset filter (profiling aid; prefix
+    // match): SPARK_GRAFT_ONLY=q21,q32_cosine_topk_ivf
+    val keep = BenchHarness.onlyFilter("SPARK_GRAFT_ONLY")
+    val selected = SparkEntry.queries.filter { case (n, _) => keep(n) }
     // Per-query MEDIANS over N back-to-back runs (r8 verdict #6: every
     // round burned a verdict cycle adjudicating single-run driver-host
     // spikes — q102 6.13 s vs a 1.4 s same-host median). All N runs stay
@@ -107,13 +82,9 @@ object Bench {
         // be mistaken for a fast successful run
         val s = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // drop lingering localCheckpoint blocks between samples, OUTSIDE
-        // the timed window: checkpoint-heavy queries (q133/q134/q138/
-        // q140...) otherwise leave blocks pressuring the block manager
-        // for every LATER query in the sweep — measured 2.5x inflation
-        // on an untouched q94 at sf1 (15.9 s in-sweep vs 6.2 s isolated)
-        // once the suite crossed ~10 checkpointing queries. Same hygiene
-        // as TextScaleBench; queries are independent by construction.
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        // the timed window (see BenchHarness.dropCheckpointBlocks — the
+        // r11 2.5x-inflation find)
+        BenchHarness.dropCheckpointBlocks(spark)
         // NO System.gc() here, deliberately (r12): the collection itself
         // is outside the timed window, but the ContextCleaner work it
         // triggers — shuffle-file unlinks, broadcast-removal RPCs — runs

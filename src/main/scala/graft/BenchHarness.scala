@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE measurement-session harness every bench/verify main shares
+  * (r12 verdict #7): session setup, `SPARK_GRAFT_SQLCONF` A/B plumbing,
+  * env subset filters, and the between-query unpersist discipline
+  * previously copy-pasted across `Bench`/`TextScaleBench`/
+  * `StreamScaleBench`/the four scale benches/`Verify`/`ProfMain`. A
+  * measurement-harness bug fixed in one copy and not the others is how
+  * the r11 checkpoint-contamination episode stayed invisible for three
+  * rounds — this object exists so there is exactly one copy to fix.
+  *
+  * The config block is [[GraftSession]]'s 100 TB posture plus the
+  * bench-host hygiene knobs, documented where they were earned:
+  *   - shuffles start 8× cores wide and AQE coalesces DOWN (the r12
+  *     500k-doc digest-sort spill: AQE merges partitions, never splits)
+  *   - status-store retention caps (task-data rows accumulate per task
+  *     even with the UI off; 8×-wide stages made that a real heap floor)
+  *   - ObjectHashAggregate sort-fallback at 2M keys (the stock 128 turns
+  *     collect-style aggs into external sorts), env-overridable via
+  *     `SPARK_GRAFT_OHA_FALLBACK` for A/B runs
+  *   - 64 MB broadcast threshold on the TIMED mains; `Verify` keeps
+  *     Spark's stock threshold (its job is correctness, and the smaller
+  *     default exercises the non-broadcast plans the oracle must match)
+  */
+object BenchHarness {
+
+  /** `SPARK_GRAFT_CPUS`, with a per-main default (benches 32, Verify 4). */
+  def envCpus(default: Int = 32): Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(default)
+
+  /** Build the measurement session. Applies `SPARK_GRAFT_SQLCONF`
+    * runtime confs (see [[applyEnvSqlConf]]) and sets log level WARN —
+    * callers get a session ready to time against.
+    */
+  def session(
+      cpusDefault: Int = 32,
+      autoBroadcast64: Boolean = true,
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val cpus = envCpus(cpusDefault)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus * 8).toString)
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "2000000"))
+    val b2 =
+      if (autoBroadcast64)
+        b.config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      else b
+    val spark = extraConfs.foldLeft(b2) { case (bb, (k, v)) =>
+      bb.config(k, v)
+    }.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    applyEnvSqlConf(spark)
+    spark
+  }
+
+  /** A/B aid, now available to EVERY main: `SPARK_GRAFT_SQLCONF=
+    * "k=v;k=v"` applies runtime SQL confs (e.g.
+    * `spark.graft.exactSubstr.markViaAgg=true`) before any timing.
+    * Segments without '=' (or empty, e.g. a trailing ';') are skipped
+    * rather than MatchError-ing the run at startup.
+    */
+  def applyEnvSqlConf(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(
+      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
+
+  /** Comma-separated subset filter from `envVar` (profiling aid).
+    * `matches(name)` is true when the env is unset or any listed entry
+    * is a PREFIX of `name` — `SPARK_GRAFT_ONLY=q133,q134` selects
+    * `q133_dup_substr_spans` etc.
+    */
+  def onlyFilter(envVar: String): String => Boolean = {
+    val names = sys.env.get(envVar)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    name => names.forall(_.exists(name.startsWith))
+  }
+
+  /** The between-query unpersist discipline (r11): checkpoint-heavy
+    * queries leave eager localCheckpoint blocks in the block manager,
+    * and every LATER query in a sweep pays their memory pressure
+    * (measured 2.5× inflation on an untouched q94 at sf1). Call OUTSIDE
+    * the timed window; queries are independent by construction.
+    *
+    * Deliberately does NOT `System.gc()`: the collection itself would be
+    * outside the window, but the ContextCleaner work it triggers —
+    * shuffle-file unlinks, broadcast-removal RPCs — runs ASYNC and lands
+    * inside the NEXT sample (r12: a uniform ~+0.1 s per sub-second
+    * sample). Sweeps whose per-point working set OOMs without a forced
+    * collection (TextScaleBench's multi-hundred-MB points) add their own
+    * gc at the call site, where the regime is documented.
+    */
+  def dropCheckpointBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+}

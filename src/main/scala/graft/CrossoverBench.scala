@@ -30,26 +30,9 @@ object CrossoverBench {
     // whole corpus collapses into one component. 0.8 = 6.4σ ⇒ expected
     // spurious pairs ≪ 1 even at N=100k.
     val tau = 0.8
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // shuffles start 8x wide, AQE coalesces down (see GraftSession:
-      // the r12 500k-doc spill cliff — AQE merges but never splits)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      // status-store retention caps (see GraftSession: task-data rows
-      // accumulate per task even with the UI off — 8x-wide stages made
-      // that a real heap floor over a long sweep)
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "5000")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = BenchHarness.envCpus().toString
+    // shared measurement session + SPARK_GRAFT_SQLCONF A/B plumbing
+    val spark = BenchHarness.session()
     graft.functions.CosineSim.register(spark)
 
     // deterministic corpus; same planted-pair layout at any N

@@ -23,28 +23,10 @@ object GraphScaleBench {
   def main(args: Array[String]): Unit = {
     val ks = sys.env.getOrElse("SPARK_GRAFT_GRAPH_KS", "1,4,16")
       .split(",").map(_.trim.toInt).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = BenchHarness.envCpus().toString
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // shuffles start 8x wide, AQE coalesces down (see GraftSession:
-      // the r12 500k-doc spill cliff — AQE merges but never splits)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      // status-store retention caps (see GraftSession: task-data rows
-      // accumulate per task even with the UI off — 8x-wide stages made
-      // that a real heap floor over a long sweep)
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "5000")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared measurement session + SPARK_GRAFT_SQLCONF A/B plumbing
+    val spark = BenchHarness.session()
 
     // q110/q76 run as REGISTERED queries over the replicated lineitem.
     // q50's registered spelling prepends an all-pairs cosine edge BUILD

@@ -27,27 +27,9 @@ object StreamScaleBench {
   def main(args: Array[String]): Unit = {
     val sizes = sys.env.getOrElse("SPARK_GRAFT_STREAM_NS", "200000,2000000")
       .split(",").map(_.trim.toInt).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // shuffles start 8x wide, AQE coalesces down (see GraftSession:
-      // the r12 500k-doc spill cliff — AQE merges but never splits)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      // status-store retention caps (see GraftSession: task-data rows
-      // accumulate per task even with the UI off — 8x-wide stages made
-      // that a real heap floor over a long sweep)
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "5000")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = BenchHarness.envCpus().toString
+    // shared measurement session + SPARK_GRAFT_SQLCONF A/B plumbing
+    val spark = BenchHarness.session()
     import spark.implicits._
 
     /** N events over 48 h of event time, ~N/50 users, ~1 % duplicated
@@ -243,24 +225,21 @@ object StreamScaleBench {
     val warm = genEvents(20000)
     paths(warm, 20000).foreach { case (_, f) => f() }
 
-    // optional comma-separated path filter (profiling aid):
+    // optional comma-separated path filter (profiling aid; prefix match):
     //   SPARK_GRAFT_STREAM_ONLY=attribution_join
-    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    def selected(src: String, n: Int) = only match {
-      case Some(names) => paths(src, n).filter { case (k, _) => names(k) }
-      case None => paths(src, n)
-    }
+    val keep = BenchHarness.onlyFilter("SPARK_GRAFT_STREAM_ONLY")
+    def selected(src: String, n: Int) =
+      paths(src, n).filter { case (k, _) => keep(k) }
     val points = sizes.map { n =>
       val src = genEvents(n)
       val timed = selected(src, n).map { case (name, f) => name -> f() }
       val sem =
-        (if (only.forall(_("semdedup_ingest")))
+        (if (keep("semdedup_ingest"))
           Seq("semdedup_ingest" -> runSemDedupIngest(nHist = math.max(n / 20, 1000)))
         else Nil) ++
         // same rows, ONE micro-batch: the throughput delta vs the
         // 4-batch arm IS the per-trigger fixed cost, amortized
-        (if (only.forall(_("semdedup_ingest_bulk")))
+        (if (keep("semdedup_ingest_bulk"))
           Seq("semdedup_ingest_bulk" ->
             runSemDedupIngest(nHist = math.max(n / 20, 1000), nAppends = 1))
         else Nil)

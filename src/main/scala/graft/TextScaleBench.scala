@@ -24,36 +24,9 @@ object TextScaleBench {
     // 32-wide sort spill and the mark-spelling reversal)
     val sizes = sys.env.getOrElse("SPARK_GRAFT_TEXT_NS", "5000,50000,200000,500000")
       .split(",").map(_.trim.toInt).toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // shuffles start 8x wide, AQE coalesces down (see GraftSession:
-      // the r12 500k-doc spill cliff — AQE merges but never splits)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      // status-store retention caps (see GraftSession: task-data rows
-      // accumulate per task even with the UI off — 8x-wide stages made
-      // that a real heap floor over a long sweep)
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "5000")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // A/B aid: SPARK_GRAFT_SQLCONF="k=v;k=v" applies runtime SQL confs
-    // (e.g. spark.graft.exactSubstr.markViaAgg=true) before timing
-    // segments without '=' (or empty, e.g. a trailing ';') are skipped
-    // rather than MatchError-ing the whole bench at startup
-    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(
-      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
-      })
+    val cpus = BenchHarness.envCpus().toString
+    // shared measurement session + SPARK_GRAFT_SQLCONF A/B plumbing
+    val spark = BenchHarness.session()
 
     val queries = Seq("q101_bm25_topk", "q102_inverted_index",
       "q105_span_dedup", "q42_tfidf_top_term",
@@ -77,8 +50,7 @@ object TextScaleBench {
       // the corpus join) and packing over its real token counts
       "q142_bpe_encode", "q143_pack_bpe")
       // optional subset filter (A/B aid): SPARK_GRAFT_TEXT_ONLY=q133,q134
-      .filter(q => sys.env.get("SPARK_GRAFT_TEXT_ONLY").forall(
-        _.split(",").map(_.trim).exists(q.startsWith)))
+      .filter(BenchHarness.onlyFilter("SPARK_GRAFT_TEXT_ONLY"))
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"
@@ -117,13 +89,10 @@ object TextScaleBench {
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
-      // drop lingering localCheckpoint blocks between queries: several
-      // timed paths (q133/q134/q138/q140) eagerly checkpoint
-      // corpus-sized frames, and blocks surviving into LATER queries
-      // pressure the block manager at the 200k point (measured ~1.5-2x
-      // inflation on untouched queries before this). Unpersist is
-      // outside the timed window; each query is independent.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      // drop lingering localCheckpoint blocks between queries, outside
+      // the timed window (BenchHarness.dropCheckpointBlocks; measured
+      // ~1.5-2x inflation on untouched queries at the 200k point)
+      BenchHarness.dropCheckpointBlocks(spark)
       // drive the ContextCleaner: shuffle files, broadcasts, and
       // checkpoint block metadata of the PREVIOUS query are only
       // released on driver GC. Without an explicit collection the

@@ -6,36 +6,15 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // shuffles start 8x wide, AQE coalesces down (see GraftSession:
-      // the r12 500k-doc spill cliff — AQE merges but never splits)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      // status-store retention caps (see GraftSession: task-data rows
-      // accumulate per task even with the UI off — 8x-wide stages made
-      // that a real heap floor over a long sweep)
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "5000")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // see GraftSession: the stock 128-key fallback turns collect_list/
-      // collect_set aggs into external sorts
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared harness; Verify keeps Spark's STOCK broadcast threshold
+    // (correctness runs exercise the non-broadcast plans too) and a
+    // 4-core default — the driver's compare host is small
+    val spark = BenchHarness.session(cpusDefault = 4, autoBroadcast64 = false)
     new java.io.File(outDir).mkdirs()
     // Optional subset for local iteration (the driver sets no env):
     // SPARK_GRAFT_ONLY=q51,q52 runs only matching query names.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.exists(name.startsWith))
-    }
+    val keep = BenchHarness.onlyFilter("SPARK_GRAFT_ONLY")
+    val selected = SparkEntry.queries.filter { case (name, _) => keep(name) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
