@@ -48,7 +48,10 @@ object TextScaleBench {
       // r12: frozen-BPE encode (dictionary segmentation + shuffle-hash
       // join back — cost should track DISTINCT words, ~5k here, plus
       // the corpus join) and packing over its real token counts
-      "q142_bpe_encode", "q143_pack_bpe")
+      "q142_bpe_encode", "q143_pack_bpe",
+      // r13: materialized training sequences (the gather is one more
+      // linear pass over the token stream — must stay corpus-linear)
+      "q144_pack_gather")
       // optional subset filter (A/B aid): SPARK_GRAFT_TEXT_ONLY=q133,q134
       .filter(BenchHarness.onlyFilter("SPARK_GRAFT_TEXT_ONLY"))
 

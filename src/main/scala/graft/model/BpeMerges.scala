@@ -20,24 +20,33 @@ package graft.model
   *
   * Vocabulary ids, deterministic by construction:
   *   - 0                : the `</w>` end-of-word marker
-  *   - 1 .. 36          : the fixed base alphabet a–z, 0–9 (code-point
-  *                        order) — fixed rather than corpus-observed so
-  *                        the id space never depends on which corpus
-  *                        trained the table
-  *   - 37 + i           : merge i's output token, in training order
+  *   - 1 .. 66          : the fixed base alphabet 0–9, A–Z, a–z, ß é ö ü
+  *                        (code-point order) — fixed rather than
+  *                        corpus-observed so the id space never depends
+  *                        on which corpus trained the table
+  *   - 67 + i           : merge i's output token, in training order
   *                        (two merges CAN produce the same string, e.g.
   *                        a+bc and ab+c; the string keeps its FIRST id)
   *
-  * Provenance: trained on /root/testdata/sf0.01 documents (500 docs,
-  * 31-word vocabulary), 96 merges, minFreq 2 — see [[BpeMergesTrainer]].
+  * Provenance: trained on the union of /root/testdata/sf0.01 documents
+  * (500 docs, 31-word vocabulary) and [[BpeMergesTrainer.syntheticVocab]]
+  * — a deterministic mixed-alphabet word-frequency table (~25k distinct
+  * words: lowercase/Capitalized/CamelCase morphology, digit-bearing
+  * identifiers, BMP accents) sized so the table sustains a
+  * production-shaped merge count (the r12 fixture was 96 [a-z]-corpus
+  * merges — machinery advertised for tens of thousands of rules but
+  * never exercised past 96). minFreq 2 — see [[BpeMergesTrainer]].
   */
 object BpeMerges {
 
   val endWord = "</w>"
 
-  /** Fixed base alphabet (code-point order). */
+  /** Fixed base alphabet (code-point order: digits < uppercase <
+    * lowercase < the BMP accent set).
+    */
   val baseAlphabet: Seq[String] =
-    (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z')).map(_.toString) ++
+      Seq("ß", "é", "ö", "ü") // ß é ö ü
 
   /** The frozen merge rules, training order, from the committed CSV. */
   lazy val merges: Seq[(String, String)] = {

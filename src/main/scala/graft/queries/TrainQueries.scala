@@ -437,10 +437,22 @@ object TrainQueries {
     */
   private def bpeEncCtes: String = {
     val sep = "#"
-    val enc = graft.model.BpeMerges.merges.foldLeft(
-      s"'$sep' || regexp_replace(w, '(.)', '\\1$sep$sep', 'g') || '</w>$sep'") {
-      case (s, (l, r)) => s"replace($s, '$sep$l$sep$sep$r$sep', '$sep$l$r$sep')"
-    }
+    // DuckDB's binder caps expression-tree recursion at 128, so a
+    // production-sized merge table CANNOT nest as one replace chain
+    // (the 96-merge r12 fixture just fit). The chain is cut into
+    // MATERIALIZED chunk CTEs of <=100 replaces — MATERIALIZED is
+    // load-bearing: an inlined chain would re-form the over-deep
+    // expression at bind time.
+    val chunks = graft.model.BpeMerges.merges.grouped(100).zipWithIndex
+      .map { case (grp, ci) =>
+        val enc = grp.foldLeft("s") {
+          case (s, (l, r)) =>
+            s"replace($s, '$sep$l$sep$sep$r$sep', '$sep$l$r$sep')"
+        }
+        val src = if (ci == 0) "bpe_c_base" else s"bpe_c${ci - 1}"
+        s"bpe_c$ci AS MATERIALIZED (SELECT w, $enc AS s FROM $src)"
+      }.toSeq
+    val lastC = s"bpe_c${chunks.size - 1}"
     val vocabRows = graft.model.BpeMerges.idOf.toSeq.sorted
       .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
     s"""bpe_w AS MATERIALIZED (
@@ -451,9 +463,14 @@ object TrainQueries {
        |    FROM documents) t
        |  WHERE length(w) > 0),
        |bpe_vocab(tok, tid) AS (VALUES $vocabRows),
+       |bpe_c_base AS MATERIALIZED (
+       |  SELECT w, '$sep' || regexp_replace(w, '(.)', '\\1$sep$sep', 'g') ||
+       |    '</w>$sep' AS s
+       |  FROM (SELECT DISTINCT w FROM bpe_w)),
+       |${chunks.mkString(",\n")},
        |bpe_dict AS MATERIALIZED (
        |  SELECT w, string_split(substr(s, 2, length(s) - 2), '$sep$sep') AS toks
-       |  FROM (SELECT w, $enc AS s FROM (SELECT DISTINCT w FROM bpe_w))),
+       |  FROM $lastC),
        |bpe_tok AS (
        |  SELECT w, unnest(toks) AS tok, unnest(range(len(toks))) AS tpos
        |  FROM bpe_dict),

@@ -103,6 +103,34 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got.length == 8)
   }
 
+  test("trainInMemory is bit-identical to the reference (and thus to " +
+    "train) across seeded random corpora, overlap runs, and deep merges") {
+    val rng = new scala.util.Random(13)
+    for (trial <- 1 to 4) {
+      // random words incl. repeated-char runs (the overlap case the
+      // incremental bookkeeping must recount exactly)
+      val words = (1 to 120).map { i =>
+        val w =
+          if (i % 11 == 0) "a" * (2 + rng.nextInt(5))
+          else (1 to (2 + rng.nextInt(6)))
+            .map(_ => ('a' + rng.nextInt(6)).toChar).mkString
+        w -> (1L + rng.nextInt(40))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val n = 50 + rng.nextInt(150)
+      val got = Bpe.trainInMemory(words.toSeq, n, minFreq = 2L)
+      val want = referenceBpe(words, n, minFreq = 2L)
+      assert(got == want,
+        s"trial $trial diverges at ${got.zip(want).indexWhere(p => p._1 != p._2)}")
+    }
+    // and against the DISTRIBUTED trainer on a real corpus (transitive
+    // equality train == reference == trainInMemory, asserted directly)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = Bpe.wordFreq(docs, "text")
+    import spark.implicits._
+    val words = vocab.as[(String, Long)].collect().toSeq
+    assert(Bpe.trainInMemory(words, 12, 2L) == Bpe.train(vocab, 12, 2L))
+  }
+
   test("applyMerge is left-to-right non-overlapping (the aaa case)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -136,14 +164,62 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     syms
   }
 
-  test("frozen BpeMerges fixture: 96 merges, deterministic id space") {
+  test("frozen BpeMerges fixture: 8000 merges, deterministic id space, " +
+    "mixed alphabet") {
     val m = graft.model.BpeMerges
-    assert(m.merges.size == 96)
+    assert(m.merges.size == 8000)
     assert(m.idOf("</w>") == 0)
-    assert(m.idOf("a") == 1 && m.idOf("z") == 26 && m.idOf("0") == 27 &&
-      m.idOf("9") == 36)
+    // base block: digits 1..10, A-Z 11..36, a-z 37..62, ß é ö ü 63..66
+    assert(m.idOf("0") == 1 && m.idOf("9") == 10 && m.idOf("A") == 11 &&
+      m.idOf("Z") == 36 && m.idOf("a") == 37 && m.idOf("z") == 62 &&
+      m.idOf("ü") == 66)
     // every merge output has an id at or above the base block
-    m.merges.foreach { case (l, r) => assert(m.idOf(l + r) >= 37) }
+    m.merges.foreach { case (l, r) => assert(m.idOf(l + r) >= 67) }
+    // the production shape is actually exercised: mixed-case, digit and
+    // accented merges exist, and oracle-hostile chars never appear
+    assert(m.merges.exists { case (l, r) => (l + r).exists(_.isUpper) })
+    assert(m.merges.exists { case (l, r) => (l + r).exists(_.isDigit) })
+    assert(m.merges.exists { case (l, r) => (l + r).exists(c => c > 127) })
+    m.merges.foreach { case (l, r) =>
+      assert(!(l + r).exists(c => c == ',' || c == '#' || c == '\'' ||
+        c.isWhitespace))
+    }
+  }
+
+  test("segmentWordFast equals the fold and the per-word reference on " +
+    "random corpora, recreated-pair traps, and the frozen fixture") {
+    // the divergence trap: rules 1:(a,bc) 2:(abc,d) 3:(ab,c) over
+    // "abcd" — in-order must yield [abc, d</w>... ] shapes, never the
+    // min-rank-first "abcd"
+    val trap = IndexedSeq(("a", "bc"), ("abc", "d"), ("ab", "c"))
+    val trapRanks = Bpe.mergeRanks(trap)
+    def viaRef(w: String, m: Seq[(String, String)]) = refEncodeWord(w, m)
+    for (w <- Seq("abcd", "aabcd", "abcabcd", "xabcdx"))
+      assert(Bpe.segmentWordFast(w, trap, trapRanks).toSeq == viaRef(w, trap),
+        s"trap diverges on $w")
+    // seeded random rule tables + words, incl. repeated-char runs
+    val rng = new scala.util.Random(29)
+    for (_ <- 1 to 30) {
+      val merges = IndexedSeq.fill(6 + rng.nextInt(10)) {
+        def t() = (1 to (1 + rng.nextInt(2)))
+          .map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+        (t(), if (rng.nextInt(5) == 0) "</w>" else t())
+      }
+      val ranks = Bpe.mergeRanks(merges)
+      for (_ <- 1 to 20) {
+        val w = (1 to (1 + rng.nextInt(10)))
+          .map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+        assert(Bpe.segmentWordFast(w, merges, ranks).toSeq ==
+          viaRef(w, merges), s"random diverges on $w under $merges")
+      }
+    }
+    // the frozen 8k fixture on real + synthetic words
+    val m = graft.model.BpeMerges
+    val fixRanks = Bpe.mergeRanks(m.merges)
+    val fixIdx = m.merges.toIndexedSeq
+    for (w <- Seq("table", "window", "Spark42", "übung", "w4999", "zzzz"))
+      assert(Bpe.segmentWordFast(w, fixIdx, fixRanks).toSeq ==
+        viaRef(w, m.merges), s"fixture diverges on $w")
   }
 
   test("encode matches the per-word reference under the FROZEN fixture, " +
