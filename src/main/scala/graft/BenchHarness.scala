@@ -44,6 +44,13 @@ object BenchHarness {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (cpus * 8).toString)
+      // post-shuffle sorts must FIT a task's execution-memory share —
+      // the 64 MB default advisory (compressed bytes; ~3-4× in memory)
+      // spill-stormed the 1M-doc digest sort (see GraftSession, r13:
+      // 205 s → 126 s = exactly linear, at 24 MB). share/6, clamped.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.min(64L << 20, math.max(16L << 20,
+          Runtime.getRuntime.maxMemory * 6 / 10 / cpus / 6)).toString)
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "5000")

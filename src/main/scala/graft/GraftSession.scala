@@ -34,6 +34,25 @@ object GraftSession {
       // ~8× total cores for the same reason.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (shufflePartitions * 8).toString)
+      // The advisory target AQE coalesces DOWN to is COMPRESSED shuffle
+      // bytes, but a post-shuffle task must hold its partition's
+      // UnsafeRows + sort-pointer array in execution memory (acquired
+      // in 64 MB pages) — an in-memory footprint ~3-4× the compressed
+      // bytes. Execution memory is ~heap×0.6/cores per concurrent task,
+      // so Spark's 64 MB default advisory overflows the share exactly
+      // when every core is busy sorting: at TextScaleBench's 1M-doc
+      // point (r13) the 245M-row digest sort spill-stormed (q133 205 s,
+      // ±30% run-to-run; jstack caught UnsafeExternalSorter.spill →
+      // TaskMemoryManager.trySpillAndAcquire), while a 24 MB advisory
+      // ran 126 s — EXACTLY linear from the 500k point. Size it as
+      // share/6 (≈4× inflation + page-granularity headroom), clamped to
+      // [16 MB, 64 MB]; big heaps/few cores keep Spark's default, and
+      // small stages just split a hair finer (measured: the sf0.1 suite
+      // holds). On a cluster, divide executor memory by executor cores.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        math.min(64L << 20, math.max(16L << 20,
+          Runtime.getRuntime.maxMemory * 6 / 10 / shufflePartitions / 6))
+          .toString)
       // The status store retains job/stage/task/SQL-metric rows even
       // with the UI disabled, and its growth scales with TASK COUNT —
       // 8×-wide initial stages × a long query sweep accumulated

@@ -59,8 +59,9 @@ object PlanDump {
       "q135_dsir_select" -> "DSIR: two corpus passes (bucket histogram broadcast back, per-doc integer log-ratio sum), Gumbel TakeOrdered top-k",
       "q136_pack_offsets" -> "concat-and-split packing: the range exchange runs ONCE inside the materialized sort (consumers read frozen blocks — no reuse dependence), no single-partition window",
       "q141_exact_decontam" -> "exact decontamination yardstick: corpus streams map-side vs broadcast eval set, native cosine_sim gate, one agg — zero shuffle before the attribution",
-      "q142_bpe_encode" -> "frozen-BPE encode: distinct words segmented once (vocabulary-sized fold), shuffle-hash dictionary join back, one per-doc agg",
+      "q142_bpe_encode" -> "frozen-BPE encode: distinct words segmented once (vocabulary-sized, rule-count-independent sequential encoder), shuffle-hash dictionary join back, one per-doc streaming fold",
       "q143_pack_bpe" -> "packing over real tokenizer counts: q142's encode feeding the q136 materialized-sort offset scan",
+      "q144_pack_gather" -> "materialized training sequences: docs sliced ONCE into covered-sequence fragments (no whole-doc duplication), posexplode, one seq_id shuffle + streaming per-sequence assembly",
       "q138_kn_lm_score" -> "Kneser-Ney LM: one exploded bigram pass (checkpointed) feeds type table; model stats = 3 aggs over the TYPE table + 1-row broadcast; integer score sums",
       "q139_embed_decontam" -> "semantic decontamination: eval probes 4 cells, corpus touched via rank-1 indexed cell only — candidate volume nprobe*|eval|*N/K, never |eval|*N",
       "q140_ccnet_lm_filter" -> "CCNet filter: target-slice KN model (LEFT-join OOV ladder), global rank via the q136 range-exchange prefix count — no single-partition window, integer 30/40/30 cuts")
