@@ -184,7 +184,11 @@ object QualityRules {
     * same plan shape, keys twice as wide on the vocabulary-sized
     * shuffles only — the corpus-sized per-document agg never carries
     * them. Proven bit-identical to the default on the test corpus
-    * (`QualityRulesSpec`).
+    * (`QualityRulesSpec`). Measured price (r13 TEXTSCALE, same tree as
+    * the narrow-key sweep): q138 13.4→17.8 s at 200k docs / 28.3→35.4 s
+    * at 500k, q140 15.9→20.2 / 33.7→42.2 — a flat ~25-33% for the
+    * collision-free 1e9-type recommendation, all of it the wider
+    * md5 evaluation + shuffle bytes on the type tables.
     *
     * Output: (id, n_bigrams, kn_fp) where kn_fp = Σ quantized log-probs
     * (LONG, exact); callers derive the rounded mean. Documents with
