@@ -391,10 +391,81 @@ object TrainQueries {
         array_join(transform(col("token_ids"), _.cast("string")), " ")
           .as("token_ids"))
 
+  /** Shared q143/q144/q145/q146 stage: per-document BPE token counts
+    * under the frozen fixture (the number every packing decision is
+    * made on).
+    */
+  private def bpeSized(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.encode(
+      Tables.documents(s, d), "doc_id", "text",
+      graft.model.BpeMerges.merges, graft.model.BpeMerges.idOf)
+      .select(col("doc_id"), col("n_tokens"))
+
+  /** Per-sequence document-boundary manifest — the loss-mask /
+    * attention-mask input a training job derives for packed sequences:
+    * within each 512-token sequence, where every document fragment
+    * begins and how long it runs (`"start:len start:len …"`, stream
+    * order). Pure relational fan-out (the q137 shape with sequence-local
+    * offsets); the per-sequence assembly is a `sort_array(collect_list)`
+    * — safe HERE, unlike the q142 id streams, because a sequence holds
+    * at most `packLen` fragments by construction, so the group buffer is
+    * capacity-bounded, never corpus-bounded.
+    */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val L = packLen
+    Packing.tokenOffsets(bpeSized(s, d), "n_tokens", Seq("doc_id"))
+      .select(
+        expr(s"explode(sequence(tok_start DIV $L, (tok_start + n_tokens - 1) DIV $L))")
+          .as("seq_id"),
+        col("tok_start"), col("n_tokens"))
+      .select(
+        col("seq_id"),
+        (greatest(col("seq_id") * L, col("tok_start")) - col("seq_id") * L)
+          .as("__fs"),
+        (least((col("seq_id") + 1) * L, col("tok_start") + col("n_tokens"))
+          - greatest(col("seq_id") * L, col("tok_start"))).as("__fl"))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("__fs"), col("__fl")))),
+            x => concat(x.getField("__fs").cast("string"), lit(":"),
+              x.getField("__fl").cast("string")))).as("boundaries"))
+  }
+
+  /** Deterministic epoch shuffle — the order a training job reads the
+    * packed sequences in, reproducible across engines and runs: for
+    * each epoch, sequences sort by `md5(seq_id ":" epoch)` (a fresh
+    * pseudorandom permutation per epoch, no RNG state to ship) and get
+    * their 0-based position via [[Ranking.globalRowNumber]] — the
+    * two-pass distributed rank, never a single-partition window. The
+    * per-epoch rebase is a 2-row broadcast join (min rank per epoch),
+    * nothing driver-side.
+    */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val L = packLen
+    val seqs = Packing.tokenOffsets(bpeSized(s, d), "n_tokens", Seq("doc_id"))
+      .select(
+        expr(s"explode(sequence(tok_start DIV $L, (tok_start + n_tokens - 1) DIV $L))")
+          .as("seq_id"))
+      .distinct()
+    val keyed = seqs
+      .select(col("seq_id"), explode(typedlit(Seq(0L, 1L))).as("epoch"))
+      .withColumn("__k", md5(concat_ws(":", col("seq_id"), col("epoch"))))
+    val ranked = graft.operators.Ranking.globalRowNumber(
+      keyed, Seq(col("epoch"), col("__k"), col("seq_id")), "__rn")
+    val base = ranked.groupBy(col("epoch")).agg(min(col("__rn")).as("__mn"))
+    ranked.join(broadcast(base), Seq("epoch"))
+      .select(col("epoch"), col("seq_id"),
+        (col("__rn") - col("__mn")).as("position"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q142_bpe_encode" -> q142,
     "q143_pack_bpe" -> q143,
     "q144_pack_gather" -> q144,
+    "q145_pack_boundaries" -> q145,
+    "q146_epoch_order" -> q146,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -535,6 +606,53 @@ object TrainQueries {
          |SELECT seq_id, CAST(sum(fn) AS BIGINT) AS n_tokens,
          |  string_agg(frag, ' ' ORDER BY tok_start) AS token_ids
          |FROM frag GROUP BY seq_id""".stripMargin,
+    // q145: the q144 fan-out with sequence-LOCAL offsets, boundaries
+    // assembled in stream order
+    "q145_pack_boundaries" ->
+      s"""WITH $bpeEncCtes,
+         |off AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start
+         |  FROM bpe_doc),
+         |fan AS (
+         |  SELECT tok_start, n_tokens,
+         |    unnest(generate_series(tok_start // $packLen,
+         |      (tok_start + n_tokens - 1) // $packLen)) AS s
+         |  FROM off),
+         |frag AS (
+         |  SELECT s AS seq_id,
+         |    greatest(s * $packLen, tok_start) - s * $packLen AS fs,
+         |    least((s + 1) * $packLen, tok_start + n_tokens)
+         |      - greatest(s * $packLen, tok_start) AS fl
+         |  FROM fan)
+         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  string_agg(CAST(fs AS VARCHAR) || ':' || CAST(fl AS VARCHAR),
+         |    ' ' ORDER BY fs) AS boundaries
+         |FROM frag GROUP BY seq_id""".stripMargin,
+    // q146: per-epoch md5 permutation replayed with a window row_number
+    // (single-node DuckDB may use the window Spark must not)
+    "q146_epoch_order" ->
+      s"""WITH $bpeEncCtes,
+         |off AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start
+         |  FROM bpe_doc),
+         |seqs AS (
+         |  SELECT DISTINCT unnest(generate_series(tok_start // $packLen,
+         |    (tok_start + n_tokens - 1) // $packLen)) AS seq_id
+         |  FROM off),
+         |keyed AS (
+         |  SELECT seq_id, epoch,
+         |    md5(CAST(seq_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS k
+         |  FROM seqs, (SELECT unnest([0, 1]) AS epoch))
+         |SELECT CAST(epoch AS BIGINT) AS epoch, seq_id,
+         |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, seq_id) - 1
+         |    AS BIGINT) AS position
+         |FROM keyed""".stripMargin,
     "q51_gopher_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,

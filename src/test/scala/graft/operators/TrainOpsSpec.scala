@@ -224,6 +224,44 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q145 boundaries tile each sequence exactly and agree with q144's " +
+    "token counts; q146 is a fresh permutation per epoch (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val gather = graft.SparkEntry.queries("q144_pack_gather")(spark, sf)
+      .select($"seq_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    val bounds = graft.SparkEntry.queries("q145_pack_boundaries")(spark, sf)
+      .select($"seq_id", $"n_docs", $"boundaries")
+      .as[(Long, Long, String)].collect()
+    assert(bounds.map(_._1).toSet == gather.keySet)
+    bounds.foreach { case (seq, nDocs, b) =>
+      val frags = b.split(" ").map { sl =>
+        val Array(s, l) = sl.split(":"); (s.toLong, l.toLong)
+      }
+      assert(frags.length == nDocs)
+      // fragments tile the sequence contiguously from 0 and sum to the
+      // gathered token count
+      assert(frags.head._1 == 0L)
+      frags.sliding(2).foreach {
+        case Array((s1, l1), (s2, _)) => assert(s2 == s1 + l1, s"seq $seq")
+        case _ =>
+      }
+      assert(frags.map(_._2).sum == gather(seq), s"seq $seq")
+    }
+    val order = graft.SparkEntry.queries("q146_epoch_order")(spark, sf)
+      .select($"epoch", $"seq_id", $"position")
+      .as[(Long, Long, Long)].collect()
+    val byEpoch = order.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.foreach { case (_, rows) =>
+      assert(rows.map(_._2).toSet == gather.keySet)          // every seq once
+      assert(rows.map(_._3).sorted.toSeq == rows.indices.map(_.toLong)) // 0..n-1
+    }
+    // different epochs really reorder (md5 keys differ per epoch)
+    val pos0 = byEpoch(0L).map(r => r._2 -> r._3).toMap
+    val pos1 = byEpoch(1L).map(r => r._2 -> r._3).toMap
+    assert(pos0 != pos1)
+  }
+
   test("tokenOffsets: consumers read the materialized sort — no range exchange in the executed plan") {
     // offset correctness rests on the totals aggregate and the fold
     // consuming the SAME physical partition boundaries. That used to
