@@ -476,4 +476,51 @@ object Bpe {
       }
     }
   }
+
+  /** Detokenize an [[encode]]d id stream back to text — the inspection /
+    * sample-readback stage of a training-data pipeline (and the proof
+    * the frozen id table is invertible). Appends
+    * `n_oov` (count of −1 ids — tokens [[encode]] could not map) and
+    * `decoded` (the reconstructed text: token strings concatenated, the
+    * `</w>` end-of-word marker rendered as a space, each OOV id as a
+    * single `?` — exact because an out-of-vocabulary SYMBOL is always a
+    * single non-alphabet character: merges only ever pair trained
+    * tokens, so a character outside the base alphabet can never be
+    * absorbed into a larger token).
+    *
+    * Round trip: for the whitespace-normalized corpus (words split on
+    * single spaces, empties dropped, re-joined by one space),
+    * `decode(encode(text)) == regexp_replace(norm(text),
+    * '[^alphabet]', '?')` — which is precisely what the DuckDB oracle
+    * computes DIRECTLY from the source text, so the q147 check closes
+    * the loop over the whole encode→decode path rather than replaying
+    * the decode.
+    *
+    * Scale design: pure per-row column expressions — the inverted id
+    * table (fixture-sized, the frozen tokenizer's vocabulary) compiles
+    * into the plan as a literal map; no join, no shuffle, no UDF. The
+    * literal `</w>` cannot collide with text content: `<`, `/`, `>`
+    * are outside the base alphabet, so in token strings the marker
+    * appears only as the trained end-of-word suffix.
+    */
+  def decode(
+      df: DataFrame,
+      idsCol: String,
+      idOf: Map[String, Int],
+      oovMark: String = "?"): DataFrame = {
+    val inv = idOf.toSeq.map { case (t, i) => (i.toLong, t) }.sortBy(_._1)
+    val tokOf = map_from_arrays(
+      lit(inv.map(_._1).toArray), lit(inv.map(_._2).toArray))
+    val toks = transform(
+      split(col(idsCol), " "),
+      s => coalesce(element_at(tokOf, s.cast("long")), lit(oovMark)))
+    df.withColumn(
+        "n_oov",
+        size(filter(split(col(idsCol), " "), s => s === lit("-1")))
+          .cast("long"))
+      .withColumn(
+        "decoded",
+        rtrim(replace(array_join(toks, ""),
+          lit(graft.model.BpeMerges.endWord), lit(" "))))
+  }
 }

@@ -460,12 +460,32 @@ object TrainQueries {
         (col("__rn") - col("__mn")).as("position"))
   }
 
+  /** Encode→decode round trip under the frozen fixture — the
+    * detokenize / sample-readback stage, and the invertibility proof of
+    * the id table: [[graft.operators.Bpe.decode]] reconstructs the text
+    * from q142's id streams (pure literal-map column expressions, no
+    * join), while the DuckDB oracle computes the expected reconstruction
+    * DIRECTLY from the source text (whitespace-normalize, replace
+    * non-alphabet characters with `?`). Equality closes the loop over
+    * the whole encode→decode path: any id-assignment, segmentation,
+    * assembly-order, or OOV-handling defect on either side breaks the
+    * hash match.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.decode(
+      graft.operators.Bpe.encode(
+        Tables.documents(s, d), "doc_id", "text",
+        graft.model.BpeMerges.merges, graft.model.BpeMerges.idOf),
+      "bpe_ids", graft.model.BpeMerges.idOf)
+      .select(col("doc_id"), col("n_oov"), col("decoded"))
+
   val defs: Map[String, Q] = Map(
     "q142_bpe_encode" -> q142,
     "q143_pack_bpe" -> q143,
     "q144_pack_gather" -> q144,
     "q145_pack_boundaries" -> q145,
     "q146_epoch_order" -> q146,
+    "q147_bpe_decode" -> q147,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -653,6 +673,26 @@ object TrainQueries {
          |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, seq_id) - 1
          |    AS BIGINT) AS position
          |FROM keyed""".stripMargin,
+    // q147: the oracle does NOT replay the decode — it computes the
+    // expected reconstruction directly from the source text (normalize
+    // whitespace, replace non-alphabet chars with '?'), so the check
+    // spans the whole Spark-side encode→decode loop. The alphabet class
+    // interpolates from the same BpeMerges object the Scala query
+    // consumes (no metacharacters: the base alphabet is alnum + four
+    // accented letters).
+    "q147_bpe_decode" -> {
+      val alpha = graft.model.BpeMerges.baseAlphabet.mkString
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(regexp_replace(array_to_string(ws, ''),
+         |    '[$alpha]', '', 'g')) AS BIGINT) AS n_oov,
+         |  regexp_replace(array_to_string(ws, ' '),
+         |    '[^$alpha ]', '?', 'g') AS decoded
+         |FROM w WHERE len(ws) > 0""".stripMargin
+    },
     "q51_gopher_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -282,4 +282,35 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     val low = out.find(_._1 == "low lower").get._2
     assert(low.contains("low") || low.contains("lo"))
   }
+
+  test("decode(encode(x)) reconstructs the normalized text under the " +
+    "frozen fixture; OOV symbols render as single '?'") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "the Quick brown  fox", // double space collapses
+      " leading and trailing ", // edge spaces drop
+      "punct,uation! is? oov", // non-alphabet chars -> '?'
+      "naïve café ßöü", // fixture accents in-vocab; ï is OOV
+      "0123 MiXeD 9aZ")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Bpe.decode(
+      Bpe.encode(df, "doc_id", "text",
+        graft.model.BpeMerges.merges, graft.model.BpeMerges.idOf),
+      "bpe_ids", graft.model.BpeMerges.idOf)
+      .select($"doc_id", $"n_oov", $"decoded")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val alpha = graft.model.BpeMerges.baseAlphabet.mkString.toSet
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val words = t.split(" ").filter(_.nonEmpty)
+      val expectDecoded = words.map(_.map(c =>
+        if (alpha.contains(c)) c else '?')).mkString(" ")
+      val expectOov = words.flatten.count(c => !alpha.contains(c)).toLong
+      assert(got(i.toLong) === ((expectOov, expectDecoded)), s"doc $i: '$t'")
+    }
+    // invertibility: zero-OOV docs round-trip EXACTLY (modulo whitespace
+    // normalization) — the id table loses nothing
+    assert(got(4L) === ((0L, "0123 MiXeD 9aZ")))
+  }
 }
