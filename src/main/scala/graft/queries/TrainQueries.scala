@@ -479,6 +479,44 @@ object TrainQueries {
       "bpe_ids", graft.model.BpeMerges.idOf)
       .select(col("doc_id"), col("n_oov"), col("decoded"))
 
+  /** Deterministic training-shard assignment — the file layout a
+    * training job reads: the epoch-0 permutation (q146's md5 order) cut
+    * into `nShards` CONTIGUOUS position ranges, `shard = position ×
+    * nShards DIV total` — balanced to ±1 sequence with no second
+    * shuffle (the shard id is a pure function of the rank), and
+    * resume-friendly: step k of epoch 0 lives at shard `k·S DIV n`,
+    * offset `k − first(shard)`. Per-sequence token counts ride along
+    * (512 for every full sequence, the tail partial on the last) so a
+    * shard's byte budget is auditable from the manifest alone. The
+    * global count attaches as a ONE-ROW broadcast (the q135/q138 scalar
+    * attach — whitelisted in PlanLint, bounded by construction).
+    */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val L = packLen
+    val nShards = 8L
+    val seqTok = Packing.tokenOffsets(bpeSized(s, d), "n_tokens", Seq("doc_id"))
+      .select(
+        expr(s"explode(sequence(tok_start DIV $L, (tok_start + n_tokens - 1) DIV $L))")
+          .as("seq_id"),
+        col("tok_start"), col("n_tokens"))
+      .select(
+        col("seq_id"),
+        (least((col("seq_id") + 1) * L, col("tok_start") + col("n_tokens"))
+          - greatest(col("seq_id") * L, col("tok_start"))).as("__fl"))
+      .groupBy(col("seq_id")).agg(sum(col("__fl")).as("seq_tokens"))
+    val keyed = seqTok
+      .withColumn("__k", md5(concat_ws(":", col("seq_id"), lit(0))))
+    val ranked = graft.operators.Ranking.globalRowNumber(
+      keyed, Seq(col("__k"), col("seq_id")), "__rn")
+    val total = seqTok.agg(count(lit(1)).as("__total"))
+    ranked.crossJoin(broadcast(total))
+      .select(
+        expr(s"(__rn - 1) * $nShards DIV __total").as("shard"),
+        col("seq_id"),
+        (col("__rn") - 1).as("position"),
+        col("seq_tokens"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q142_bpe_encode" -> q142,
     "q143_pack_bpe" -> q143,
@@ -486,6 +524,7 @@ object TrainQueries {
     "q145_pack_boundaries" -> q145,
     "q146_epoch_order" -> q146,
     "q147_bpe_decode" -> q147,
+    "q148_shard_assign" -> q148,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -693,6 +732,37 @@ object TrainQueries {
          |    '[^$alpha ]', '?', 'g') AS decoded
          |FROM w WHERE len(ws) > 0""".stripMargin
     },
+    // q148: replay the contiguous-range sharding — per-sequence token
+    // sums from the q145 fan, the epoch-0 md5 permutation as a window
+    // row_number (single-node DuckDB may use the window Spark must not),
+    // shard = position * 8 // total
+    "q148_shard_assign" ->
+      s"""WITH $bpeEncCtes,
+         |off AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start
+         |  FROM bpe_doc),
+         |fan AS (
+         |  SELECT tok_start, n_tokens,
+         |    unnest(generate_series(tok_start // $packLen,
+         |      (tok_start + n_tokens - 1) // $packLen)) AS s
+         |  FROM off),
+         |seqtok AS (
+         |  SELECT s AS seq_id,
+         |    CAST(sum(least((s + 1) * $packLen, tok_start + n_tokens)
+         |      - greatest(s * $packLen, tok_start)) AS BIGINT) AS seq_tokens
+         |  FROM fan GROUP BY s),
+         |pos AS (
+         |  SELECT seq_id, seq_tokens,
+         |    CAST(row_number() OVER (
+         |      ORDER BY md5(CAST(seq_id AS VARCHAR) || ':0'), seq_id) - 1
+         |      AS BIGINT) AS position,
+         |    CAST(count(*) OVER () AS BIGINT) AS total
+         |  FROM seqtok)
+         |SELECT position * 8 // total AS shard, seq_id, position, seq_tokens
+         |FROM pos""".stripMargin,
     "q51_gopher_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -47,6 +47,9 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     "q129_triangle_approx",  // final ONE-ROW × ONE-ROW attach of the exact
                              // yardstick to the sampled estimate — two
                              // scalar aggregates, bounded by construction
+    "q148_shard_assign",     // ONE-ROW global sequence count broadcast
+                             // against the ranked frame — the q135/q138
+                             // scalar attach, bounded by construction
     "q141_exact_decontam"    // exact decontamination yardstick: corpus ×
                              // broadcast EVAL SET cosine (the q24/q82
                              // brute-force shape; q139 is the scale path)

@@ -262,6 +262,38 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pos0 != pos1)
   }
 
+  test("q148 shards are contiguous position ranges, balanced to ±1, and " +
+    "cover the epoch-0 order exactly (sf0.001)") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q148_shard_assign")(spark, sf)
+      .select($"shard", $"seq_id", $"position", $"seq_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    val n = rows.length
+    // positions are exactly 0..n-1; seq ids unique
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    assert(rows.map(_._2).distinct.length == n)
+    // shard ids follow position order (contiguous ranges), sizes ±1
+    val byShard = rows.groupBy(_._1)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    val sizes = byShard.values.map(_.length).toSeq
+    assert(sizes.max - sizes.min <= 1, sizes.toString)
+    byShard.foreach { case (sh, rs) =>
+      val ps = rs.map(_._3).sorted
+      assert(ps.last - ps.head + 1 == ps.length, s"shard $sh not contiguous")
+    }
+    // shard of a position matches q146 epoch 0: same md5 order
+    val e0 = graft.SparkEntry.queries("q146_epoch_order")(spark, sf)
+      .filter($"epoch" === 0L).select($"seq_id", $"position")
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (_, seq, pos, _) => assert(e0(seq) == pos) }
+    // every sequence except the stream tail (max seq_id) is exactly full
+    val tailSeq = rows.map(_._2).max
+    rows.foreach { case (_, seq, _, tk) =>
+      if (seq != tailSeq) assert(tk == 512L, s"seq $seq has $tk tokens")
+      else assert(tk >= 1L && tk <= 512L)
+    }
+  }
+
   test("tokenOffsets: consumers read the materialized sort — no range exchange in the executed plan") {
     // offset correctness rests on the totals aggregate and the fold
     // consuming the SAME physical partition boundaries. That used to
