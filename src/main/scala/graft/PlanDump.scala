@@ -64,7 +64,10 @@ object PlanDump {
       "q144_pack_gather" -> "materialized training sequences: docs sliced ONCE into covered-sequence fragments (no whole-doc duplication), posexplode, one seq_id shuffle + streaming per-sequence assembly",
       "q138_kn_lm_score" -> "Kneser-Ney LM: one exploded bigram pass (checkpointed) feeds type table; model stats = 3 aggs over the TYPE table + 1-row broadcast; integer score sums",
       "q139_embed_decontam" -> "semantic decontamination: eval probes 4 cells, corpus touched via rank-1 indexed cell only — candidate volume nprobe*|eval|*N/K, never |eval|*N",
-      "q140_ccnet_lm_filter" -> "CCNet filter: target-slice KN model (LEFT-join OOV ladder), global rank via the q136 range-exchange prefix count — no single-partition window, integer 30/40/30 cuts")
+      "q140_ccnet_lm_filter" -> "CCNet filter: target-slice KN model (LEFT-join OOV ladder), global rank via the q136 range-exchange prefix count — no single-partition window, integer 30/40/30 cuts",
+      "q147_bpe_decode" -> "decode round trip: id→token literal map, pure per-row projections over the encode — zero additional shuffles, no join",
+      "q148_shard_assign" -> "training shards: two-pass distributed rank over the md5 order + ONE-ROW broadcast scalar attach, shard id a pure function of the rank",
+      "q149_mix_temperature" -> "temperature mixture: #groups-bounded count collect, broadcast rates join, explode(sequence) copy fan-out — scan-shaped, no corpus shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")

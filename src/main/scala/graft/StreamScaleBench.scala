@@ -186,7 +186,7 @@ object StreamScaleBench {
       R(sec, (nBatch / sec).toLong, idxRows, 0.0)
     }
 
-    import graft.streaming.{AllocationStreaming, EventStreams}
+    import graft.streaming.{AllocationStreaming, EventStreams, PackingStreaming}
     def paths(src: String, n: Int): Seq[(String, () => R)] = Seq(
       "hourly_rollup" -> (() =>
         runStream(src, n, "update", EventStreams.hourlyRollup(_))),
@@ -219,7 +219,19 @@ object StreamScaleBench {
             col("event_id").as("seq"),
             col("value").as("qty"),
             lit(1.0e7).as("cap"))
-            .as[AllocationStreaming.AllocLine]).toDF())))
+            .as[AllocationStreaming.AllocLine]).toDF())),
+      // incremental sequence packing: one "document" per event, ~1000
+      // packing domains, token sizes 1..1000 against the 512 capacity —
+      // same state shape as allocation (2 longs/group) but exercises the
+      // bin-overflow transition on nearly every row
+      "packing_fmgws" -> (() =>
+        runStream(src, n, "append", df => PackingStreaming.greedy(
+          df.select(
+            pmod(col("user_id"), lit(1000L)).as("group"),
+            col("event_id").as("seq"),
+            (pmod(xxhash64(col("event_id")), lit(1000L)) + 1L).as("size"))
+            .as[PackingStreaming.PackDoc],
+          capacity = 512L).toDF())))
 
     // JIT/classload warmup on a small log (untimed)
     val warm = genEvents(20000)

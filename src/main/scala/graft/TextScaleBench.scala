@@ -51,7 +51,13 @@ object TextScaleBench {
       "q142_bpe_encode", "q143_pack_bpe",
       // r13: materialized training sequences (the gather is one more
       // linear pass over the token stream — must stay corpus-linear)
-      "q144_pack_gather")
+      "q144_pack_gather",
+      // the training-input tail stages downstream of the gather:
+      // boundary manifest (q145), epoch order + rank (q146), decode
+      // round trip (q147, pure map over the encode), shard assign (q148,
+      // rank + ONE-ROW scalar attach)
+      "q145_pack_boundaries", "q146_epoch_order",
+      "q147_bpe_decode", "q148_shard_assign")
       // optional subset filter (A/B aid): SPARK_GRAFT_TEXT_ONLY=q133,q134
       .filter(BenchHarness.onlyFilter("SPARK_GRAFT_TEXT_ONLY"))
 

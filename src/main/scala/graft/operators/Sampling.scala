@@ -212,4 +212,64 @@ object Sampling {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
   }
+
+  /** Temperature-balanced mixture WITH REPETITION — the multilingual
+    * `p^α` sampling move (Conneau & Lample 2019 §3.1; also the
+    * domain-mixing step of most LLM data recipes): reshape the corpus so
+    * group g's share of the output is `n_g^α / Σ n_h^α` while keeping
+    * the total document budget at N. Unlike [[mixToTarget]] (pure
+    * downsample to exact proportions), low-resource groups are
+    * UPSAMPLED by fractional repetition: every document of group g gets
+    * `floor(r_g)` copies plus one more iff `md5Uniform(id) < frac(r_g)`
+    * where `r_g = N·share_g / n_g` — so the expected group sizes hit the
+    * temperature shares exactly, repetition is spread evenly over the
+    * group (never "the same doc N times while its sibling appears
+    * once"), and the output is a pure function of the data: no RNG
+    * state, reproducible across runs, engines, and partitionings.
+    *
+    * Cross-engine determinism discipline: `r_g` is grid-rounded to 1e-6
+    * (the repo's `floor(x·1e6 + 0.50001)/1e6` helper) so an oracle
+    * recomputing it from the same counts — sqrt/pow and a few-term sum,
+    * each within ulps across engines — lands on the SAME double; `base`
+    * and `frac` then derive from that identical value, and the md5 gate
+    * compares identical doubles on both sides.
+    *
+    * Scale design: one combinable count per group (collected —
+    * #groups-bounded, the [[mixToTarget]] pattern), rates broadcast
+    * back, copies materialized by `explode(sequence(1, n_copies))` —
+    * a pure scan-shaped pass, no corpus shuffle; `n_copies` is bounded
+    * by `ceil(max r_g)`, itself bounded by N/n_min at α=0 and 1 at α=1.
+    *
+    * @param alpha temperature in [0, 1]: 1 = natural proportions
+    *              (every r_g = 1), 0 = uniform across groups
+    * @param copyCol appended 1-based copy index (1 = the original)
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double = 0.5,
+      copyCol: String = "copy"): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.50001) / 1e6
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .as[(String, Long)].collect().sortBy(_._1) // deterministic sum order
+    if (counts.isEmpty) return df.withColumn(copyCol, lit(1L)).limit(0)
+    val total = counts.map(_._2).sum
+    val wSum = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val rates = counts.toSeq.map { case (g, n) =>
+      val r = r6d(total * math.pow(n.toDouble, alpha) / (wSum * n))
+      (g, math.floor(r).toLong, r - math.floor(r))
+    }.toDF(groupCol, "__base", "__frac")
+    df.join(broadcast(rates), Seq(groupCol))
+      .withColumn("__copies",
+        col("__base") +
+          when(md5Uniform(col(idCol)) < col("__frac"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .select(
+        (df.columns.map(col) :+
+          explode(sequence(lit(1L), col("__copies"))).as(copyCol)): _*)
+  }
 }

@@ -517,6 +517,18 @@ object TrainQueries {
         col("seq_tokens"))
   }
 
+  /** Temperature-balanced language mixture at α = 0.5 (`p^α` sampling
+    * with repetition — see [[Sampling.temperatureMix]]): English (the
+    * majority class) downsamples, the low-resource languages upsample by
+    * fractional repetition, total budget stays ≈ N. The oracle replays
+    * the whole computation — counts, sqrt shares, grid-rounded rates,
+    * md5 fractional gate, copy fan-out — from the parquet table.
+    */
+  private def q149(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureMix(
+      Tables.documents(s, d).select("doc_id", "lang"),
+      "doc_id", "lang", alpha = 0.5)
+
   val defs: Map[String, Q] = Map(
     "q142_bpe_encode" -> q142,
     "q143_pack_bpe" -> q143,
@@ -525,6 +537,7 @@ object TrainQueries {
     "q146_epoch_order" -> q146,
     "q147_bpe_decode" -> q147,
     "q148_shard_assign" -> q148,
+    "q149_mix_temperature" -> q149,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -763,6 +776,26 @@ object TrainQueries {
          |  FROM seqtok)
          |SELECT position * 8 // total AS shard, seq_id, position, seq_tokens
          |FROM pos""".stripMargin,
+    // q149: full replay of the temperature mix — per-lang counts, sqrt
+    // shares, the SAME 1e-6 grid rounding of the rate (sqrt/division
+    // agree across engines within ulps; the grid makes the resulting
+    // doubles IDENTICAL), the md5 fractional-copy gate (q57's md5
+    // replay), and the copy fan-out
+    "q149_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n) AS total, sum(sqrt(n)) AS sw FROM c),
+        |r AS (SELECT lang,
+        |  floor((total * sqrt(n) / (sw * n)) * 1000000 + 0.50001) / 1000000
+        |    AS rate
+        |  FROM c, t),
+        |g AS (SELECT d.doc_id, d.lang,
+        |  CAST(floor(rate) AS BIGINT) + CASE WHEN
+        |    CAST(CAST(CONCAT('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0
+        |    < rate - floor(rate) THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN r USING (lang))
+        |SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
+        |FROM g WHERE copies > 0""".stripMargin,
     "q51_gopher_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,

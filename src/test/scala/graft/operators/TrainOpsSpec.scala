@@ -561,6 +561,40 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.toSet == again.toSet)     // deterministic
   }
 
+  test("temperatureMix: alpha=1 is the identity mixture; alpha=0.5 " +
+    "upsamples the scarce group by fractional repetition, deterministically") {
+    val docs = ((1L to 80L).map(i => (i, "en")) ++
+      (81L to 100L).map(i => (i, "fr")))
+      .toDF("doc_id", "lang")
+    // alpha=1: natural proportions — every rate is exactly 1.0, output
+    // == input with copy=1
+    val nat = Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 1.0)
+      .as[(Long, String, Long)].collect()
+    assert(nat.length == 100 && nat.forall(_._3 == 1L))
+    // alpha=0.5: w = (sqrt80, sqrt20), shares (2/3, 1/3); rates
+    // r_en = 100*(2/3)/80 = 0.8333 (downsample), r_fr = 100*(1/3)/20
+    // = 1.6667 (upsample): every fr doc appears 1 or 2 times, every en
+    // doc 0 or 1 — repetition is spread, never concentrated
+    val out = Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
+      .as[(Long, String, Long)].collect()
+    val perDoc = out.groupBy(_._1).view.mapValues(_.length).toMap
+    (81L to 100L).foreach(i => assert(Seq(1, 2).contains(perDoc(i))))
+    (1L to 80L).foreach(i => assert(perDoc.getOrElse(i, 0) <= 1))
+    // copy indices are 1..n per doc
+    out.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // expected sizes land near the temperature shares (md5 gate, ±)
+    val by = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by("fr") >= 28 && by("fr") <= 40)  // E = 33.3
+    assert(by("en") >= 58 && by("en") <= 74)  // E = 66.7
+    // pure function of the data
+    val again = Sampling.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
+      .as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._3)).toSeq)
+  }
+
   test("exact dedup end-to-end: one survivor (min id) per near-dup cluster") {
     val t1 = "alpha beta gamma delta eps zeta eta theta iota kappa"
     val t2 = "one two three four five six seven eight nine ten"
