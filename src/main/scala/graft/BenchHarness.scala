@@ -111,4 +111,47 @@ object BenchHarness {
     */
   def dropCheckpointBlocks(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+
+  /** Quiesce the async cleanup between timed windows — the 2M-doc
+    * TEXTSCALE finding (r13): `System.gc()` between queries enqueues the
+    * PREVIOUS query's shuffle-file unlinks and broadcast removals on the
+    * ContextCleaner's own thread, and at 2M docs that is tens of GB of
+    * deletion I/O landing INSIDE the next query's timed window —
+    * measured 3×: q142 isolated 45 s, 138 s when one q133 (490M-row
+    * digest sort, ~30 GB spilled shuffle) precedes it; at 1M docs the
+    * same echo was only ~12%, which is why the r12 discipline
+    * (unpersist + gc, no drain) looked sufficient. There is no public
+    * drain API, so this polls the JVM-tmpdir Spark scratch dirs
+    * ("blockmgr-" and "spark-" prefixed) until their total size is
+    * stable across two 500 ms samples — i.e. the unlink storm has
+    * finished — with a bounded wait, then collects once more for
+    * stragglers whose weak refs surfaced during the poll. Call OUTSIDE
+    * the timed window.
+    */
+  def quiesce(spark: SparkSession, timeoutMs: Long = 120000L): Unit = {
+    dropCheckpointBlocks(spark)
+    def scratchBytes: Long = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(walk).sum
+      Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory &&
+          (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-")))
+        .map(walk).sum
+    }
+    val t0 = System.currentTimeMillis()
+    var rounds = 0
+    while (rounds < 2 && System.currentTimeMillis() - t0 < timeoutMs) {
+      System.gc()
+      var prev = -1L
+      var cur = scratchBytes
+      while (cur != prev && System.currentTimeMillis() - t0 < timeoutMs) {
+        Thread.sleep(500)
+        prev = cur
+        cur = scratchBytes
+      }
+      rounds += 1
+    }
+  }
 }

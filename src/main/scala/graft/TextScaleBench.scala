@@ -98,21 +98,18 @@ object TextScaleBench {
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
-      // drop lingering localCheckpoint blocks between queries, outside
-      // the timed window (BenchHarness.dropCheckpointBlocks; measured
-      // ~1.5-2x inflation on untouched queries at the 200k point)
-      BenchHarness.dropCheckpointBlocks(spark)
-      // drive the ContextCleaner: shuffle files, broadcasts, and
-      // checkpoint block metadata of the PREVIOUS query are only
-      // released on driver GC. Without an explicit collection the
-      // in-sweep JVM either OOMs (8g: dead state from 12 earlier
-      // queries + a 123M-row sort) or, given a 24g heap, survives but
-      // times every big sort 2× slower than isolated runs (GC churn on
-      // ~never-collected garbage: q133 at 500k read 93.5 s isolated at
-      // 24g vs 47.3 s at 8g). One System.gc() between queries — outside
-      // the timed window — keeps the fast small-heap regime AND the
-      // sweep alive.
-      System.gc()
+      // Between queries, OUTSIDE the timed window: unpersist lingering
+      // localCheckpoint blocks (r11: ~1.5-2× inflation on untouched
+      // queries at 200k without it), force the collection that keeps the
+      // 8g sweep heap alive (r12: without it the JVM OOMs, or at 24g
+      // times every big sort 2× slower from churn on ~never-collected
+      // garbage), AND — the 2M-doc find — WAIT for the ContextCleaner's
+      // async shuffle-file unlink storm to drain: the gc enqueues the
+      // previous query's tens-of-GB cleanup on the cleaner thread, and
+      // at 2M docs that I/O landed inside the NEXT query's window
+      // (q142: 45 s isolated, 138 s after one q133). quiesce polls the
+      // scratch dirs to stability; see its scaladoc.
+      BenchHarness.quiesce(spark)
       s
     }
 
