@@ -28,36 +28,32 @@ object TextScaleBench {
     // shared measurement session + SPARK_GRAFT_SQLCONF A/B plumbing
     val spark = BenchHarness.session()
 
-    val queries = Seq("q101_bm25_topk", "q102_inverted_index",
+    // ORDERED LIGHT → HEAVY at each point, the biggest spillers LAST
+    // (r13 2M-doc finding): even with BenchHarness.quiesce draining the
+    // cleaner's unlink storm, a query that follows the two giant digest
+    // sorters back-to-back still pays residual post-spill JVM/OS state —
+    // q135 measured 66 s isolated, 105 s after ONE heavy (q134), 215 s
+    // after both (q133+q134, ~590 s of spill) — while a LIGHT query in
+    // between fully decays it (q136/q138/q142 after the fix matched
+    // their isolated bands in the same sweep). Running spillers last
+    // means nothing is downstream of them to contaminate; within the
+    // non-spilling prefix, adjacency effects are inside run-to-run
+    // noise. Family groupings below are kept within cost tiers.
+    val queries = Seq(
+      // tier 1: sub-linear / tiny working sets
+      "q136_pack_offsets", "q101_bm25_topk",
+      // tier 2: one to two corpus passes, modest shuffles
       "q105_span_dedup", "q42_tfidf_top_term",
-      // r10 additions: truncated RRF (the heap-based arm must stay
-      // linear where q104's full ranking pays the range exchange) and
-      // exact substring dedup (one digest shuffle + per-doc merge)
-      "q132_hybrid_rrf_topk", "q133_dup_substr_spans",
-      // r11: the span-cut apply stage (same digest shuffle + a keeper
-      // rank, then a co-partitioned stitch join back to the corpus),
-      // DSIR selection (two corpus passes + a 1024-bucket broadcast),
-      // and concat-and-split packing (the two-pass distributed token
-      // scan — per-partition totals prefix-summed, NO global window)
-      "q134_dup_substr_cut", "q135_dsir_select", "q136_pack_offsets",
-      // r11b: interpolated Kneser-Ney scoring (model stats are
-      // TYPE-table-sized aggs; the corpus pays two exploded passes)
-      // and the CCNet cross-corpus filter (target-slice model + the
-      // q136 range-exchange global rank)
-      "q138_kn_lm_score", "q140_ccnet_lm_filter",
-      // r12: frozen-BPE encode (dictionary segmentation + shuffle-hash
-      // join back — cost should track DISTINCT words, ~5k here, plus
-      // the corpus join) and packing over its real token counts
       "q142_bpe_encode", "q143_pack_bpe",
-      // r13: materialized training sequences (the gather is one more
-      // linear pass over the token stream — must stay corpus-linear)
-      "q144_pack_gather",
-      // the training-input tail stages downstream of the gather:
-      // boundary manifest (q145), epoch order + rank (q146), decode
-      // round trip (q147, pure map over the encode), shard assign (q148,
-      // rank + ONE-ROW scalar attach)
       "q145_pack_boundaries", "q146_epoch_order",
-      "q147_bpe_decode", "q148_shard_assign")
+      "q147_bpe_decode", "q148_shard_assign",
+      "q102_inverted_index", "q132_hybrid_rrf_topk",
+      // tier 3: exploded-bigram passes / gather (larger shuffles,
+      // still linear)
+      "q135_dsir_select", "q144_pack_gather",
+      "q138_kn_lm_score", "q140_ccnet_lm_filter",
+      // tier 4: the giant digest sorters — LAST, nothing downstream
+      "q133_dup_substr_spans", "q134_dup_substr_cut")
       // optional subset filter (A/B aid): SPARK_GRAFT_TEXT_ONLY=q133,q134
       .filter(BenchHarness.onlyFilter("SPARK_GRAFT_TEXT_ONLY"))
 
