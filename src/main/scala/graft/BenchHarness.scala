@@ -121,37 +121,65 @@ object BenchHarness {
     * digest sort, ~30 GB spilled shuffle) precedes it; at 1M docs the
     * same echo was only ~12%, which is why the r12 discipline
     * (unpersist + gc, no drain) looked sufficient. There is no public
-    * drain API, so this polls the JVM-tmpdir Spark scratch dirs
-    * ("blockmgr-" and "spark-" prefixed) until their total size is
-    * stable across two 500 ms samples — i.e. the unlink storm has
-    * finished — with a bounded wait, then collects once more for
-    * stragglers whose weak refs surfaced during the poll. Call OUTSIDE
-    * the timed window.
+    * drain API, so this polls THIS SESSION's scratch dirs — the block
+    * manager's local dirs (via reflection on `SparkEnv`, the only route
+    * to `DiskBlockManager.localDirs`; falls back to the JVM-tmpdir
+    * "blockmgr-"/"spark-" walk if the private API moved) — until their
+    * total size holds for TWO consecutive 500 ms samples, with a
+    * bounded wait, then collects once more for stragglers whose weak
+    * refs surfaced during the poll. Restricting the walk to our own
+    * dirs matters on a shared bench host: another Spark process's
+    * scratch churn under the same tmpdir would otherwise keep the
+    * global size unstable and stall every between-query gap to the
+    * full timeout (r13 ADVICE). Call OUTSIDE the timed window.
     */
   def quiesce(spark: SparkSession, timeoutMs: Long = 120000L): Unit = {
     dropCheckpointBlocks(spark)
-    def scratchBytes: Long = {
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
-      def walk(f: java.io.File): Long =
-        if (f.isFile) f.length
-        else Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(walk).sum
-      Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory &&
-          (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-")))
-        .map(walk).sum
-    }
+    val roots = ownScratchDirs()
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(walk).sum
+    def scratchBytes: Long = roots.map(walk).sum
     val t0 = System.currentTimeMillis()
     var rounds = 0
     while (rounds < 2 && System.currentTimeMillis() - t0 < timeoutMs) {
       System.gc()
       var prev = -1L
       var cur = scratchBytes
-      while (cur != prev && System.currentTimeMillis() - t0 < timeoutMs) {
+      var stable = 0
+      // stability = the size unchanged across TWO consecutive samples
+      while (stable < 2 && System.currentTimeMillis() - t0 < timeoutMs) {
         Thread.sleep(500)
         prev = cur
         cur = scratchBytes
+        if (cur == prev) stable += 1 else stable = 0
       }
       rounds += 1
     }
   }
+
+  /** This JVM's Spark scratch roots. `DiskBlockManager.localDirs` (the
+    * dirs shuffle files, spilled sorts, and disk-persisted blocks land
+    * in) is `private[spark]`, so it is read reflectively off the
+    * active `SparkEnv`; any failure falls back to the old global
+    * tmpdir prefix walk (over-approximates on a shared host, never
+    * under-approximates).
+    */
+  private def ownScratchDirs(): Seq[java.io.File] =
+    try {
+      val env = org.apache.spark.SparkEnv.get
+      val bm = env.getClass.getMethod("blockManager").invoke(env)
+      val dbm = bm.getClass.getMethod("diskBlockManager").invoke(bm)
+      val dirs = dbm.getClass.getMethod("localDirs").invoke(dbm)
+        .asInstanceOf[Array[java.io.File]]
+      require(dirs.nonEmpty)
+      dirs.toSeq
+    } catch {
+      case _: Throwable =>
+        val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+        Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory &&
+            (f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-")))
+          .toSeq
+    }
 }

@@ -240,6 +240,14 @@ object Sampling {
     * a pure scan-shaped pass, no corpus shuffle; `n_copies` is bounded
     * by `ceil(max r_g)`, itself bounded by N/n_min at α=0 and 1 at α=1.
     *
+    * Group-key typing: counts collect as raw `Row`s and the rate frame
+    * is rebuilt under the INPUT's own group-column type (r13 ADVICE —
+    * the old `.as[(String, Long)]` cast failed at runtime for any
+    * non-string group key, an int language id being the obvious one).
+    * NULL group keys are rejected up front with a loud `require`: a
+    * null would silently vanish in the rate equi-join, which is a data
+    * bug to surface, not a row to drop.
+    *
     * @param alpha temperature in [0, 1]: 1 = natural proportions
     *              (every r_g = 1), 0 = uniform across groups
     * @param copyCol appended 1-based copy index (1 = the original)
@@ -253,16 +261,29 @@ object Sampling {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
     def r6d(x: Double): Double = math.floor(x * 1e6 + 0.50001) / 1e6
     val spark = df.sparkSession
-    import spark.implicits._
+    // native-typed group keys, deterministic sum order via string render
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
-      .as[(String, Long)].collect().sortBy(_._1) // deterministic sum order
+      .collect().map(r => (r.get(0), r.getLong(1)))
+      .sortBy { case (g, _) => String.valueOf(g) }
+    require(counts.forall(_._1 != null),
+      s"temperatureMix: null $groupCol key — a null group would " +
+        "silently drop in the rate join; clean or coalesce it upstream")
     if (counts.isEmpty) return df.withColumn(copyCol, lit(1L)).limit(0)
     val total = counts.map(_._2).sum
     val wSum = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
-    val rates = counts.toSeq.map { case (g, n) =>
+    val gField = df.schema(df.schema.fieldIndex(groupCol))
+    val rateSchema = org.apache.spark.sql.types.StructType(Seq(
+      gField.copy(name = groupCol),
+      org.apache.spark.sql.types.StructField(
+        "__base", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__frac", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rateRows = counts.toSeq.map { case (g, n) =>
       val r = r6d(total * math.pow(n.toDouble, alpha) / (wSum * n))
-      (g, math.floor(r).toLong, r - math.floor(r))
-    }.toDF(groupCol, "__base", "__frac")
+      org.apache.spark.sql.Row(g, math.floor(r).toLong, r - math.floor(r))
+    }
+    val rates = spark.createDataFrame(
+      spark.sparkContext.parallelize(rateRows, 1), rateSchema)
     df.join(broadcast(rates), Seq(groupCol))
       .withColumn("__copies",
         col("__base") +

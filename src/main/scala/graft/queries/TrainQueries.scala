@@ -494,6 +494,10 @@ object TrainQueries {
   private def q148(s: SparkSession, d: String): DataFrame = {
     val L = packLen
     val nShards = 8L
+    // localCheckpoint: seqTok feeds TWO consumers (the ranked frame and
+    // the 1-row total) — unpinned, the explode fan-out + seq_id groupBy
+    // over the offsets frame would execute twice (r13 ADVICE; the
+    // globalRowNumber pin discipline)
     val seqTok = Packing.tokenOffsets(bpeSized(s, d), "n_tokens", Seq("doc_id"))
       .select(
         expr(s"explode(sequence(tok_start DIV $L, (tok_start + n_tokens - 1) DIV $L))")
@@ -504,6 +508,7 @@ object TrainQueries {
         (least((col("seq_id") + 1) * L, col("tok_start") + col("n_tokens"))
           - greatest(col("seq_id") * L, col("tok_start"))).as("__fl"))
       .groupBy(col("seq_id")).agg(sum(col("__fl")).as("seq_tokens"))
+      .localCheckpoint(true)
     val keyed = seqTok
       .withColumn("__k", md5(concat_ws(":", col("seq_id"), lit(0))))
     val ranked = graft.operators.Ranking.globalRowNumber(

@@ -25,6 +25,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the same contract as [[AllocationStreaming]], and the reason the
   * output is reproducible when the upstream feeds deterministic files
   * per trigger.
+  *
+  * The two-longs claim covers the STATE STORE only: within a trigger,
+  * [[greedy]] buffers and sorts each group's micro-batch rows
+  * (`rows.toSeq.sortBy`) because `flatMapGroupsWithState` guarantees no
+  * iterator order — per-trigger memory is O(largest group's rows in
+  * the batch), unbounded for a skewed group under an unbounded trigger.
+  * The sort is unavoidable (state transitions must apply in `seq`
+  * order); production feeds bound it with trigger sizing
+  * (`maxFilesPerTrigger` / `maxOffsetsPerTrigger`), which is also what
+  * [[graft.StreamScaleBench]] measures.
   */
 object PackingStreaming {
 

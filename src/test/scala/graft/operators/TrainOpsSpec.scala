@@ -595,6 +595,23 @@ class TrainOpsSpec extends AnyFunSuite with SparkTestBase {
       again.sortBy(r => (r._1, r._3)).toSeq)
   }
 
+  test("temperatureMix: non-string group keys work; null keys are " +
+    "rejected loudly instead of silently dropping in the rate join") {
+    // int language id — the r13 ADVICE case: the old (String, Long)
+    // encoder cast failed at runtime for any non-string group column
+    val intKeyed = ((1L to 80L).map(i => (i, 1)) ++
+      (81L to 100L).map(i => (i, 2))).toDF("doc_id", "lang_id")
+    val out = Sampling.temperatureMix(intKeyed, "doc_id", "lang_id", alpha = 1.0)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 100 && out.forall(_._3 == 1L))
+    val withNull = Seq((1L, Some("en")), (2L, None), (3L, Some("fr")))
+      .toDF("doc_id", "lang")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(withNull, "doc_id", "lang", alpha = 0.5).collect()
+    }
+    assert(ex.getMessage.contains("null"))
+  }
+
   test("exact dedup end-to-end: one survivor (min id) per near-dup cluster") {
     val t1 = "alpha beta gamma delta eps zeta eta theta iota kappa"
     val t2 = "one two three four five six seven eight nine ten"
