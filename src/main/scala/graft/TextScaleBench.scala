@@ -53,9 +53,29 @@ object TextScaleBench {
       "q135_dsir_select", "q144_pack_gather",
       "q138_kn_lm_score", "q140_ccnet_lm_filter",
       // tier 4: the giant digest sorters — LAST, nothing downstream
-      "q133_dup_substr_spans", "q134_dup_substr_cut")
+      "q133_dup_substr_spans", "q134_dup_substr_cut",
+      // the fused lineage contains the q134 digest sort, so it is a
+      // tier-4 spiller too and runs at the very end
+      "fused_pipeline")
       // optional subset filter (A/B aid): SPARK_GRAFT_TEXT_ONLY=q133,q134
       .filter(BenchHarness.onlyFilter("SPARK_GRAFT_TEXT_ONLY"))
+
+    // The fused curation lineage (q150) on a TEXT-ONLY corpus: the
+    // sweep's synthetic tables carry no embedding table or frozen
+    // codebook, so the semantic-decontamination stage is skipped
+    // (decontam = None — the documented text-only arm). The
+    // fused-vs-sum-of-stages comparison reads this row against
+    // q134 + q142 + q144 + q148 at the same point: the fused run
+    // re-reads no intermediate from parquet, so it must come in at or
+    // under the sum.
+    val extraArms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("fused_pipeline" -> ((s: SparkSession, dir: String) =>
+        graft.operators.CurationPipeline.curateToShards(
+          Tables.documents(s, dir), "doc_id", "text", decontam = None,
+          merges = graft.model.BpeMerges.merges,
+          idOf = graft.model.BpeMerges.idOf)))
+    def queryFn(q: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      extraArms.getOrElse(q, SparkEntry.queries(q))
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"
@@ -112,7 +132,7 @@ object TextScaleBench {
     // warmup JIT on the smallest corpus
     val warmDir = gen(sizes.head)
     queries.foreach(q =>
-      SparkEntry.queries(q)(spark, warmDir)
+      queryFn(q)(spark, warmDir)
         .write.format("noop").mode("overwrite").save())
 
     val points = sizes.map { n =>
@@ -131,7 +151,7 @@ object TextScaleBench {
         if (n >= 500000) "1024" else "2000000")
       val times = queries.map { q =>
         System.err.println(s"[textscale] running $q @ $n")
-        q -> time(SparkEntry.queries(q)(spark, dir)
+        q -> time(queryFn(q)(spark, dir)
           .write.format("noop").mode("overwrite").save())
       }
       (n, times)

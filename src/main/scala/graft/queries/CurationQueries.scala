@@ -325,56 +325,11 @@ object CurationQueries {
         |  max(pos) + 49 - min(pos) + 1 AS span_len
         |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "q134_dup_substr_cut" ->
-      """WITH w AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
-        |    unhex(md5(substring(text, CAST(i AS INTEGER), 50))) AS h
-        |  FROM documents, unnest(range(1, length(text) - 50 + 2)) AS t(i)
-        |  WHERE length(text) >= 50),
-        |d AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos,
-        |      count(*) OVER (PARTITION BY h) AS cnt,
-        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
-        |    FROM w)
-        |  WHERE cnt >= 2 AND rk > 1),
-        |g AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 50
-        |      THEN 1 ELSE 0 END AS gap
-        |  FROM d),
-        |isl AS (
-        |  SELECT doc_id, pos,
-        |    sum(gap) OVER (PARTITION BY doc_id ORDER BY pos
-        |      ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM g),
-        |cuts AS (
-        |  SELECT doc_id, min(pos) AS s, max(pos) + 49 AS e
-        |  FROM isl GROUP BY doc_id, grp),
-        |stats AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_cut,
-        |    CAST(sum(e - s + 1) AS BIGINT) AS n_chars_cut
-        |  FROM cuts GROUP BY doc_id),
-        |kept AS (
-        |  SELECT doc_id,
-        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
-        |    s - 1 AS ke
-        |  FROM cuts
-        |  UNION ALL
-        |  SELECT c.doc_id, max(c.e) + 1 AS ks, any_value(length(t.text)) AS ke
-        |  FROM cuts c JOIN documents t USING (doc_id) GROUP BY c.doc_id),
-        |stitched AS (
-        |  SELECT k.doc_id,
-        |    string_agg(substring(t.text, ks, ke - ks + 1), '' ORDER BY ks) AS txt
-        |  FROM kept k JOIN documents t USING (doc_id)
-        |  WHERE ke >= ks GROUP BY k.doc_id)
-        |SELECT d.doc_id,
-        |  CASE WHEN st.doc_id IS NULL THEN d.text
-        |       ELSE coalesce(s2.txt, '') END AS text_dedup,
-        |  coalesce(st.n_spans_cut, 0) AS n_spans_cut,
-        |  coalesce(st.n_chars_cut, 0) AS n_chars_cut
-        |FROM documents d
-        |LEFT JOIN stats st ON st.doc_id = d.doc_id
-        |LEFT JOIN stitched s2 ON s2.doc_id = d.doc_id""".stripMargin,
+      // shared CTE chain with the fused pipeline q150 (CutOracleSql —
+      // the factored-prefix rule: one replay spelling, two consumers)
+      s"""WITH ${CutOracleSql.ctes(minLen = 50)}
+         |SELECT doc_id, text AS text_dedup, n_spans_cut, n_chars_cut
+         |FROM cutdocs""".stripMargin,
     "q119_url_canonical" ->
       // independent canonicalization: regexp surgery on the raw string
       // (DuckDB has no parse_url), same rules

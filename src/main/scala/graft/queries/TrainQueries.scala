@@ -534,6 +534,31 @@ object TrainQueries {
       Tables.documents(s, d).select("doc_id", "lang"),
       "doc_id", "lang", alpha = 0.5)
 
+  /** The FUSED end-to-end curation lineage (r13 verdict #1) — the six
+    * per-stage queries run as ONE job:
+    * exact-substring cut (q134) → Gopher gate (q51) → semantic
+    * decontamination (q139, IVF-blocked, eval = doc_id % 25) → BPE
+    * encode (q142, frozen fixture) → sequence gather (q144) → epoch-0
+    * shard manifest (q148 + `ids_md5` pinning every sequence's
+    * CONTENT). Every interface the isolated queries never exercised is
+    * on the hook here: cut text re-entering the encode contract through
+    * the gate's 20-word floor, survivorship feeding the offsets' total
+    * order, three stacked eager-checkpoint stages in one lineage. The
+    * oracle is the composed CTE chain of the SAME per-stage builders
+    * (CutOracleSql / BlockingOracleSql / bpeEncCtes / the q144+q148
+    * fan), so neither side can drift from its per-stage spelling.
+    */
+  private def q150(s: SparkSession, d: String): DataFrame =
+    graft.operators.CurationPipeline.curateToShards(
+      Tables.documents(s, d),
+      "doc_id", "text",
+      decontam = Some((
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        graft.model.IvfCentroids.blockingFor(s, d))),
+      merges = graft.model.BpeMerges.merges,
+      idOf = graft.model.BpeMerges.idOf,
+      seqLen = packLen)
+
   val defs: Map[String, Q] = Map(
     "q142_bpe_encode" -> q142,
     "q143_pack_bpe" -> q143,
@@ -543,6 +568,7 @@ object TrainQueries {
     "q147_bpe_decode" -> q147,
     "q148_shard_assign" -> q148,
     "q149_mix_temperature" -> q149,
+    "q150_curation_pipeline" -> q150,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -582,8 +608,13 @@ object TrainQueries {
     * ends or begins with `l`). `#` never occurs in corpus tokens
     * (alphabet [a-z0-9]; words split on spaces) — an oracle-side
     * assumption only, the Scala operator works on symbol arrays.
+    *
+    * `src` parameterizes the corpus CTE the encode replays over
+    * (default the raw `documents` table; q150 feeds the curated
+    * survivor set) — one builder, every consumer, the factored-prefix
+    * rule.
     */
-  private def bpeEncCtes: String = {
+  private def bpeEncCtes(src: String = "documents"): String = {
     val sep = "#"
     // DuckDB's binder caps expression-tree recursion at 128, so a
     // production-sized merge table CANNOT nest as one replace chain
@@ -608,7 +639,7 @@ object TrainQueries {
        |    SELECT doc_id,
        |      unnest(string_split(text, ' ')) AS w,
        |      unnest(range(len(string_split(text, ' ')))) AS pos
-       |    FROM documents) t
+       |    FROM $src) t
        |  WHERE length(w) > 0),
        |bpe_vocab(tok, tid) AS (VALUES $vocabRows),
        |bpe_c_base AS MATERIALIZED (
@@ -637,12 +668,12 @@ object TrainQueries {
 
   val oracles: Map[String, String] = Map(
     "q142_bpe_encode" ->
-      s"""WITH $bpeEncCtes
+      s"""WITH ${bpeEncCtes()}
          |SELECT doc_id, n_tokens, bpe_ids FROM bpe_doc""".stripMargin,
     // q143: the q136 window-replay discipline — the oracle MAY use the
     // single-partition window Spark must not (DuckDB is single-node)
     "q143_pack_bpe" ->
-      s"""WITH $bpeEncCtes,
+      s"""WITH ${bpeEncCtes()},
          |off AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
@@ -659,7 +690,7 @@ object TrainQueries {
     // doc out over its covered sequences, list_slice the id stream to the
     // fragment, reassemble per sequence in stream (tok_start) order
     "q144_pack_gather" ->
-      s"""WITH $bpeEncCtes,
+      s"""WITH ${bpeEncCtes()},
          |off AS (
          |  SELECT doc_id, n_tokens, bpe_ids,
          |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
@@ -686,7 +717,7 @@ object TrainQueries {
     // q145: the q144 fan-out with sequence-LOCAL offsets, boundaries
     // assembled in stream order
     "q145_pack_boundaries" ->
-      s"""WITH $bpeEncCtes,
+      s"""WITH ${bpeEncCtes()},
          |off AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
@@ -711,7 +742,7 @@ object TrainQueries {
     // q146: per-epoch md5 permutation replayed with a window row_number
     // (single-node DuckDB may use the window Spark must not)
     "q146_epoch_order" ->
-      s"""WITH $bpeEncCtes,
+      s"""WITH ${bpeEncCtes()},
          |off AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
@@ -755,7 +786,7 @@ object TrainQueries {
     // row_number (single-node DuckDB may use the window Spark must not),
     // shard = position * 8 // total
     "q148_shard_assign" ->
-      s"""WITH $bpeEncCtes,
+      s"""WITH ${bpeEncCtes()},
          |off AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
@@ -801,6 +832,83 @@ object TrainQueries {
         |  FROM documents d JOIN r USING (lang))
         |SELECT doc_id, lang, unnest(generate_series(1, copies)) AS copy
         |FROM g WHERE copies > 0""".stripMargin,
+    // q150: the composed chain of the per-stage oracle builders — cut
+    // (CutOracleSql, = q134), Gopher gate on the CUT text (the q51
+    // thresholds), q139's rank-1-cell/4-probe decontamination restricted
+    // to gate survivors (BlockingOracleSql prefix), BPE encode over the
+    // survivor corpus (bpeEncCtes(src)), the q144 gather fan, and the
+    // q148 md5 permutation + contiguous shard cut. DuckDB may use the
+    // single-node windows Spark must not (the standing oracle license).
+    "q150_curation_pipeline" ->
+      s"""WITH ${CutOracleSql.ctes(minLen = 50)},
+         |gt AS (
+         |  SELECT doc_id, text,
+         |    len($duckToks) AS n_words,
+         |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS n_nonspace,
+         |    len(list_intersect(list_distinct($duckToks),
+         |        ['the', 'a', 'and', 'of', 'to'])) AS stop_hits
+         |  FROM cutdocs),
+         |gated AS MATERIALIZED (
+         |  SELECT doc_id, text FROM gt
+         |  WHERE n_words BETWEEN 20 AND 90
+         |    AND (CASE WHEN n_words = 0 THEN 0.0
+         |         ELSE CAST(n_nonspace AS DOUBLE) / n_words END)
+         |        BETWEEN 3.0 AND 4.6
+         |    AND stop_hits >= 1),
+         |${BlockingOracleSql.assignPrefix(nprobe = 4)},
+         |assign AS MATERIALIZED (
+         |  SELECT vec_id, cpos AS cell FROM (
+         |    SELECT vec_id, cpos,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+         |    FROM sc) t WHERE rn = 1),
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM cells WHERE vec_id % 25 = 0),
+         |cont AS (
+         |  SELECT DISTINCT a.vec_id AS cid
+         |  FROM probes p JOIN assign a ON a.cell = p.cell
+         |  JOIN ev cv ON cv.vec_id = a.vec_id
+         |  JOIN ev pv ON pv.vec_id = p.vec_id
+         |  JOIN gated gg ON gg.doc_id = a.vec_id
+         |  WHERE a.vec_id % 25 <> 0
+         |    AND list_cosine_similarity(pv.v, cv.v) >= 0.4),
+         |surv AS MATERIALIZED (
+         |  SELECT doc_id, text FROM gated
+         |  WHERE doc_id % 25 <> 0 AND doc_id NOT IN (SELECT cid FROM cont)),
+         |${bpeEncCtes(src = "surv")},
+         |off AS (
+         |  SELECT doc_id, n_tokens, bpe_ids,
+         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start
+         |  FROM bpe_doc),
+         |fan AS (
+         |  SELECT tok_start, n_tokens, bpe_ids,
+         |    unnest(generate_series(tok_start // $packLen,
+         |      (tok_start + n_tokens - 1) // $packLen)) AS s
+         |  FROM off),
+         |frag AS (
+         |  SELECT s AS seq_id, tok_start,
+         |    least((s + 1) * $packLen, tok_start + n_tokens)
+         |      - greatest(s * $packLen, tok_start) AS fn,
+         |    array_to_string(list_slice(string_split(bpe_ids, ' '),
+         |      CAST(greatest(s * $packLen, tok_start) - tok_start + 1 AS BIGINT),
+         |      CAST(least((s + 1) * $packLen, tok_start + n_tokens)
+         |        - tok_start AS BIGINT)), ' ') AS frag
+         |  FROM fan),
+         |seqs AS (
+         |  SELECT seq_id, CAST(sum(fn) AS BIGINT) AS seq_tokens,
+         |    string_agg(frag, ' ' ORDER BY tok_start) AS token_ids
+         |  FROM frag GROUP BY seq_id),
+         |pos AS (
+         |  SELECT seq_id, seq_tokens, token_ids,
+         |    CAST(row_number() OVER (
+         |      ORDER BY md5(CAST(seq_id AS VARCHAR) || ':0'), seq_id) - 1
+         |      AS BIGINT) AS position,
+         |    CAST(count(*) OVER () AS BIGINT) AS total
+         |  FROM seqs)
+         |SELECT position * 8 // total AS shard, seq_id, position, seq_tokens,
+         |  md5(token_ids) AS ids_md5
+         |FROM pos""".stripMargin,
     "q51_gopher_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -50,9 +50,13 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     "q148_shard_assign",     // ONE-ROW global sequence count broadcast
                              // against the ranked frame — the q135/q138
                              // scalar attach, bounded by construction
-    "q141_exact_decontam"    // exact decontamination yardstick: corpus ×
+    "q141_exact_decontam",   // exact decontamination yardstick: corpus ×
                              // broadcast EVAL SET cosine (the q24/q82
                              // brute-force shape; q139 is the scale path)
+    "q150_curation_pipeline" // fused lineage ends in q148's ONE-ROW
+                             // global-count broadcast attach — the same
+                             // bounded-by-construction scalar, nothing
+                             // combinatorial anywhere in the chain
   )
 
   test("column pruning reaches the parquet scans (spot checks)") {
