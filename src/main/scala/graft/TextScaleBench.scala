@@ -46,7 +46,8 @@ object TextScaleBench {
       "q105_span_dedup", "q42_tfidf_top_term",
       "q142_bpe_encode", "q143_pack_bpe",
       "q145_pack_boundaries", "q146_epoch_order",
-      "q147_bpe_decode", "q148_shard_assign",
+      "epoch_order_10", "q147_bpe_decode",
+      "q148_shard_assign", "q152_shard_tokens",
       "q102_inverted_index", "q132_hybrid_rrf_topk",
       // tier 3: exploded-bigram passes / gather (larger shuffles,
       // still linear)
@@ -69,11 +70,16 @@ object TextScaleBench {
     // re-reads no intermediate from parquet, so it must come in at or
     // under the sum.
     val extraArms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("fused_pipeline" -> ((s: SparkSession, dir: String) =>
-        graft.operators.CurationPipeline.curateToShards(
-          Tables.documents(s, dir), "doc_id", "text", decontam = None,
-          merges = graft.model.BpeMerges.merges,
-          idOf = graft.model.BpeMerges.idOf)))
+      Map(
+        "fused_pipeline" -> ((s: SparkSession, dir: String) =>
+          graft.operators.CurationPipeline.curateToShards(
+            Tables.documents(s, dir), "doc_id", "text", decontam = None,
+            merges = graft.model.BpeMerges.merges,
+            idOf = graft.model.BpeMerges.idOf)),
+        // q146's machinery at 10 epochs: the rank runs over 10 × n_seqs
+        // rows — the arm proves the epoch dimension scales linearly
+        "epoch_order_10" -> ((s: SparkSession, dir: String) =>
+          graft.queries.TrainQueries.epochOrder(s, dir, nEpochs = 10L)))
     def queryFn(q: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
       extraArms.getOrElse(q, SparkEntry.queries(q))
 

@@ -24,7 +24,15 @@ package graft.model
   *                        (code-point order) — fixed rather than
   *                        corpus-observed so the id space never depends
   *                        on which corpus trained the table
-  *   - 67 + i           : merge i's output token, in training order
+  *   - 67 .. 322        : the 256 byte-fallback tokens `<0x00>`–`<0xFF>`
+  *                        (GPT-2/SentencePiece byte_fallback): a
+  *                        character OUTSIDE the base alphabet decomposes
+  *                        into its UTF-8 bytes, one token each — so the
+  *                        tokenizer has NO out-of-vocabulary input and
+  *                        `decode(encode(x))` is lossless on ANY text
+  *                        (r13 verdict #4; before this block, unseen
+  *                        characters encoded as id −1 and decoded as `?`)
+  *   - 323 + i          : merge i's output token, in training order
   *                        (two merges CAN produce the same string, e.g.
   *                        a+bc and ab+c; the string keeps its FIRST id)
   *
@@ -48,6 +56,20 @@ object BpeMerges {
     (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z')).map(_.toString) ++
       Seq("ß", "é", "ö", "ü") // ß é ö ü
 
+  /** [[baseAlphabet]] as a char set — the byte-fallback gate: characters
+    * in it are their own symbol, everything else decomposes to UTF-8
+    * byte tokens.
+    */
+  val alphabetSet: Set[Char] = baseAlphabet.map(_.charAt(0)).toSet
+
+  /** The 256 byte-fallback tokens, `<0x00>` … `<0xFF>` (uppercase hex —
+    * matching both Spark's and DuckDB's `hex()` rendering, so the two
+    * engines spell the identical token).
+    */
+  val byteTokens: Seq[String] = (0 until 256).map(byteToken)
+
+  def byteToken(b: Int): String = f"<0x$b%02X>"
+
   /** The frozen merge rules, training order, from the committed CSV. */
   lazy val merges: Seq[(String, String)] = {
     val in = getClass.getResourceAsStream("/graft/bpe_merges.csv")
@@ -65,9 +87,12 @@ object BpeMerges {
   lazy val idOf: Map[String, Int] = {
     val base = (endWord -> 0) +:
       baseAlphabet.zipWithIndex.map { case (c, i) => c -> (i + 1) }
+    val bytes = byteTokens.zipWithIndex
+      .map { case (t, i) => t -> (baseAlphabet.size + 1 + i) }
+    val mergeBase = baseAlphabet.size + 1 + byteTokens.size // 323
     val merged = merges.zipWithIndex
-      .map { case ((l, r), i) => (l + r) -> (baseAlphabet.size + 1 + i) }
-    (base ++ merged).foldLeft(Map.empty[String, Int]) {
+      .map { case ((l, r), i) => (l + r) -> (mergeBase + i) }
+    (base ++ bytes ++ merged).foldLeft(Map.empty[String, Int]) {
       case (m, (t, id)) => if (m.contains(t)) m else m + (t -> id)
     }
   }

@@ -23,6 +23,50 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Byte-fallback base decomposition of ONE character (r13 verdict #4,
+    * the GPT-2/SentencePiece `byte_fallback` convention): a character in
+    * the frozen base alphabet is its own symbol; anything else
+    * decomposes into its UTF-8 bytes, one `<0xNN>` token each
+    * (uppercase hex — the `hex()` rendering of both engines). With the
+    * 256 byte tokens in the id vocabulary the tokenizer has NO
+    * out-of-vocabulary input and [[decode]]∘[[encode]] is lossless on
+    * ANY (BMP) text. BMP assumed as everywhere in this tokenizer: both
+    * engines would split a surrogate pair differently.
+    */
+  private[operators] def charSyms(c: Char): Seq[String] =
+    if (graft.model.BpeMerges.alphabetSet(c)) Seq(c.toString)
+    else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .toSeq.map(b => graft.model.BpeMerges.byteToken(b & 0xff))
+
+  /** [[charSyms]] over a whole word (no end marker appended). */
+  private[operators] def baseSyms(w: String): Seq[String] =
+    w.flatMap(charSyms)
+
+  /** The Catalyst spelling of [[charSyms]]+`</w>` over a text column —
+    * shared by [[train]]'s symbol init and [[segment]]'s base (one
+    * decomposition, every consumer): per character, alphabet members
+    * pass through, others expand to `<0xNN>` tokens via
+    * `hex(encode(c, 'UTF-8'))` split into pairs. Spark's `hex` renders
+    * uppercase, matching [[graft.model.BpeMerges.byteToken]].
+    */
+  private[operators] def baseSymsCol(text: Column): Column = {
+    val alphaLit = typedlit(graft.model.BpeMerges.baseAlphabet)
+    val chars = transform(
+      sequence(lit(1), length(text)), i => text.substr(i, lit(1)))
+    val decomposed = flatten(transform(chars, c => {
+      val h = hex(org.apache.spark.sql.functions.encode(c, "UTF-8"))
+      when(array_contains(alphaLit, c), array(c))
+        .otherwise(transform(
+          sequence(lit(1), (length(h) / 2).cast("int")),
+          j => concat(lit("<0x"), h.substr(j * 2 - 1, lit(2)), lit(">"))))
+    }))
+    // sequence(1, 0) would count DOWN ([1, 0]); empty text gets just
+    // the marker
+    when(length(text) === 0, array(lit(graft.model.BpeMerges.endWord)))
+      .otherwise(concat(
+        decomposed, array(lit(graft.model.BpeMerges.endWord))))
+  }
+
   /** Word-frequency table for a text column: one combinable agg pass. */
   def wordFreq(corpus: DataFrame, textCol: String): DataFrame =
     corpus
@@ -41,9 +85,7 @@ object Bpe {
       minFreq: Long = 2L): Seq[(String, String)] = {
     var syms = vocab
       .select(
-        concat(
-          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-          array(lit("</w>"))).as("syms"),
+        baseSymsCol(col("w")).as("syms"),
         col("freq").cast("long").as("freq"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -123,7 +165,7 @@ object Bpe {
     type Pair = (String, String)
     val syms = words.map { case (w, _) =>
       scala.collection.mutable.ArrayBuffer.from(
-        w.map(_.toString) :+ "</w>")
+        baseSyms(w) :+ "</w>")
     }.toArray
     val freq = words.map(_._2).toArray
     val pairCount = scala.collection.mutable.HashMap.empty[Pair, Long]
@@ -275,11 +317,7 @@ object Bpe {
       textCol: String,
       merges: Seq[(String, String)],
       chunk: Int = 32): DataFrame = {
-    // sequence(1, 0) would count DOWN ([1, 0]); empty text gets just the marker
-    val base = when(length(col(textCol)) === 0, array(lit("</w>")))
-      .otherwise(concat(
-        expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"),
-        array(lit("</w>"))))
+    val base = baseSymsCol(col(textCol))
     val step = math.max(1, chunk)
     merges.grouped(step).zipWithIndex
       .foldLeft(corpus.withColumn("bpe_tokens", base)) {
@@ -329,7 +367,7 @@ object Bpe {
       merges: IndexedSeq[(String, String)],
       ranksOf: Map[(String, String), Array[Int]]): Array[String] = {
     var syms: Array[String] =
-      (w.map(_.toString) :+ "</w>").toArray
+      (baseSyms(w) :+ "</w>").toArray
     if (syms.length < 2) return syms
     val pending = new java.util.TreeSet[Integer]()
     def enqueue(minExclusive: Int): Unit = {
@@ -477,37 +515,67 @@ object Bpe {
     }
   }
 
+  /** Render one vocabulary token as the UPPERCASE hex of the bytes it
+    * contributes to decoded text: `</w>` → a space (0x20), a
+    * byte-fallback token `<0xNN>` → its byte, anything else → its UTF-8
+    * bytes — scanning left to right so merge outputs that CONTAIN the
+    * marker or byte tokens (a trained `ing</w>`, or a future merge over
+    * byte tokens) render correctly segment by segment. The `<0xNN>`
+    * shape cannot collide with text content: `<`, `>`, `x` inside a
+    * token string can only have entered AS byte tokens, because the
+    * characters themselves are outside the base alphabet and therefore
+    * byte-decomposed by [[charSyms]] on the way in.
+    */
+  private[operators] def tokenHex(t: String): String = {
+    val ew = graft.model.BpeMerges.endWord
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < t.length) {
+      if (i + 6 <= t.length && t.startsWith("<0x", i) && t.charAt(i + 5) == '>') {
+        sb.append(t.substring(i + 3, i + 5)); i += 6
+      } else if (t.startsWith(ew, i)) {
+        sb.append("20"); i += ew.length
+      } else {
+        t.charAt(i).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => sb.append(f"${b & 0xff}%02X"))
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Detokenize an [[encode]]d id stream back to text — the inspection /
     * sample-readback stage of a training-data pipeline (and the proof
-    * the frozen id table is invertible). Appends
-    * `n_oov` (count of −1 ids — tokens [[encode]] could not map) and
-    * `decoded` (the reconstructed text: token strings concatenated, the
-    * `</w>` end-of-word marker rendered as a space, each OOV id as a
-    * single `?` — exact because an out-of-vocabulary SYMBOL is always a
-    * single non-alphabet character: merges only ever pair trained
-    * tokens, so a character outside the base alphabet can never be
-    * absorbed into a larger token).
+    * the frozen id table is invertible). Appends `n_oov` (count of −1
+    * ids — a stream encoded under a PRE-byte-fallback table could carry
+    * them; [[encode]] itself no longer emits any) and `decoded`, the
+    * EXACT reconstruction: with the 256 `<0xNN>` byte tokens in the
+    * vocabulary, every non-alphabet character round-trips through its
+    * UTF-8 bytes, so `decode(encode(text))` equals the
+    * whitespace-normalized source text verbatim — no `?` substitution,
+    * no character class lost (r13 verdict #4). That is precisely what
+    * the DuckDB q147 oracle computes DIRECTLY from the source text
+    * (split on spaces, drop empties, re-join), so the check closes the
+    * loop over the whole encode→decode path rather than replaying the
+    * decode.
     *
-    * Round trip: for the whitespace-normalized corpus (words split on
-    * single spaces, empties dropped, re-joined by one space),
-    * `decode(encode(text)) == regexp_replace(norm(text),
-    * '[^alphabet]', '?')` — which is precisely what the DuckDB oracle
-    * computes DIRECTLY from the source text, so the q147 check closes
-    * the loop over the whole encode→decode path rather than replaying
-    * the decode.
+    * Mechanics: each id maps to the hex rendering of its token's bytes
+    * ([[tokenHex]] — `</w>` is 0x20, byte tokens their byte), the hex
+    * strings concatenate per document, and ONE `decode(unhex(…))`
+    * materializes the text. Assembling in hex space is what makes byte
+    * tokens composable: a multi-byte character's bytes arrive as
+    * SEPARATE tokens, and only the final UTF-8 decode may fuse them.
     *
     * Scale design: pure per-row column expressions — the inverted id
     * table (fixture-sized, the frozen tokenizer's vocabulary) compiles
     * into the plan as a literal ARRAY indexed by id, because ids are
-    * dense by construction (base block + one per merge): a positional
-    * `element_at` is O(1) per token, where the literal-MAP spelling is
-    * a linear scan of the 8k-entry map per probe — measured 75 s vs
-    * the encode's own 23 s at the 1M-doc TEXTSCALE point before the
-    * respell (5×10¹¹ key comparisons hiding in one innocuous
-    * expression). No join, no shuffle, no UDF. The literal `</w>`
-    * cannot collide with text content: `<`, `/`, `>` are outside the
-    * base alphabet, so in token strings the marker appears only as the
-    * trained end-of-word suffix.
+    * dense by construction (base block + byte block + one per merge): a
+    * positional `element_at` is O(1) per token, where the literal-MAP
+    * spelling is a linear scan of the 8k-entry map per probe — measured
+    * 75 s vs the encode's own 23 s at the 1M-doc TEXTSCALE point before
+    * the respell (5×10¹¹ key comparisons hiding in one innocuous
+    * expression). No join, no shuffle, no UDF.
     */
   def decode(
       df: DataFrame,
@@ -515,21 +583,24 @@ object Bpe {
       idOf: Map[String, Int],
       oovMark: String = "?"): DataFrame = {
     val maxId = idOf.values.max
-    // dense id → token; ids skipped by first-writer-wins dedup stay null
-    val slots = new Array[String](maxId + 1)
-    idOf.foreach { case (t, i) => slots(i) = t }
-    val tokArr = typedlit(slots.toSeq)
-    val toks = transform(
+    val oovHex = oovMark
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").mkString
+    // dense id → hex of the token's byte contribution; ids skipped by
+    // first-writer-wins dedup stay at the OOV rendering
+    val slots = Array.fill(maxId + 1)(oovHex)
+    idOf.foreach { case (t, i) => slots(i) = tokenHex(t) }
+    val hexArr = typedlit(slots.toSeq)
+    val hexes = transform(
       split(col(idsCol), " "),
       s => {
         val idL = s.cast("long")
         // the when-guard keeps ANSI element_at in bounds; ids outside
-        // [0, maxId] (the −1 OOV convention) and null slots both fall
-        // through to the coalesce
+        // [0, maxId] (the legacy −1 OOV convention) fall through
         coalesce(
           when(idL.between(0L, maxId.toLong),
-            element_at(tokArr, (idL + 1L).cast("int"))),
-          lit(oovMark))
+            element_at(hexArr, (idL + 1L).cast("int"))),
+          lit(oovHex))
       })
     df.withColumn(
         "n_oov",
@@ -537,7 +608,7 @@ object Bpe {
           .cast("long"))
       .withColumn(
         "decoded",
-        rtrim(replace(array_join(toks, ""),
-          lit(graft.model.BpeMerges.endWord), lit(" "))))
+        rtrim(org.apache.spark.sql.functions.decode(
+          unhex(array_join(hexes, "")), "UTF-8")))
   }
 }

@@ -442,7 +442,20 @@ object TrainQueries {
     * per-epoch rebase is a 2-row broadcast join (min rank per epoch),
     * nothing driver-side.
     */
-  private def q146(s: SparkSession, d: String): DataFrame = {
+  private def q146(s: SparkSession, d: String): DataFrame =
+    epochOrder(s, d, nEpochs = 2L)
+
+  /** The q146 machinery with the epoch count LIFTED to a parameter (r13
+    * verdict #8 — it was hardcoded `Seq(0L, 1L)`): epochs generate via
+    * `sequence(0, n−1)`, so the rank runs over n_epochs × n_seqs rows
+    * and the per-epoch rebase broadcast carries n rows — both linear in
+    * n by construction. The registered q146 stays at 2 (its oracle's
+    * shape); the TEXTSCALE `epoch_order_10` arm drives 10 epochs to
+    * prove the linear shape at scale.
+    */
+  private[graft] def epochOrder(
+      s: SparkSession, d: String, nEpochs: Long): DataFrame = {
+    require(nEpochs > 0, "nEpochs must be positive")
     val L = packLen
     val seqs = Packing.tokenOffsets(bpeSized(s, d), "n_tokens", Seq("doc_id"))
       .select(
@@ -450,7 +463,8 @@ object TrainQueries {
           .as("seq_id"))
       .distinct()
     val keyed = seqs
-      .select(col("seq_id"), explode(typedlit(Seq(0L, 1L))).as("epoch"))
+      .select(col("seq_id"),
+        explode(sequence(lit(0L), lit(nEpochs - 1L))).as("epoch"))
       .withColumn("__k", md5(concat_ws(":", col("seq_id"), col("epoch"))))
     val ranked = graft.operators.Ranking.globalRowNumber(
       keyed, Seq(col("epoch"), col("__k"), col("seq_id")), "__rn")
@@ -460,24 +474,40 @@ object TrainQueries {
         (col("__rn") - col("__mn")).as("position"))
   }
 
-  /** Encode→decode round trip under the frozen fixture — the
-    * detokenize / sample-readback stage, and the invertibility proof of
-    * the id table: [[graft.operators.Bpe.decode]] reconstructs the text
-    * from q142's id streams (pure literal-map column expressions, no
-    * join), while the DuckDB oracle computes the expected reconstruction
-    * DIRECTLY from the source text (whitespace-normalize, replace
-    * non-alphabet characters with `?`). Equality closes the loop over
-    * the whole encode→decode path: any id-assignment, segmentation,
-    * assembly-order, or OOV-handling defect on either side breaks the
-    * hash match.
+  /** Deterministic non-alphabet augmentation for q147 (the q55 planting
+    * pattern): the synthetic corpus is pure `[a-y ]`, so without it the
+    * byte-fallback path would never fire. ONE constant interpolated
+    * into both engines; covers 1-byte (`!`, `,`, `?`), 2-byte (`¢ ¿`
+    * and the in-alphabet accents `ü é ß`), and 3-byte (`東 京 駅`)
+    * UTF-8, all BMP (the tokenizer's documented input domain). No
+    * apostrophe — it rides inside a SQL string literal.
     */
-  private def q147(s: SparkSession, d: String): DataFrame =
+  private val q147Plant = " zürich! crème 42¢ 東京駅 ¿ok?"
+
+  /** Encode→decode round trip under the frozen fixture — the
+    * detokenize / sample-readback stage, and the LOSSLESSNESS proof of
+    * the byte-fallback tokenizer (r13 verdict #4): every third document
+    * is augmented with [[q147Plant]]'s non-alphabet characters, and the
+    * DuckDB oracle computes the expected reconstruction DIRECTLY from
+    * the source text as the EXACT whitespace-normalized input — no `?`
+    * substitution, nothing lost. With the 256 `<0xNN>` byte tokens in
+    * the vocabulary, `n_oov` is structurally 0 on any input. Equality
+    * closes the loop over the whole encode→decode path: any
+    * id-assignment, segmentation, byte-decomposition, assembly-order,
+    * or reassembly defect on either side breaks the hash match.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(q147Plant)))
+        .otherwise(col("text")).as("text"))
     graft.operators.Bpe.decode(
       graft.operators.Bpe.encode(
-        Tables.documents(s, d), "doc_id", "text",
+        aug, "doc_id", "text",
         graft.model.BpeMerges.merges, graft.model.BpeMerges.idOf),
       "bpe_ids", graft.model.BpeMerges.idOf)
       .select(col("doc_id"), col("n_oov"), col("decoded"))
+  }
 
   /** Deterministic training-shard assignment — the file layout a
     * training job reads: the epoch-0 permutation (q146's md5 order) cut
@@ -559,6 +589,37 @@ object TrainQueries {
       idOf = graft.model.BpeMerges.idOf,
       seqLen = packLen)
 
+  /** Token-balanced training shards (r13 verdict #7): q148's ±1-SEQUENCE
+    * balance is byte-balanced only while every sequence is exactly 512
+    * tokens; this is the `balanceBy = tokens` option over a frame whose
+    * token masses genuinely VARY — doc-boundary-respecting packs
+    * ([[Packing.greedyPack]] per-language bins over the REAL BPE token
+    * counts, each bin ≤ 512 but rarely exactly 512). The epoch-0 md5
+    * order is cut at token prefix sums
+    * ([[graft.operators.Sharding.tokenBalancedShards]] — the
+    * tokenOffsets shape + a ONE-ROW broadcast total), so every shard
+    * carries ≈ total/8 tokens no matter how skewed the packs are. The
+    * oracle replays the packer by recursive CTE (the q53 replay under
+    * BPE counts) and the cut by window prefix sum.
+    */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    val enc = graft.operators.Bpe.encode(
+      Tables.documents(s, d), "doc_id", "text",
+      graft.model.BpeMerges.merges, graft.model.BpeMerges.idOf)
+      .select(col("doc_id"), col("n_tokens"))
+    val sized = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(enc, Seq("doc_id"))
+    val packs = Packing.greedyPack(
+      sized, "lang", "n_tokens", Seq("doc_id"), capacity = packLen)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .withColumn("__k", md5(concat_ws(":", col("lang"), col("bin"), lit(0))))
+    graft.operators.Sharding.tokenBalancedShards(
+      packs, "pack_tokens", Seq("__k", "lang", "bin"), nShards = 8L)
+      .select(col("shard"), col("lang"), col("bin"), col("n_docs"),
+        col("pack_tokens"), col("tok_start"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q142_bpe_encode" -> q142,
     "q143_pack_bpe" -> q143,
@@ -569,6 +630,7 @@ object TrainQueries {
     "q148_shard_assign" -> q148,
     "q149_mix_temperature" -> q149,
     "q150_curation_pipeline" -> q150,
+    "q152_shard_tokens" -> q152,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -634,6 +696,13 @@ object TrainQueries {
     val lastC = s"bpe_c${chunks.size - 1}"
     val vocabRows = graft.model.BpeMerges.idOf.toSeq.sorted
       .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    // byte-fallback base decomposition (mirrors Bpe.baseSymsCol): an
+    // alphabet char is its own symbol; anything else expands to its
+    // UTF-8 bytes as '<0xNN>' tokens — hex() is uppercase on both
+    // engines, so the token spellings agree. Up to 4 bytes per char
+    // (BMP chars are ≤ 3; the 4th term is belt and braces).
+    val alphaList = graft.model.BpeMerges.baseAlphabet
+      .map(c => s"'$c'").mkString("[", ", ", "]")
     s"""bpe_w AS MATERIALIZED (
        |  SELECT doc_id, w, pos FROM (
        |    SELECT doc_id,
@@ -642,10 +711,26 @@ object TrainQueries {
        |    FROM $src) t
        |  WHERE length(w) > 0),
        |bpe_vocab(tok, tid) AS (VALUES $vocabRows),
+       |bpe_chars AS (
+       |  SELECT w, i, substring(w, CAST(i AS INT), 1) AS c,
+       |    hex(encode(substring(w, CAST(i AS INT), 1))) AS h
+       |  FROM (SELECT DISTINCT w FROM bpe_w),
+       |    unnest(range(1, length(w) + 1)) AS t(i)),
+       |bpe_csym AS (
+       |  SELECT w, i,
+       |    CASE WHEN list_contains($alphaList, c) THEN c || '$sep$sep'
+       |         ELSE '<0x' || substr(h, 1, 2) || '>$sep$sep' ||
+       |           CASE WHEN length(h) >= 4
+       |             THEN '<0x' || substr(h, 3, 2) || '>$sep$sep' ELSE '' END ||
+       |           CASE WHEN length(h) >= 6
+       |             THEN '<0x' || substr(h, 5, 2) || '>$sep$sep' ELSE '' END ||
+       |           CASE WHEN length(h) >= 8
+       |             THEN '<0x' || substr(h, 7, 2) || '>$sep$sep' ELSE '' END
+       |    END AS piece
+       |  FROM bpe_chars),
        |bpe_c_base AS MATERIALIZED (
-       |  SELECT w, '$sep' || regexp_replace(w, '(.)', '\\1$sep$sep', 'g') ||
-       |    '</w>$sep' AS s
-       |  FROM (SELECT DISTINCT w FROM bpe_w)),
+       |  SELECT w, '$sep' || string_agg(piece, '' ORDER BY i) || '</w>$sep' AS s
+       |  FROM bpe_csym GROUP BY w),
        |${chunks.mkString(",\n")},
        |bpe_dict AS MATERIALIZED (
        |  SELECT w, string_split(substr(s, 2, length(s) - 2), '$sep$sep') AS toks
@@ -761,26 +846,65 @@ object TrainQueries {
          |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, seq_id) - 1
          |    AS BIGINT) AS position
          |FROM keyed""".stripMargin,
+    // q152: BPE encode replay (bpeEncCtes) → per-lang greedy packer by
+    // recursive CTE (the q53 replay, capacity 512, MATERIALIZED sized
+    // for the same reason) → per-pack token sums → the epoch-0 md5
+    // order cut at token prefix sums (window replay of the two-pass
+    // distributed scan — the standing single-node oracle license)
+    "q152_shard_tokens" ->
+      s"""WITH RECURSIVE ${bpeEncCtes()},
+         |sized AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, b.n_tokens,
+         |    row_number() OVER (PARTITION BY d.lang ORDER BY d.doc_id) AS rn
+         |  FROM documents d JOIN bpe_doc b USING (doc_id)),
+         |rec AS (
+         |  SELECT doc_id, lang, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS bin, n_tokens AS used
+         |  FROM sized WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.doc_id, s.lang, s.n_tokens, s.rn,
+         |    CASE WHEN r.used + s.n_tokens > $packLen THEN r.bin + 1 ELSE r.bin END,
+         |    CASE WHEN r.used + s.n_tokens > $packLen THEN s.n_tokens
+         |         ELSE r.used + s.n_tokens END
+         |  FROM sized s JOIN rec r ON s.lang = r.lang AND s.rn = r.rn + 1),
+         |packs AS (
+         |  SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         |  FROM rec GROUP BY lang, bin),
+         |ord AS (
+         |  SELECT lang, bin, n_docs, pack_tokens,
+         |    md5(lang || ':' || CAST(bin AS VARCHAR) || ':0') AS k
+         |  FROM packs),
+         |cut AS (
+         |  SELECT lang, bin, n_docs, pack_tokens,
+         |    CAST(coalesce(sum(pack_tokens) OVER (ORDER BY k, lang, bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tok_start,
+         |    CAST(sum(pack_tokens) OVER () AS BIGINT) AS ttl
+         |  FROM ord)
+         |SELECT tok_start * 8 // greatest(ttl, 1) AS shard,
+         |  lang, bin, n_docs, pack_tokens, tok_start
+         |FROM cut""".stripMargin,
     // q147: the oracle does NOT replay the decode — it computes the
-    // expected reconstruction directly from the source text (normalize
-    // whitespace, replace non-alphabet chars with '?'), so the check
-    // spans the whole Spark-side encode→decode loop. The alphabet class
-    // interpolates from the same BpeMerges object the Scala query
-    // consumes (no metacharacters: the base alphabet is alnum + four
-    // accented letters).
-    "q147_bpe_decode" -> {
-      val alpha = graft.model.BpeMerges.baseAlphabet.mkString
+    // expected reconstruction directly from the (augmented) source text
+    // as the EXACT whitespace-normalized input: under byte fallback the
+    // round trip is lossless on any text, so the expected output is the
+    // input itself, and expected n_oov is structurally zero. The
+    // augmentation constant interpolates from the same q147Plant the
+    // Scala query consumes.
+    "q147_bpe_decode" ->
       s"""WITH w AS (
          |  SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(length(regexp_replace(array_to_string(ws, ''),
-         |    '[$alpha]', '', 'g')) AS BIGINT) AS n_oov,
-         |  regexp_replace(array_to_string(ws, ' '),
-         |    '[^$alpha ]', '?', 'g') AS decoded
-         |FROM w WHERE len(ws) > 0""".stripMargin
-    },
+         |    CASE WHEN doc_id % 3 = 0 THEN text || '$q147Plant'
+         |         ELSE text END AS t
+         |  FROM documents),
+         |ws AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(t, ' '), x -> len(x) > 0) AS ws
+         |  FROM w)
+         |SELECT doc_id, CAST(0 AS BIGINT) AS n_oov,
+         |  array_to_string(ws, ' ') AS decoded
+         |FROM ws WHERE len(ws) > 0""".stripMargin,
     // q148: replay the contiguous-range sharding — per-sequence token
     // sums from the q145 fan, the epoch-0 md5 permutation as a window
     // row_number (single-node DuckDB may use the window Spark must not),

@@ -53,10 +53,13 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
     "q141_exact_decontam",   // exact decontamination yardstick: corpus ×
                              // broadcast EVAL SET cosine (the q24/q82
                              // brute-force shape; q139 is the scale path)
-    "q150_curation_pipeline" // fused lineage ends in q148's ONE-ROW
+    "q150_curation_pipeline", // fused lineage ends in q148's ONE-ROW
                              // global-count broadcast attach — the same
                              // bounded-by-construction scalar, nothing
                              // combinatorial anywhere in the chain
+    "q152_shard_tokens"      // token-balanced shards: the SAME ONE-ROW
+                             // total-token broadcast attach
+                             // (Sharding.tokenBalancedShards)
   )
 
   test("column pruning reaches the parquet scans (spot checks)") {

@@ -25,6 +25,17 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Independent byte-fallback base decomposition (shares no code with
+    * the Spark path): alphabet chars are their own symbol, everything
+    * else becomes its UTF-8 bytes as `<0xNN>` tokens (uppercase hex).
+    */
+  private def refSyms(w: String): Vector[String] =
+    w.flatMap { c =>
+      if (graft.model.BpeMerges.alphabetSet(c)) Seq(c.toString)
+      else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .toSeq.map(b => f"<0x${b & 0xff}%02X>")
+    }.toVector
+
   /** Reference BPE (Sennrich et al. 2016 pseudocode, verbatim): vocab as
     * symbol sequences, argmax pair by (count desc, pair asc in code-point
     * order), merges applied left-to-right non-overlapping.
@@ -34,7 +45,7 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       numMerges: Int,
       minFreq: Long): Seq[(String, String)] = {
     var vocab: Map[Vector[String], Long] = words.map { case (w, f) =>
-      (w.map(_.toString).toVector :+ "</w>") -> f
+      (refSyms(w) :+ "</w>") -> f
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var halt = false
@@ -150,7 +161,7 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     */
   private def refEncodeWord(
       w: String, merges: Seq[(String, String)]): Vector[String] = {
-    var syms = w.map(_.toString).toVector :+ "</w>"
+    var syms = refSyms(w) :+ "</w>"
     merges.foreach { case (a, b) =>
       val out = Vector.newBuilder[String]
       var i = 0
@@ -173,8 +184,11 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(m.idOf("0") == 1 && m.idOf("9") == 10 && m.idOf("A") == 11 &&
       m.idOf("Z") == 36 && m.idOf("a") == 37 && m.idOf("z") == 62 &&
       m.idOf("ü") == 66)
-    // every merge output has an id at or above the base block
-    m.merges.foreach { case (l, r) => assert(m.idOf(l + r) >= 67) }
+    // byte-fallback block: <0x00>..<0xFF> at 67..322
+    assert(m.idOf("<0x00>") == 67 && m.idOf("<0xFF>") == 322)
+    assert(m.byteTokens.size == 256)
+    // every merge output has an id at or above the byte block
+    m.merges.foreach { case (l, r) => assert(m.idOf(l + r) >= 323) }
     // the production shape is actually exercised: mixed-case, digit and
     // accented merges exist, and oracle-hostile chars never appear
     assert(m.merges.exists { case (l, r) => (l + r).exists(_.isUpper) })
@@ -223,13 +237,13 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("encode matches the per-word reference under the FROZEN fixture, " +
-    "including digits, OOV chars, repeated words, and multi-space text") {
+    "including digits, byte-fallback chars, repeated words, and multi-space text") {
     import spark.implicits._
     val m = graft.model.BpeMerges
     val texts = Seq(
       (1L, "the slow merge window the the"),
       (2L, "w42 table w42 row7"),            // digits: base ids, no merges
-      (3L, "naïve café x"),                  // OOV chars → -1
+      (3L, "naïve café x"),                  // ï → 2 byte tokens
       (4L, "  spaced   out  "),              // empty split tokens drop
       (5L, "value"))
     val got = Bpe.encode(texts.toDF("doc_id", "text"), "doc_id", "text",
@@ -246,6 +260,11 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     // id streams are order-exact (doc 1 has repeated words at distinct
     // positions — a misordered collect_list would still pass a set check)
     assert(got(1L)._2 == want(1L)._2)
+    // byte fallback: no id is ever -1, and doc 3's ï really rides as
+    // its two UTF-8 byte tokens
+    got.values.foreach { case (_, ids) => assert(!ids.split(" ").contains("-1")) }
+    assert(got(3L)._2.split(" ").map(_.toInt)
+      .exists(id => id >= 67 && id <= 322))
   }
 
   test("encode matches the reference on the real sf0.001 documents table") {
@@ -275,24 +294,28 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       .select(col("w"), col("bpe_tokens")).as[(String, Seq[String])].collect()
     out.foreach { case (w, toks) =>
       assert(toks.last == "</w>" || (w.isEmpty && toks == Seq("</w>")))
-      // lossless: concatenating tokens (minus the marker) restores the text
-      assert(toks.filterNot(_ == "</w>").mkString == w)
+      // lossless: the tokens' byte contributions (tokenHex decodes the
+      // byte-fallback tokens the space produces) restore the text
+      val hex = toks.filterNot(_ == "</w>").map(Bpe.tokenHex).mkString
+      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == w)
     }
     // the trained merges actually fire
     val low = out.find(_._1 == "low lower").get._2
     assert(low.contains("low") || low.contains("lo"))
   }
 
-  test("decode(encode(x)) reconstructs the normalized text under the " +
-    "frozen fixture; OOV symbols render as single '?'") {
+  test("decode(encode(x)) reconstructs the EXACT normalized text under " +
+    "byte fallback: punctuation, 2- and 3-byte UTF-8, zero OOV") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val texts = Seq(
       "the Quick brown  fox", // double space collapses
       " leading and trailing ", // edge spaces drop
-      "punct,uation! is? oov", // non-alphabet chars -> '?'
-      "naïve café ßöü", // fixture accents in-vocab; ï is OOV
-      "0123 MiXeD 9aZ")
+      "punct,uation! is? kept", // 1-byte non-alphabet round-trips
+      "naïve café ßöü ¿sí?", // 2-byte fallback + in-vocab accents
+      "0123 MiXeD 9aZ",
+      "東京駅 42¢ €5") // 3-byte CJK + currency
     val df = texts.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val got = Bpe.decode(
@@ -301,16 +324,20 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
       "bpe_ids", graft.model.BpeMerges.idOf)
       .select($"doc_id", $"n_oov", $"decoded")
       .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-    val alpha = graft.model.BpeMerges.baseAlphabet.mkString.toSet
     texts.zipWithIndex.foreach { case (t, i) =>
-      val words = t.split(" ").filter(_.nonEmpty)
-      val expectDecoded = words.map(_.map(c =>
-        if (alpha.contains(c)) c else '?')).mkString(" ")
-      val expectOov = words.flatten.count(c => !alpha.contains(c)).toLong
-      assert(got(i.toLong) === ((expectOov, expectDecoded)), s"doc $i: '$t'")
+      val expect = t.split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(got(i.toLong) === ((0L, expect)), s"doc $i: '$t'")
     }
-    // invertibility: zero-OOV docs round-trip EXACTLY (modulo whitespace
-    // normalization) — the id table loses nothing
-    assert(got(4L) === ((0L, "0123 MiXeD 9aZ")))
+  }
+
+  test("decode is robust to legacy -1 ids and renders them as '?'") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val idOf = graft.model.BpeMerges.idOf
+    val df = Seq((1L, s"${idOf("a")} -1 ${idOf("</w>")}"))
+      .toDF("doc_id", "bpe_ids")
+    val out = Bpe.decode(df, "bpe_ids", idOf)
+      .select($"n_oov", $"decoded").as[(Long, String)].head()
+    assert(out == ((1L, "a?")))
   }
 }
