@@ -69,7 +69,8 @@ object PlanDump {
       "q148_shard_assign" -> "training shards: two-pass distributed rank over the md5 order + ONE-ROW broadcast scalar attach, shard id a pure function of the rank",
       "q149_mix_temperature" -> "temperature mixture: #groups-bounded count collect, broadcast rates join, explode(sequence) copy fan-out — scan-shaped, no corpus shuffle",
       "q150_curation_pipeline" -> "fused curation lineage: cut's ONE digest shuffle -> codegen'd gate signals -> IVF-cell equi-join decontam -> dictionary-join encode -> fragment shuffle gather -> two-pass rank + 1-row attach; stage boundaries are narrow, no stage re-reads the source",
-      "q152_shard_tokens" -> "token-balanced shards: greedy per-lang packs (hash shuffle + in-partition fold), token prefix sums via the tokenOffsets range exchange, 1-row total attach — shard id a pure function of the offset")
+      "q152_shard_tokens" -> "token-balanced shards: greedy per-lang packs (hash shuffle + in-partition fold), token prefix sums via the tokenOffsets range exchange, 1-row total attach — shard id a pure function of the offset",
+      "q151_image_neardup" -> "image near-dup: real PNG roundtrip per row (map-side), codegen'd aHash/dHash HOFs, 16-bit-band EQUI join candidates (the q21 bucket shape — never all-pairs), bit_count Hamming gate")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")

@@ -50,8 +50,8 @@ object ImageHash {
     */
   def dHash(grayCol: String): Column =
     expr(s"aggregate(sequence(55, 0, -1), 0L, (acc, k) -> acc * 2 + " +
-      s"IF(element_at($grayCol, (k DIV 7) * 8 + (k % 7) + 1) < " +
-      s"element_at($grayCol, (k DIV 7) * 8 + (k % 7) + 2), 1L, 0L))")
+      s"IF(element_at($grayCol, CAST((k DIV 7) * 8 + (k % 7) + 1 AS INT)) < " +
+      s"element_at($grayCol, CAST((k DIV 7) * 8 + (k % 7) + 2 AS INT)), 1L, 0L))")
 
   /** The four 16-bit LSH bands of the (hi, lo) aHash. */
   def bands(lo: Column, hi: Column): Column =

@@ -270,6 +270,87 @@ object ExtQueries {
     }.toDF("source", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Perceptual-hash image near-dup dedup (r13 verdict #3 — the dedup
+    * family's PIXEL member): every document synthesizes a deterministic
+    * 8×8 grayscale image (planted structure: 4 variants per group —
+    * three with single-pixel noise that must stay within Hamming range,
+    * one inverted that must NOT match), runs it through the REAL JDK
+    * PNG encode→decode ([[graft.operators.MediaCodecs]] — the q125
+    * codec discipline: pixel plumbing exercised for real, pixels exact
+    * because PNG is lossless), then hashes with
+    * [[graft.operators.ImageHash]]: integer-exact aHash (two 32-bit
+    * halves) + 56-bit dHash as pure Catalyst expressions, 16-bit-band
+    * LSH candidates (the q21 bucket shape — band-equi join, never
+    * all-pairs), Hamming ≤ 6 gate. The DuckDB oracle replays the pixel
+    * GENERATOR arithmetic (not the codec) plus the identical
+    * hash/band/Hamming pipeline — integer math end to end.
+    */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gray = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long].map { id =>
+        val g = id / 4
+        val v = (id % 4).toInt
+        val px = Array.tabulate(64) { j =>
+          // group-MULTIPLICATIVE mix: an additive g-term would shift
+          // every pixel of a group by the same offset, which aHash is
+          // (by design) invariant to — measured: 3.5k cross-group
+          // Hamming-0 pairs at sf0.01 under the additive kernel, ~0
+          // under this one
+          val mg = ((g + 1L) * 2654435761L) % 4294967296L
+          val h0 = (mg * (j + 17L) + j * 1013904223L) % 4294967296L
+          // xorshift + small-prime multiply: the bare group-slope LCG
+          // left linear structure (91 cross-group Hamming-collisions at
+          // 500 docs; 0 after the mix). 104729 keeps the product inside
+          // i64 on both engines.
+          val h = (((h0 ^ (h0 / 8192L)) * 104729L) % 4294967296L)
+          val base = ((h / 65536L) % 256L).toInt
+          if (v == 3) 255 - base
+          else if (j % 16 == v) base ^ (v + 1)
+          else base
+        }
+        val rgb = new Array[Byte](64 * 3)
+        var i = 0
+        while (i < 64) {
+          val b = px(i).toByte
+          rgb(i * 3) = b; rgb(i * 3 + 1) = b; rgb(i * 3 + 2) = b
+          i += 1
+        }
+        val png = graft.operators.MediaCodecs.encodePng(8, 8, rgb)
+        val img = graft.operators.MediaCodecs.decodeImageIO(png)
+          .getOrElse(sys.error(s"png roundtrip decode failed for doc $id"))
+        require(img.width == 8 && img.height == 8)
+        (id, (0 until 64).map(j => img.rgb(j * 3) & 0xff))
+      }.toDF("doc_id", "gray")
+    import graft.operators.ImageHash
+    val hashed = gray
+      .withColumn("tot", ImageHash.graySum(col("gray")))
+      .select(
+        col("doc_id"),
+        ImageHash.aHashLo("gray", "tot").as("lo"),
+        ImageHash.aHashHi("gray", "tot").as("hi"),
+        ImageHash.dHash("gray").as("dh"))
+    val banded = hashed.select(
+      col("doc_id"), col("lo"), col("hi"), col("dh"),
+      posexplode(ImageHash.bands(col("lo"), col("hi")))
+        .as(Seq("bidx", "bval")))
+    val a = banded.select(
+      col("doc_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"),
+      col("dh").as("a_dh"), col("bidx"), col("bval"))
+    val b = banded.select(
+      col("doc_id").as("b_id"), col("lo").as("b_lo"), col("hi").as("b_hi"),
+      col("dh").as("b_dh"), col("bidx"), col("bval"))
+    a.join(b, Seq("bidx", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"), col("b_id"),
+        (expr("bit_count(a_lo ^ b_lo)") + expr("bit_count(a_hi ^ b_hi)"))
+          .cast("long").as("hamming"),
+        expr("bit_count(a_dh ^ b_dh)").cast("long").as("ham_dhash"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+  }
+
   /** LSH-bucketed approximate cosine top-k (scale path). Oracle-checked:
     * the seeded hyperplanes are counter-based SplitMix64, so the DuckDB
     * side regenerates the identical plane matrix (no sequential
@@ -601,6 +682,7 @@ object ExtQueries {
     "q27_multimodal_meta" -> q27,
     "q28_multimodal_features" -> q28,
     "q125_png_roundtrip" -> q125,
+    "q151_image_neardup" -> q151,
     "q130_mp3_meta" -> q130,
     "q29_cosine_topk_lsh" -> q29,
     "q30_dedup_apply_semi" -> q30,
@@ -874,6 +956,66 @@ object ExtQueries {
         |  CAST(sum((doc_id * 7) % 256) AS BIGINT) AS sum_g,
         |  CAST(sum((doc_id * 13) % 256) AS BIGINT) AS sum_b
         |FROM documents GROUP BY source""".stripMargin,
+    // q151: the oracle replays the pixel GENERATOR arithmetic (PNG is
+    // lossless, so the codec roundtrip is the identity on pixels — the
+    // q125 license) and the identical integer hash/band/Hamming
+    // pipeline: per-bit rows summed against powers of two instead of
+    // the Catalyst fold, a deliberately different spelling.
+    "q151_image_neardup" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT doc_id, j,
+        |    CASE WHEN doc_id % 4 = 3 THEN 255 - base
+        |         WHEN j % 16 = doc_id % 4
+        |           THEN xor(base, (doc_id % 4) + 1)
+        |         ELSE base END AS p
+        |  FROM (
+        |    SELECT h.doc_id, h.j,
+        |      ((((xor(h0, h0 // 8192)) * 104729) % 4294967296)
+        |        // 65536) % 256 AS base
+        |    FROM (
+        |      SELECT d.doc_id, t.j,
+        |        (((((d.doc_id // 4) + 1) * 2654435761) % 4294967296)
+        |          * (t.j + 17) + t.j * 1013904223) % 4294967296 AS h0
+        |      FROM documents d, unnest(range(0, 64)) AS t(j)) h) b),
+        |tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
+        |abits AS (
+        |  SELECT px.doc_id, j,
+        |    CASE WHEN p * 64 > tot THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN tot USING (doc_id)),
+        |ah AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN j < 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN j >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS hi
+        |  FROM abits GROUP BY doc_id),
+        |dbits AS (
+        |  SELECT a.doc_id, (a.j // 8) * 7 + (a.j % 8) AS k,
+        |    CASE WHEN a.p < nx.p THEN 1 ELSE 0 END AS b
+        |  FROM px a JOIN px nx ON nx.doc_id = a.doc_id AND nx.j = a.j + 1
+        |  WHERE a.j % 8 < 7),
+        |dhh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(b * (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT) AS dh
+        |  FROM dbits GROUP BY doc_id),
+        |h AS MATERIALIZED (
+        |  SELECT ah.doc_id, lo, hi, dh FROM ah JOIN dhh USING (doc_id)),
+        |bands AS (
+        |  SELECT doc_id, lo, hi, dh, i AS bidx,
+        |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+        |  FROM h, unnest(range(0, 4)) AS t(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming,
+        |    bit_count(xor(a.dh, b.dh)) AS ham_dhash
+        |  FROM bands a JOIN bands b
+        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming,
+        |  CAST(ham_dhash AS BIGINT) AS ham_dhash
+        |FROM cand WHERE hamming <= 6""".stripMargin,
     // q130: frame count, integer duration (1152 samples/frame at
     // 44100 Hz, floor division exactly as the parser's Long math), and
     // floor-average bitrate recomputed from the same per-event bitrate
