@@ -61,27 +61,47 @@ object TextScaleBench {
       // optional subset filter (A/B aid): SPARK_GRAFT_TEXT_ONLY=q133,q134
       .filter(BenchHarness.onlyFilter("SPARK_GRAFT_TEXT_ONLY"))
 
-    // The fused curation lineage (q150) on a TEXT-ONLY corpus: the
-    // sweep's synthetic tables carry no embedding table or frozen
-    // codebook, so the semantic-decontamination stage is skipped
-    // (decontam = None — the documented text-only arm). The
-    // fused-vs-sum-of-stages comparison reads this row against
+    // sweep-only arms (fused text-only pipeline, 10-epoch order) live
+    // in TextArms, shared with the fresh-JVM isolate main. The
+    // fused-vs-sum-of-stages comparison reads fused_pipeline against
     // q134 + q142 + q144 + q148 at the same point: the fused run
     // re-reads no intermediate from parquet, so it must come in at or
     // under the sum.
-    val extraArms: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map(
-        "fused_pipeline" -> ((s: SparkSession, dir: String) =>
-          graft.operators.CurationPipeline.curateToShards(
-            Tables.documents(s, dir), "doc_id", "text", decontam = None,
-            merges = graft.model.BpeMerges.merges,
-            idOf = graft.model.BpeMerges.idOf)),
-        // q146's machinery at 10 epochs: the rank runs over 10 × n_seqs
-        // rows — the arm proves the epoch dimension scales linearly
-        "epoch_order_10" -> ((s: SparkSession, dir: String) =>
-          graft.queries.TrainQueries.epochOrder(s, dir, nEpochs = 10L)))
     def queryFn(q: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
-      extraArms.getOrElse(q, SparkEntry.queries(q))
+      TextArms.fn(q)
+
+    // Fresh-JVM isolate arm (r13 verdict #6): SPARK_GRAFT_TEXT_ISOLATE=
+    // q133,q134 forks ONE new JVM per listed query per point
+    // (graft.TextScaleOne — same input arguments as this JVM, warmup on
+    // the small corpus, one timed run), so spiller-adjacent numbers
+    // never depend on sweep order. Everything else still times
+    // in-process; the light-to-heavy ordering remains the default
+    // mitigation when no isolate list is given.
+    val isolate = sys.env.get("SPARK_GRAFT_TEXT_ISOLATE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    def isolated(q: String): Boolean = isolate.exists(q.startsWith)
+    def runIsolated(q: String, dir: String, warmDir: String, oha: String): Double = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      cmd.addAll(jvmArgs)
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.TextScaleOne")
+      cmd.add(q); cmd.add(dir); cmd.add(warmDir); cmd.add(oha)
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+      val code = proc.waitFor()
+      require(code == 0, s"isolated $q exited $code")
+      val m = """"sec":([0-9.]+)""".r.findAllMatchIn(out).toSeq
+      require(m.nonEmpty, s"isolated $q printed no timing line: $out")
+      m.last.group(1).toDouble
+    }
 
     def gen(n: Int): String = {
       val dir = s"/tmp/graft_textscale_$n"
@@ -155,9 +175,12 @@ object TextScaleBench {
       // regime.
       spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         if (n >= 500000) "1024" else "2000000")
+      val oha = if (n >= 500000) "1024" else "2000000"
       val times = queries.map { q =>
-        System.err.println(s"[textscale] running $q @ $n")
-        q -> time(queryFn(q)(spark, dir)
+        System.err.println(s"[textscale] running $q @ $n" +
+          (if (isolated(q)) " (fresh JVM)" else ""))
+        if (isolated(q)) q -> runIsolated(q, dir, warmDir, oha)
+        else q -> time(queryFn(q)(spark, dir)
           .write.format("noop").mode("overwrite").save())
       }
       (n, times)
@@ -166,7 +189,8 @@ object TextScaleBench {
       val qs = ts.map { case (q, s) => f""""$q":$s%.2f""" }.mkString(",")
       f"""{"n_docs":$n,$qs}"""
     }.mkString("[", ",\n ", "]")
-    println(s"""{"metric":"text_scale","queries_timed":${queries.size},"points":$json}""")
+    val iso = queries.filter(isolated).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"text_scale","queries_timed":${queries.size},"isolated":$iso,"points":$json}""")
     spark.stop()
   }
 }
