@@ -63,8 +63,15 @@ object BenchHarness {
       if (autoBroadcast64)
         b.config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       else b
-    val spark = extraConfs.foldLeft(b2) { case (bb, (k, v)) =>
-      bb.config(k, v)
+    // SPARK_GRAFT_BUILDERCONF: like SPARK_GRAFT_SQLCONF but applied at
+    // session BUILD time — for core confs (e.g. the shuffle compression
+    // codec) that cannot change once the context exists. Same k=v;k=v
+    // format.
+    val builderConfs = sys.env.get("SPARK_GRAFT_BUILDERCONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) }
+    val spark = (extraConfs.toSeq ++ builderConfs).foldLeft(b2) {
+      case (bb, (k, v)) => bb.config(k, v)
     }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     applyEnvSqlConf(spark)

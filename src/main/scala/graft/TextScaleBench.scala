@@ -179,9 +179,15 @@ object TextScaleBench {
       val times = queries.map { q =>
         System.err.println(s"[textscale] running $q @ $n" +
           (if (isolated(q)) " (fresh JVM)" else ""))
-        if (isolated(q)) q -> runIsolated(q, dir, warmDir, oha)
-        else q -> time(queryFn(q)(spark, dir)
-          .write.format("noop").mode("overwrite").save())
+        val sec =
+          if (isolated(q)) runIsolated(q, dir, warmDir, oha)
+          else time(queryFn(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save())
+        // incremental record on stderr: a sweep that dies at a later
+        // point (the 4M ENOSPC) must not take its finished numbers
+        // with it
+        System.err.println(f"[textscale] $q @ $n = $sec%.2f s")
+        q -> sec
       }
       (n, times)
     }

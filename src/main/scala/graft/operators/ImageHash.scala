@@ -63,6 +63,5 @@ object ImageHash {
 
   /** Hamming distance of two (hi, lo) hash pairs. */
   def hamming(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =
-    expr(s"bit_count(${loA.toString} ^ ${loB.toString})") +
-      expr(s"bit_count(${hiA.toString} ^ ${hiB.toString})")
+    bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB))
 }

@@ -344,9 +344,10 @@ object ExtQueries {
       .filter(col("a_id") < col("b_id"))
       .select(
         col("a_id"), col("b_id"),
-        (expr("bit_count(a_lo ^ b_lo)") + expr("bit_count(a_hi ^ b_hi)"))
+        ImageHash.hamming(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
           .cast("long").as("hamming"),
-        expr("bit_count(a_dh ^ b_dh)").cast("long").as("ham_dhash"))
+        bit_count(col("a_dh").bitwiseXOR(col("b_dh")))
+          .cast("long").as("ham_dhash"))
       .filter(col("hamming") <= 6)
       .distinct()
   }

@@ -330,6 +330,26 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("encode's Catalyst-fold arm (spark.graft.bpe.foldSegment) is " +
+    "bit-identical to the fast sequential encoder, including byte fallback") {
+    import spark.implicits._
+    val m = graft.model.BpeMerges
+    val df = Seq(
+      (1L, "the slow merge window"),
+      (2L, "naïve café ¡mixed! 東京 w42"),
+      (3L, "value über straße"))
+      .toDF("doc_id", "text")
+    def run() = Bpe.encode(df, "doc_id", "text", m.merges.take(64), m.idOf)
+      .select("doc_id", "n_tokens", "bpe_ids")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val fast = run()
+    spark.conf.set("spark.graft.bpe.foldSegment", "true")
+    try {
+      val fold = run()
+      assert(fold == fast)
+    } finally spark.conf.unset("spark.graft.bpe.foldSegment")
+  }
+
   test("decode is robust to legacy -1 ids and renders them as '?'") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

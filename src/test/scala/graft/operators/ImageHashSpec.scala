@@ -100,4 +100,18 @@ class ImageHashSpec extends AnyFunSuite with SparkTestBase {
       assert((b(1) << 16 | b(0)) == lo && (b(3) << 16 | b(2)) == hi)
     }
   }
+
+  test("hamming equals Long.bitCount of the xor on random hash pairs") {
+    val rng = new scala.util.Random(37)
+    val rows = (1 to 25).map(_ => (
+      rng.nextLong() & 0xffffffffL, rng.nextLong() & 0xffffffffL,
+      rng.nextLong() & 0xffffffffL, rng.nextLong() & 0xffffffffL))
+    val got = rows.toDF("la", "ha", "lb", "hb")
+      .select(col("la"), col("ha"), col("lb"), col("hb"),
+        ImageHash.hamming(col("la"), col("ha"), col("lb"), col("hb")).as("d"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (la, ha, lb, hb, d) =>
+      assert(d == java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb))
+    }
+  }
 }
