@@ -93,15 +93,22 @@ object CurationPipeline {
     val survivors = decontam match {
       case None => gated
       case Some((emb, centroids)) =>
+        // localCheckpoint: gated feeds TWO consumers here — the
+        // contamination lookup's semi-join AND the survivor filter —
+        // and unpinned, the ENTIRE cut+gate prefix executed twice
+        // (the q148/q151 two-consumer discipline). At 100 TB this
+        // materialization is the curated-corpus handoff a production
+        // pipeline persists between stages anyway.
+        val pinned = gated.localCheckpoint(true)
         val vecs = emb.select(col("vec_id"), col("embedding"))
         val corpusSide = vecs
           .filter(col("vec_id") % evalMod =!= 0)
-          .join(gated.select(col(idCol).cast("long").as("vec_id")),
+          .join(pinned.select(col(idCol).cast("long").as("vec_id")),
             Seq("vec_id"), "left_semi")
         val cont = Similarity.evalContaminated(
           corpusSide, vecs.filter(col("vec_id") % evalMod === 0),
           "vec_id", "embedding", tau = tau, centroids = centroids)
-        gated.filter(col(idCol) % evalMod =!= 0)
+        pinned.filter(col(idCol) % evalMod =!= 0)
           .join(cont.select(col("vec_id").as(idCol)), Seq(idCol), "left_anti")
     }
     // stage 4 — BPE encode under the frozen fixture (q142)
