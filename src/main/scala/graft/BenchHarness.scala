@@ -59,6 +59,13 @@ object BenchHarness {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "2000000"))
+      // zstd shuffle/spill compression by default, matching
+      // GraftSession (r14 A/B: time-neutral at 2M docs, ~halves shuffle
+      // scratch — the 3M exact-substring point only fits under zstd).
+      // SPARK_GRAFT_IO_CODEC or a BUILDERCONF entry (applied later,
+      // later config wins) overrides for A/B.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
     val b2 =
       if (autoBroadcast64)
         b.config("spark.sql.autoBroadcastJoinThreshold", "64MB")
@@ -73,6 +80,20 @@ object BenchHarness {
     val spark = (extraConfs.toSeq ++ builderConfs).foldLeft(b2) {
       case (bb, (k, v)) => bb.config(k, v)
     }.getOrCreate()
+    // BUILDERCONF exists for confs that only bind at context creation
+    // (e.g. spark.io.compression.codec). If a session already lived in
+    // this JVM, getOrCreate silently ignored them — an A/B arm would
+    // then record numbers under the WRONG codec with no error (r14
+    // ADVICE). Verify each requested value actually took effect.
+    builderConfs.foreach { case (k, v) =>
+      val effective = spark.sparkContext.getConf.getOption(k)
+        .orElse(scala.util.Try(spark.conf.getOption(k)).toOption.flatten)
+      require(effective.contains(v),
+        s"SPARK_GRAFT_BUILDERCONF $k=$v did not take effect " +
+          s"(effective: ${effective.getOrElse("<unset>")}) — a " +
+          "SparkSession already existed in this JVM; builder-time core " +
+          "confs cannot be applied retroactively")
+    }
     spark.sparkContext.setLogLevel("WARN")
     applyEnvSqlConf(spark)
     spark

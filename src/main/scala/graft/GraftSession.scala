@@ -79,6 +79,19 @@ object GraftSession {
       // per-partition group cardinality × buffer width approaches
       // executor memory — the fallback is the OOM guard.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+      // zstd shuffle/spill compression BY DEFAULT (r14 A/B, promoted in
+      // r15): vs lz4 it is time-neutral on the heaviest shuffles in the
+      // suite (exact-substring digest sort at 2M docs: 269/300 s
+      // isolated-zstd vs 278/315 s lz4) and roughly HALVES shuffle
+      // scratch bytes — which is the binding constraint at scale: the
+      // 3M-doc point only fits this host's disk under zstd, and at
+      // 100 TB per-node scratch is what sizes the fleet (TEXTSCALE
+      // note_r14; BASELINE r14 #4). Core conf: binds at CONTEXT
+      // creation only — a pre-existing session silently keeps its
+      // codec (BenchHarness verifies its BUILDERCONF took; this
+      // default is best-effort by design). Env override for A/B.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "zstd"))
       .config("spark.sql.session.timeZone", "UTC")
       // custom expressions (simhash64, minhash_sig, ngram_jaccard,
       // lang_id, cosine_sim) available in SQL everywhere. BOTH forms:

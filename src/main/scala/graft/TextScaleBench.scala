@@ -80,7 +80,12 @@ object TextScaleBench {
     val isolate = sys.env.get("SPARK_GRAFT_TEXT_ISOLATE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    def isolated(q: String): Boolean = isolate.exists(q.startsWith)
+    // exact name, or a prefix anchored at the underscore boundary —
+    // a bare startsWith would let "q13" silently isolate
+    // q132_hybrid_rrf_topk along with q133/q134 and then mislabel the
+    // emitted "isolated" field (r14 ADVICE)
+    def isolated(q: String): Boolean =
+      isolate.contains(q) || isolate.exists(p => q.startsWith(p + "_"))
     def runIsolated(q: String, dir: String, warmDir: String, oha: String): Double = {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory

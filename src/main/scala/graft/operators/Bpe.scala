@@ -23,24 +23,40 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Byte-fallback base decomposition of ONE character (r13 verdict #4,
+  /** Byte-fallback base decomposition of ONE code point (r13 verdict #4,
     * the GPT-2/SentencePiece `byte_fallback` convention): a character in
     * the frozen base alphabet is its own symbol; anything else
     * decomposes into its UTF-8 bytes, one `<0xNN>` token each
     * (uppercase hex — the `hex()` rendering of both engines). With the
     * 256 byte tokens in the id vocabulary the tokenizer has NO
     * out-of-vocabulary input and [[decode]]∘[[encode]] is lossless on
-    * ANY (BMP) text. BMP assumed as everywhere in this tokenizer: both
-    * engines would split a surrogate pair differently.
+    * ANY text, supplementary planes included: the unit is the CODE
+    * POINT, never a UTF-16 unit, so an emoji decomposes into its 4
+    * UTF-8 byte tokens — exactly what [[baseSymsCol]]'s `substr`
+    * spelling (UTF8String indexes code points) and the DuckDB oracle
+    * emit. Iterating Chars here instead would hand each surrogate half
+    * to `getBytes` alone, which encodes it as `?` (0x3F) — silent
+    * corruption with n_oov = 0 (the r14 ADVICE find).
     */
-  private[operators] def charSyms(c: Char): Seq[String] =
-    if (graft.model.BpeMerges.alphabetSet(c)) Seq(c.toString)
-    else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private[operators] def charSyms(cp: Int): Seq[String] = {
+    val s = new String(Character.toChars(cp))
+    if (cp <= Char.MaxValue && graft.model.BpeMerges.alphabetSet(cp.toChar))
+      Seq(s)
+    else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .toSeq.map(b => graft.model.BpeMerges.byteToken(b & 0xff))
+  }
 
-  /** [[charSyms]] over a whole word (no end marker appended). */
-  private[operators] def baseSyms(w: String): Seq[String] =
-    w.flatMap(charSyms)
+  /** [[charSyms]] over a whole word's CODE POINTS (no end marker). */
+  private[operators] def baseSyms(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out ++= charSyms(cp)
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
 
   /** The Catalyst spelling of [[charSyms]]+`</w>` over a text column —
     * shared by [[train]]'s symbol init and [[segment]]'s base (one
@@ -93,12 +109,12 @@ object Bpe {
     var it = 0
     while (it < numMerges && !done) {
       // tie-break order is (l, r) in Spark's UTF8String comparison =
-      // UTF-8 byte order = Unicode CODE POINT order. Note for BMP-only
-      // corpora this equals Java String order too; past the BMP the two
-      // diverge (UTF-16 code units sort surrogates low) — the spec's
-      // independent reference implementation therefore also ties on code
-      // points, and the character split itself assumes BMP input (both
-      // sides would split a surrogate pair differently).
+      // UTF-8 byte order = Unicode CODE POINT order. Symbols can only
+      // be base-alphabet (BMP) characters, `<0xNN>` byte tokens, or
+      // concatenations thereof — non-BMP code points byte-decompose on
+      // the way in — so Java String order coincides; the spec's
+      // independent reference implementation still ties on code points
+      // to keep the invariant explicit rather than incidental.
       val top = pairCounts(syms)
         .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1)
@@ -359,8 +375,8 @@ object Bpe {
     *
     * `ranksOf` maps a pair to its SORTED rule ranks (a pair can in
     * principle be re-learned after re-emerging mid-training, so the
-    * general form is a list). BMP input assumed, as everywhere in this
-    * tokenizer (both engines would split a surrogate pair differently).
+    * general form is a list). Non-BMP input is fine: [[baseSyms]]
+    * decomposes by code point, matching the Catalyst arm exactly.
     */
   private[operators] def segmentWordFast(
       w: String,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Perceptual image hashing for near-duplicate image dedup — the pixel
@@ -53,7 +53,22 @@ object ImageHash {
       s"IF(element_at($grayCol, CAST((k DIV 7) * 8 + (k % 7) + 1 AS INT)) < " +
       s"element_at($grayCol, CAST((k DIV 7) * 8 + (k % 7) + 2 AS INT)), 1L, 0L))")
 
-  /** The four 16-bit LSH bands of the (hi, lo) aHash. */
+  /** The four 16-bit LSH bands of the (hi, lo) aHash.
+    *
+    * Recall regime (r14 verdict #3, measured in `ImageHashSpec`): the
+    * pigeonhole argument makes banding EXACT only to Hamming distance
+    * 3 — with 4 bands, ≤ 3 differing bits leave at least one band
+    * clean. A downstream gate ABOVE 3 (q151 uses ≤ 6) is genuinely
+    * approximate: a pair whose diffs touch all four bands generates no
+    * candidate. For uniformly-placed diffs the analytic recall is the
+    * fraction of diff-position sets NOT covering all 4 bands —
+    * ≈ 0.897 at distance 4, ≈ 0.742 at 5, ≈ 0.583 at 6 (hypergeometric
+    * inclusion–exclusion over 4 bands × 16 bits; the spec measures a
+    * seeded planted ensemble within ±0.05 of each and pins the
+    * adversarial one-diff-per-band pair as a certain miss). Standard
+    * LSH recall<1 territory; to make distance ≤ 7 exact instead, band
+    * into 8 bytes — at ~2× the candidate volume.
+    */
   def bands(lo: Column, hi: Column): Column =
     array(
       lo.bitwiseAND(lit(65535L)),
@@ -64,4 +79,26 @@ object ImageHash {
   /** Hamming distance of two (hi, lo) hash pairs. */
   def hamming(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =
     bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB))
+
+  /** LSH candidate pairs over a hashed frame `(doc_id, lo, hi, dh)`:
+    * explode the four 16-bit aHash bands, band-equi self-join (the
+    * MinHash bucket shape — at 100 TB the band table partitions by
+    * (bidx, bval); never all-pairs), `a_id < b_id` orders each pair
+    * once. Pairs agreeing on SEVERAL bands surface once per band —
+    * callers dedup after their distance gate (cheaper than deduping
+    * the wider candidate set). Shared by q151 and the recall spec so
+    * the measured recall is the recall of the SHIPPED pipeline.
+    */
+  def bandCandidatePairs(hashed: DataFrame): DataFrame = {
+    val banded = hashed.select(
+      col("doc_id"), col("lo"), col("hi"), col("dh"),
+      posexplode(bands(col("lo"), col("hi"))).as(Seq("bidx", "bval")))
+    val a = banded.select(
+      col("doc_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"),
+      col("dh").as("a_dh"), col("bidx"), col("bval"))
+    val b = banded.select(
+      col("doc_id").as("b_id"), col("lo").as("b_lo"), col("hi").as("b_hi"),
+      col("dh").as("b_dh"), col("bidx"), col("bval"))
+    a.join(b, Seq("bidx", "bval")).filter(col("a_id") < col("b_id"))
+  }
 }

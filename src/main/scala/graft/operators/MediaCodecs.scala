@@ -339,8 +339,8 @@ object MediaCodecs {
       if (isPng(b)) "png"
       else if (isJpeg(b)) "jpeg"
       else return decodeImageIO(b)
+    val cache = readerCache.get()
     try {
-      val cache = readerCache.get()
       val reader = cache.getOrElseUpdate(fmt, {
         val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
         if (!it.hasNext) return decodeImageIO(b)
@@ -352,8 +352,24 @@ object MediaCodecs {
         reader.setInput(iis, true, true)
         val img = reader.read(0)
         if (img == null) None else Some(normalizeRgb(img))
-      } finally iis.close()
-    } catch { case _: Exception => decodeImageIO(b) }
+      } finally {
+        // detach the stream before closing it: a cached reader must
+        // never sit on a CLOSED input between calls (r14 ADVICE — the
+        // dangling reference also pins the stream's buffers for the
+        // executor thread's lifetime)
+        try reader.setInput(null) catch { case _: Exception => () }
+        iis.close()
+      }
+    } catch {
+      case _: Exception =>
+        // a reader that threw mid-read may be in an undefined state:
+        // dispose + evict so the NEXT call on this thread rebuilds a
+        // fresh one instead of permanently degrading to the fallback
+        cache.remove(fmt).foreach { r =>
+          try r.dispose() catch { case _: Exception => () }
+        }
+        decodeImageIO(b)
+    }
   }
 
   private val readerCache =

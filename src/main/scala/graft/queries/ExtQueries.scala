@@ -336,18 +336,12 @@ object ExtQueries {
         ImageHash.aHashHi("gray", "tot").as("hi"),
         ImageHash.dHash("gray").as("dh"))
       .localCheckpoint(true)
-    val banded = hashed.select(
-      col("doc_id"), col("lo"), col("hi"), col("dh"),
-      posexplode(ImageHash.bands(col("lo"), col("hi")))
-        .as(Seq("bidx", "bval")))
-    val a = banded.select(
-      col("doc_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"),
-      col("dh").as("a_dh"), col("bidx"), col("bval"))
-    val b = banded.select(
-      col("doc_id").as("b_id"), col("lo").as("b_lo"), col("hi").as("b_hi"),
-      col("dh").as("b_dh"), col("bidx"), col("bval"))
-    a.join(b, Seq("bidx", "bval"))
-      .filter(col("a_id") < col("b_id"))
+    // candidate generation shared with ImageHashSpec's recall
+    // measurement: exact to Hamming 3 by pigeonhole; the ≤ 6 gate
+    // below is in the measured-recall regime (≈ 0.90/0.74/0.58 at
+    // distance 4/5/6 under uniform diff placement — see
+    // ImageHash.bands)
+    ImageHash.bandCandidatePairs(hashed)
       .select(
         col("a_id"), col("b_id"),
         ImageHash.hamming(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))

@@ -28,13 +28,18 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
   /** Independent byte-fallback base decomposition (shares no code with
     * the Spark path): alphabet chars are their own symbol, everything
     * else becomes its UTF-8 bytes as `<0xNN>` tokens (uppercase hex).
+    * Iterates CODE POINTS (not UTF-16 units) so supplementary-plane
+    * characters decompose into their real 4 UTF-8 bytes, never a `?`
+    * per surrogate half.
     */
   private def refSyms(w: String): Vector[String] =
-    w.flatMap { c =>
-      if (graft.model.BpeMerges.alphabetSet(c)) Seq(c.toString)
-      else c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        .toSeq.map(b => f"<0x${b & 0xff}%02X>")
-    }.toVector
+    w.codePoints().toArray.toVector.flatMap { cp =>
+      val s = new String(Character.toChars(cp))
+      if (cp <= Char.MaxValue && graft.model.BpeMerges.alphabetSet(cp.toChar))
+        Vector(s)
+      else s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .toVector.map(b => f"<0x${b & 0xff}%02X>")
+    }
 
   /** Reference BPE (Sennrich et al. 2016 pseudocode, verbatim): vocab as
     * symbol sequences, argmax pair by (count desc, pair asc in code-point
@@ -327,6 +332,49 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     texts.zipWithIndex.foreach { case (t, i) =>
       val expect = t.split(" ").filter(_.nonEmpty).mkString(" ")
       assert(got(i.toLong) === ((0L, expect)), s"doc $i: '$t'")
+    }
+  }
+
+  test("non-BMP input (emoji, supplementary CJK): fast encoder, fold arm, " +
+    "and reference agree on code-point byte fallback; decode is exact") {
+    import spark.implicits._
+    val m = graft.model.BpeMerges
+    // U+1F600 (4-byte emoji), U+2070E (supplementary CJK), mixed with
+    // BMP neighbours — the r14 ADVICE corruption case: a UTF-16 iterator
+    // turns each surrogate half into a '?' (0x3F) byte token with
+    // n_oov = 0, so only an exact-reconstruction check catches it
+    val texts = Seq(
+      (1L, "smile 😀 end"),
+      (2L, "rare 𠜎 char"),
+      (3L, "mix😀ed word"))
+    val df = texts.toDF("doc_id", "text")
+    // base decomposition: the emoji is its 4 real UTF-8 bytes, no 0x3F
+    assert(Bpe.baseSyms("😀") ==
+      Seq("<0xF0>", "<0x9F>", "<0x98>", "<0x80>"))
+    assert(!Bpe.baseSyms("a𠜎b").contains("<0x3F>"))
+    // all three encode spellings agree
+    def run() = Bpe.encode(df, "doc_id", "text", m.merges.take(64), m.idOf)
+      .select("doc_id", "n_tokens", "bpe_ids")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val fast = run()
+    spark.conf.set("spark.graft.bpe.foldSegment", "true")
+    val fold = try run() finally spark.conf.unset("spark.graft.bpe.foldSegment")
+    assert(fold == fast)
+    val want = texts.map { case (id, t) =>
+      val toks = t.split(" ").filter(_.nonEmpty).toSeq
+        .flatMap(w => refEncodeWord(w, m.merges.take(64)))
+      (id, toks.size.toLong, toks.map(s => m.idOf.getOrElse(s, -1)).mkString(" "))
+    }
+    assert(fast == want)
+    // lossless decode: the emoji comes back verbatim, zero OOV
+    val dec = Bpe.decode(
+      Bpe.encode(df, "doc_id", "text", m.merges, m.idOf),
+      "bpe_ids", m.idOf)
+      .select($"doc_id", $"n_oov", $"decoded")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    texts.foreach { case (id, t) =>
+      val expect = t.split(" ").filter(_.nonEmpty).mkString(" ")
+      assert(dec(id) === ((0L, expect)), s"doc $id: '$t'")
     }
   }
 

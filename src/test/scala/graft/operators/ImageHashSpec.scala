@@ -101,6 +101,103 @@ class ImageHashSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("band candidate recall (the shipped q151 pipeline): exact to " +
+    "Hamming 3 by pigeonhole, measured ≈ analytic at 4/5/6, adversarial " +
+    "one-diff-per-band pair certainly missed") {
+    // a {0,255} grid realizes ANY aHash bit pattern with 1..63 ones:
+    // Σp = 255k, and 255·64 > 255k iff k < 64, so bit j is set exactly
+    // at the 255-pixels — planted pairs at an EXACT chosen Hamming
+    // distance, adversarial band placement included
+    def grayFor(bits: Set[Int]): Seq[Int] =
+      (0 until 64).map(j => if (bits(j)) 255 else 0)
+    val rng = new scala.util.Random(41)
+    def randBits(n: Int): Set[Int] = {
+      val s = scala.collection.mutable.Set.empty[Int]
+      while (s.size < n) s += rng.nextInt(64)
+      s.toSet
+    }
+    val perDist = 300
+    // planted: pair (2i, 2i+1) per distance d = 1..6; partner flips d
+    // random distinct positions (in-set removes, out-of-set adds — the
+    // symmetric difference is exactly d bits)
+    val planted = scala.collection.mutable.Map.empty[Int, Vector[(Long, Long)]]
+    val images = Vector.newBuilder[(Long, Seq[Int])]
+    var nextId = 0L
+    for (d <- 1 to 6) {
+      val pairs = Vector.newBuilder[(Long, Long)]
+      for (_ <- 1 to perDist) {
+        val base = randBits(12 + rng.nextInt(32)) // 12..43 ones
+        var flips = Set.empty[Int]
+        while (flips.size < d) flips += rng.nextInt(64)
+        val partner = (base -- flips) ++ (flips -- base)
+        val (ia, ib) = (nextId, nextId + 1)
+        nextId += 2
+        images += ((ia, grayFor(base)))
+        images += ((ib, grayFor(partner)))
+        pairs += ((ia, ib))
+      }
+      planted(d) = pairs.result()
+    }
+    // adversarial plants: one diff per band (missed — every band
+    // dirty) and six diffs inside one band (caught — three clean bands)
+    val advBase = randBits(20)
+    val spread = Set(3, 19, 35, 51) // bands 0,1,2,3
+    val oneBand = Set(0, 1, 2, 4, 5, 6) // all in band 0
+    val advSpreadIds = (nextId, nextId + 1)
+    images += ((nextId, grayFor(advBase)))
+    images += ((nextId + 1,
+      grayFor((advBase -- spread) ++ (spread -- advBase))))
+    nextId += 2
+    val advOneBandIds = (nextId, nextId + 1)
+    images += ((nextId, grayFor(advBase)))
+    images += ((nextId + 1,
+      grayFor((advBase -- oneBand) ++ (oneBand -- advBase))))
+    nextId += 2
+
+    val hashed = images.result().toDF("doc_id", "gray")
+      .withColumn("tot", ImageHash.graySum(col("gray")))
+      .select(col("doc_id"),
+        ImageHash.aHashLo("gray", "tot").as("lo"),
+        ImageHash.aHashHi("gray", "tot").as("hi"),
+        ImageHash.dHash("gray").as("dh"))
+      .localCheckpoint(true)
+    val found = ImageHash.bandCandidatePairs(hashed)
+      .select(col("a_id"), col("b_id"),
+        ImageHash.hamming(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+      .as[(Long, Long, Long)].collect()
+    val foundPairs = found.map(r => (r._1, r._2)).toSet
+    // precision: every reported distance re-checks against the local
+    // hash map (the gate is trusted only after this)
+    val hashOf = hashed.as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    found.foreach { case (a, b, h) =>
+      val d = java.lang.Long.bitCount(hashOf(a)._1 ^ hashOf(b)._1) +
+        java.lang.Long.bitCount(hashOf(a)._2 ^ hashOf(b)._2)
+      assert(d == h && d <= 6)
+    }
+    // pigeonhole regime: distance ≤ 3 has recall EXACTLY 1
+    for (d <- 1 to 3) {
+      val missed = planted(d).filterNot(foundPairs)
+      assert(missed.isEmpty, s"pigeonhole broken at d=$d: $missed")
+    }
+    // measured regime: recall within ±0.08 of the hypergeometric
+    // inclusion–exclusion analytic values (N=300 ⇒ σ ≈ 0.03)
+    val analytic = Map(4 -> 0.8968, 5 -> 0.7421, 6 -> 0.5826)
+    for (d <- 4 to 6) {
+      val recall = planted(d).count(foundPairs).toDouble / perDist
+      assert(math.abs(recall - analytic(d)) < 0.08,
+        s"d=$d recall $recall vs analytic ${analytic(d)}")
+    }
+    // adversarial certainty: one diff per band → no clean band → no
+    // candidate, even though its Hamming distance (4) passes the gate;
+    // six diffs in one band → three clean bands → found
+    assert(!foundPairs(advSpreadIds), "spread-diff pair must be missed")
+    assert(foundPairs(advOneBandIds), "one-band pair must be found")
+  }
+
   test("hamming equals Long.bitCount of the xor on random hash pairs") {
     val rng = new scala.util.Random(37)
     val rows = (1 to 25).map(_ => (
