@@ -59,6 +59,17 @@ object CurationPipeline {
     * @param evalMod   eval-set id split (q139's 25)
     * @param seqLen    tokens per training sequence (512)
     * @param nShards   contiguous epoch-0 shards (q148's 8)
+    * @param balanceBy shard-cut policy over the SAME md5 epoch-0 order:
+    *                  `"count"` (q148 — ±1 sequence per shard; output
+    *                  carries `position`) or `"tokens"` (q152,
+    *                  [[Sharding.tokenBalancedShards]] — cut at token
+    *                  prefix sums so every shard carries ≈ total/S
+    *                  tokens; output carries `tok_start`). The skew
+    *                  `"tokens"` exists for is REAL inside this
+    *                  lineage: [[Packing.gatherSequences]] emits one
+    *                  short final partial sequence per corpus, and a
+    *                  doc-boundary-respecting packer upstream would
+    *                  make every sequence's mass vary (r14 verdict #8).
     */
   def curateToShards(
       docs: DataFrame,
@@ -71,7 +82,10 @@ object CurationPipeline {
       tau: Double = 0.4,
       evalMod: Long = 25L,
       seqLen: Long = 512L,
-      nShards: Long = 8L): DataFrame = {
+      nShards: Long = 8L,
+      balanceBy: String = "count"): DataFrame = {
+    require(balanceBy == "count" || balanceBy == "tokens",
+      s"balanceBy must be 'count' or 'tokens', got '$balanceBy'")
     // stage 1 — exact-substring duplicate cut (q134): the corpus with
     // every ≥ minSpanLen duplicated window removed, lowest-(id, pos)
     // occurrence kept
@@ -124,20 +138,32 @@ object CurationPipeline {
         array_join(transform(col("token_ids"), _.cast("string")), " ")
           .as("__ids"))
       .localCheckpoint(true)
-    // stage 6 — epoch-0 shard manifest (q148): md5 permutation,
-    // two-pass distributed rank, contiguous ±1-balanced shard cuts,
-    // global count as a ONE-ROW broadcast (bounded by construction)
+    // stage 6 — epoch-0 shard manifest: md5 permutation, then the
+    // chosen contiguous cut. Both arms are one ordered exchange plus a
+    // ONE-ROW broadcast total (bounded by construction)
     val keyed = gathered
       .withColumn("__k", md5(concat_ws(":", col("seq_id"), lit(0))))
-    val ranked = Ranking.globalRowNumber(
-      keyed, Seq(col("__k"), col("seq_id")), "__rn")
-    val total = gathered.agg(count(lit(1)).as("__total"))
-    ranked.crossJoin(broadcast(total))
-      .select(
-        expr(s"(__rn - 1) * $nShards DIV __total").as("shard"),
-        col("seq_id"),
-        (col("__rn") - 1).as("position"),
-        col("seq_tokens"),
-        md5(col("__ids")).as("ids_md5"))
+    if (balanceBy == "tokens")
+      // q152's cut over q150's order: token prefix sums, shard =
+      // tok_start · S DIV total — every shard ≈ total/S tokens no
+      // matter how unequal the sequences are
+      Sharding.tokenBalancedShards(
+        keyed, "seq_tokens", Seq("__k", "seq_id"), nShards)
+        .select(
+          col("shard"), col("seq_id"), col("seq_tokens"),
+          col("tok_start"), md5(col("__ids")).as("ids_md5"))
+    else {
+      // q148's cut: two-pass distributed rank, ±1-sequence shards
+      val ranked = Ranking.globalRowNumber(
+        keyed, Seq(col("__k"), col("seq_id")), "__rn")
+      val total = gathered.agg(count(lit(1)).as("__total"))
+      ranked.crossJoin(broadcast(total))
+        .select(
+          expr(s"(__rn - 1) * $nShards DIV __total").as("shard"),
+          col("seq_id"),
+          (col("__rn") - 1).as("position"),
+          col("seq_tokens"),
+          md5(col("__ids")).as("ids_md5"))
+    }
   }
 }

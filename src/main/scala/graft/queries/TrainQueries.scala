@@ -589,6 +589,30 @@ object TrainQueries {
       idOf = graft.model.BpeMerges.idOf,
       seqLen = packLen)
 
+  /** The fused lineage cut by TOKEN prefix sums (r14 verdict #8):
+    * identical six-stage chain and epoch-0 md5 order as q150, with the
+    * final shard cut swapped from q148's ±1-sequence rank to q152's
+    * token-balanced policy ([[graft.operators.CurationPipeline]]
+    * `balanceBy = "tokens"`). The skew this exists for is real INSIDE
+    * the lineage: [[graft.operators.Packing.gatherSequences]] leaves
+    * one short final partial sequence per corpus, which a count cut
+    * silently hands to whichever shard the permutation lands it in.
+    * The oracle is q150's composed CTE chain with only the `pos` tail
+    * respelled as a window token prefix sum — the same can't-drift
+    * sharing, now across THREE queries (q150/q152/q153).
+    */
+  private def q153(s: SparkSession, d: String): DataFrame =
+    graft.operators.CurationPipeline.curateToShards(
+      Tables.documents(s, d),
+      "doc_id", "text",
+      decontam = Some((
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        graft.model.IvfCentroids.blockingFor(s, d))),
+      merges = graft.model.BpeMerges.merges,
+      idOf = graft.model.BpeMerges.idOf,
+      seqLen = packLen,
+      balanceBy = "tokens")
+
   /** Token-balanced training shards (r13 verdict #7): q148's ±1-SEQUENCE
     * balance is byte-balanced only while every sequence is exactly 512
     * tokens; this is the `balanceBy = tokens` option over a frame whose
@@ -631,6 +655,7 @@ object TrainQueries {
     "q149_mix_temperature" -> q149,
     "q150_curation_pipeline" -> q150,
     "q152_shard_tokens" -> q152,
+    "q153_curation_tokens" -> q153,
     "q51_gopher_filter" -> q51,
     "q52_repetition" -> q52,
     "q53_pack_greedy" -> q53,
@@ -750,6 +775,76 @@ object TrainQueries {
        |  FROM bpe_w w JOIN bpe_enc e USING (w)
        |  GROUP BY doc_id)""".stripMargin
   }
+
+  /** The fused curation lineage's oracle CTE chain through `seqs` (one
+    * row per packed sequence: token mass + id stream) — cut
+    * (CutOracleSql), Gopher gate on the cut text, IVF-blocked
+    * decontamination over gate survivors, BPE encode, gather fan.
+    * Shared VERBATIM by q150 and q153, which differ only in the
+    * shard-cut tail appended after it (count rank vs token prefix
+    * sum) — so the two fused queries cannot drift from each other any
+    * more than from their per-stage builders.
+    */
+  private def curationOracleCtes: String =
+    s"""${CutOracleSql.ctes(minLen = 50)},
+       |gt AS (
+       |  SELECT doc_id, text,
+       |    len($duckToks) AS n_words,
+       |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS n_nonspace,
+       |    len(list_intersect(list_distinct($duckToks),
+       |        ['the', 'a', 'and', 'of', 'to'])) AS stop_hits
+       |  FROM cutdocs),
+       |gated AS MATERIALIZED (
+       |  SELECT doc_id, text FROM gt
+       |  WHERE n_words BETWEEN 20 AND 90
+       |    AND (CASE WHEN n_words = 0 THEN 0.0
+       |         ELSE CAST(n_nonspace AS DOUBLE) / n_words END)
+       |        BETWEEN 3.0 AND 4.6
+       |    AND stop_hits >= 1),
+       |${BlockingOracleSql.assignPrefix(nprobe = 4)},
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, cpos AS cell FROM (
+       |    SELECT vec_id, cpos,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
+       |    FROM sc) t WHERE rn = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM cells WHERE vec_id % 25 = 0),
+       |cont AS (
+       |  SELECT DISTINCT a.vec_id AS cid
+       |  FROM probes p JOIN assign a ON a.cell = p.cell
+       |  JOIN ev cv ON cv.vec_id = a.vec_id
+       |  JOIN ev pv ON pv.vec_id = p.vec_id
+       |  JOIN gated gg ON gg.doc_id = a.vec_id
+       |  WHERE a.vec_id % 25 <> 0
+       |    AND list_cosine_similarity(pv.v, cv.v) >= 0.4),
+       |surv AS MATERIALIZED (
+       |  SELECT doc_id, text FROM gated
+       |  WHERE doc_id % 25 <> 0 AND doc_id NOT IN (SELECT cid FROM cont)),
+       |${bpeEncCtes(src = "surv")},
+       |off AS (
+       |  SELECT doc_id, n_tokens, bpe_ids,
+       |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM bpe_doc),
+       |fan AS (
+       |  SELECT tok_start, n_tokens, bpe_ids,
+       |    unnest(generate_series(tok_start // $packLen,
+       |      (tok_start + n_tokens - 1) // $packLen)) AS s
+       |  FROM off),
+       |frag AS (
+       |  SELECT s AS seq_id, tok_start,
+       |    least((s + 1) * $packLen, tok_start + n_tokens)
+       |      - greatest(s * $packLen, tok_start) AS fn,
+       |    array_to_string(list_slice(string_split(bpe_ids, ' '),
+       |      CAST(greatest(s * $packLen, tok_start) - tok_start + 1 AS BIGINT),
+       |      CAST(least((s + 1) * $packLen, tok_start + n_tokens)
+       |        - tok_start AS BIGINT)), ' ') AS frag
+       |  FROM fan),
+       |seqs AS (
+       |  SELECT seq_id, CAST(sum(fn) AS BIGINT) AS seq_tokens,
+       |    string_agg(frag, ' ' ORDER BY tok_start) AS token_ids
+       |  FROM frag GROUP BY seq_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q142_bpe_encode" ->
@@ -963,66 +1058,10 @@ object TrainQueries {
     // survivor corpus (bpeEncCtes(src)), the q144 gather fan, and the
     // q148 md5 permutation + contiguous shard cut. DuckDB may use the
     // single-node windows Spark must not (the standing oracle license).
+    // The chain through `seqs` is shared verbatim with q153 via
+    // curationOracleCtes — only the shard-cut tail differs.
     "q150_curation_pipeline" ->
-      s"""WITH ${CutOracleSql.ctes(minLen = 50)},
-         |gt AS (
-         |  SELECT doc_id, text,
-         |    len($duckToks) AS n_words,
-         |    length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')) AS n_nonspace,
-         |    len(list_intersect(list_distinct($duckToks),
-         |        ['the', 'a', 'and', 'of', 'to'])) AS stop_hits
-         |  FROM cutdocs),
-         |gated AS MATERIALIZED (
-         |  SELECT doc_id, text FROM gt
-         |  WHERE n_words BETWEEN 20 AND 90
-         |    AND (CASE WHEN n_words = 0 THEN 0.0
-         |         ELSE CAST(n_nonspace AS DOUBLE) / n_words END)
-         |        BETWEEN 3.0 AND 4.6
-         |    AND stop_hits >= 1),
-         |${BlockingOracleSql.assignPrefix(nprobe = 4)},
-         |assign AS MATERIALIZED (
-         |  SELECT vec_id, cpos AS cell FROM (
-         |    SELECT vec_id, cpos,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cpos ASC) AS rn
-         |    FROM sc) t WHERE rn = 1),
-         |probes AS MATERIALIZED (
-         |  SELECT vec_id, cell FROM cells WHERE vec_id % 25 = 0),
-         |cont AS (
-         |  SELECT DISTINCT a.vec_id AS cid
-         |  FROM probes p JOIN assign a ON a.cell = p.cell
-         |  JOIN ev cv ON cv.vec_id = a.vec_id
-         |  JOIN ev pv ON pv.vec_id = p.vec_id
-         |  JOIN gated gg ON gg.doc_id = a.vec_id
-         |  WHERE a.vec_id % 25 <> 0
-         |    AND list_cosine_similarity(pv.v, cv.v) >= 0.4),
-         |surv AS MATERIALIZED (
-         |  SELECT doc_id, text FROM gated
-         |  WHERE doc_id % 25 <> 0 AND doc_id NOT IN (SELECT cid FROM cont)),
-         |${bpeEncCtes(src = "surv")},
-         |off AS (
-         |  SELECT doc_id, n_tokens, bpe_ids,
-         |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS tok_start
-         |  FROM bpe_doc),
-         |fan AS (
-         |  SELECT tok_start, n_tokens, bpe_ids,
-         |    unnest(generate_series(tok_start // $packLen,
-         |      (tok_start + n_tokens - 1) // $packLen)) AS s
-         |  FROM off),
-         |frag AS (
-         |  SELECT s AS seq_id, tok_start,
-         |    least((s + 1) * $packLen, tok_start + n_tokens)
-         |      - greatest(s * $packLen, tok_start) AS fn,
-         |    array_to_string(list_slice(string_split(bpe_ids, ' '),
-         |      CAST(greatest(s * $packLen, tok_start) - tok_start + 1 AS BIGINT),
-         |      CAST(least((s + 1) * $packLen, tok_start + n_tokens)
-         |        - tok_start AS BIGINT)), ' ') AS frag
-         |  FROM fan),
-         |seqs AS (
-         |  SELECT seq_id, CAST(sum(fn) AS BIGINT) AS seq_tokens,
-         |    string_agg(frag, ' ' ORDER BY tok_start) AS token_ids
-         |  FROM frag GROUP BY seq_id),
+      s"""WITH $curationOracleCtes,
          |pos AS (
          |  SELECT seq_id, seq_tokens, token_ids,
          |    CAST(row_number() OVER (
@@ -1032,6 +1071,22 @@ object TrainQueries {
          |  FROM seqs)
          |SELECT position * 8 // total AS shard, seq_id, position, seq_tokens,
          |  md5(token_ids) AS ids_md5
+         |FROM pos""".stripMargin,
+    // q153: q150's chain with the shard cut respelled as q152's token
+    // prefix sum — same md5 epoch-0 order, shard = tok_start * 8 //
+    // total_tokens (window prefix sum; the single-node license again)
+    "q153_curation_tokens" ->
+      s"""WITH $curationOracleCtes,
+         |pos AS (
+         |  SELECT seq_id, seq_tokens, token_ids,
+         |    CAST(COALESCE(sum(seq_tokens) OVER (
+         |      ORDER BY md5(CAST(seq_id AS VARCHAR) || ':0'), seq_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tok_start,
+         |    CAST(sum(seq_tokens) OVER () AS BIGINT) AS total
+         |  FROM seqs)
+         |SELECT tok_start * 8 // greatest(total, 1) AS shard, seq_id,
+         |  seq_tokens, tok_start, md5(token_ids) AS ids_md5
          |FROM pos""".stripMargin,
     "q51_gopher_filter" ->
       s"""WITH t AS (

@@ -57,9 +57,11 @@ class PlanLintSpec extends AnyFunSuite with SparkTestBase {
                              // global-count broadcast attach — the same
                              // bounded-by-construction scalar, nothing
                              // combinatorial anywhere in the chain
-    "q152_shard_tokens"      // token-balanced shards: the SAME ONE-ROW
+    "q152_shard_tokens",     // token-balanced shards: the SAME ONE-ROW
                              // total-token broadcast attach
                              // (Sharding.tokenBalancedShards)
+    "q153_curation_tokens"   // q150's fused lineage with q152's cut —
+                             // the same two bounded 1-row attaches
   )
 
   test("column pruning reaches the parquet scans (spot checks)") {

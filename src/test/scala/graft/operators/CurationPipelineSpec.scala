@@ -135,4 +135,42 @@ class CurationPipelineSpec extends AnyFunSuite with SparkTestBase {
       tiny, "doc_id", "text", decontam = None,
       merges = merges, idOf = idOf).count() == 0L)
   }
+
+  test("balanceBy = tokens: identical sequence content and md5 order as " +
+    "the count cut, shard ids from token prefix sums") {
+    val count = CurationPipeline.curateToShards(
+      corpus, "doc_id", "text", decontam = Some((emb, centroids)),
+      merges = merges, idOf = idOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val tokens = CurationPipeline.curateToShards(
+      corpus, "doc_id", "text", decontam = Some((emb, centroids)),
+      merges = merges, idOf = idOf, balanceBy = "tokens")
+      .select("shard", "seq_id", "seq_tokens", "tok_start", "ids_md5")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    // the cut policy must not change WHAT is sharded: same sequence
+    // set, same token masses, same content hashes
+    assert(tokens.map(t => (t._2, t._3, t._5)).sorted.toSeq ==
+      count.map(c => (c._2, c._4, c._5)).sorted.toSeq)
+    // tok_start is the prefix sum of seq_tokens along the SAME md5
+    // epoch-0 order the count cut ranked (position order), and shard =
+    // tok_start * 8 DIV total
+    val total = tokens.map(_._3).sum
+    val byPosition = count.sortBy(_._3).map(_._2) // seq_id in rank order
+    val tokOf = tokens.map(t => t._2 -> t).toMap
+    var run = 0L
+    byPosition.foreach { sid =>
+      val t = tokOf(sid)
+      assert(t._4 == run, s"seq $sid tok_start ${t._4} != prefix $run")
+      assert(t._1 == t._4 * 8L / math.max(total, 1L), s"seq $sid shard")
+      run += t._3
+    }
+    assert(run == total)
+    // empty-corpus safety for the tokens arm too
+    val tiny = Seq((1L, "too short")).toDF("doc_id", "text")
+    assert(CurationPipeline.curateToShards(
+      tiny, "doc_id", "text", decontam = None,
+      merges = merges, idOf = idOf, balanceBy = "tokens").count() == 0L)
+  }
 }
