@@ -53,11 +53,17 @@ object TextScaleBench {
       // still linear)
       "q135_dsir_select", "q144_pack_gather",
       "q138_kn_lm_score", "q140_ccnet_lm_filter",
+      // the standalone decontamination stage over the sweep's synthetic
+      // embeddings (IVF-blocked probe join — modest, but after the
+      // bigram tier so the fused-vs-sum arithmetic reads off one sweep)
+      "q139_embed_decontam",
       // tier 4: the giant digest sorters — LAST, nothing downstream
       "q133_dup_substr_spans", "q134_dup_substr_cut",
-      // the fused lineage contains the q134 digest sort, so it is a
-      // tier-4 spiller too and runs at the very end
-      "fused_pipeline")
+      // the fused lineages contain the q134 digest sort, so they are
+      // tier-4 spillers too and run at the very end; fused_decontam
+      // (r14 verdict #3) is the full six-stage chain including the
+      // embedding join
+      "fused_pipeline", "fused_decontam")
       // optional subset filter (A/B aid): SPARK_GRAFT_TEXT_ONLY=q133,q134
       .filter(BenchHarness.onlyFilter("SPARK_GRAFT_TEXT_ONLY"))
 
@@ -147,8 +153,34 @@ object TextScaleBench {
         .withColumn("n_chars", length(col("text")))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // synthetic embedding table for the decontamination arms (r14
+      // verdict #3): deterministic dim-64 vectors keyed by doc_id, ~2%
+      // planted eval near-dups (vec_id % 50 == 7 copies the vector of
+      // the eval probe at vec_id − 7, a % 25 == 0 id) so the stage has
+      // real drops at every N. Only within the committed blocking
+      // codebook ceiling — past it blockingFor THROWS by design, and
+      // the sweep skips the arms instead of training a new book
+      // mid-bench.
+      if (n <= graft.model.IvfCentroids.blockingTrainedCeiling) {
+        val dim = 64
+        spark.range(n.toLong).select(col("id").as("vec_id"))
+          .withColumn("__src",
+            when(pmod(col("vec_id"), lit(50L)) === 7, col("vec_id") - 7)
+              .otherwise(col("vec_id")))
+          .select(
+            col("vec_id"),
+            transform(sequence(lit(0), lit(dim - 1)), j =>
+              ((pmod(xxhash64(col("__src") * lit(dim.toLong) + j), lit(2001L))
+                - 1000L).cast("double") / 1000.0).cast("float"))
+              .as("embedding"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
       dir
     }
+    // arms that read the embedding table exist only within the codebook
+    // ceiling (see gen)
+    val needsEmb = Set("q139_embed_decontam", "fused_decontam")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
@@ -169,9 +201,12 @@ object TextScaleBench {
 
     // warmup JIT on the smallest corpus
     val warmDir = gen(sizes.head)
-    queries.foreach(q =>
-      queryFn(q)(spark, warmDir)
-        .write.format("noop").mode("overwrite").save())
+    queries
+      .filter(q => !needsEmb(q) ||
+        sizes.head <= graft.model.IvfCentroids.blockingTrainedCeiling)
+      .foreach(q =>
+        queryFn(q)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save())
 
     val points = sizes.map { n =>
       val dir = gen(n)
@@ -188,7 +223,9 @@ object TextScaleBench {
       spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         if (n >= 500000) "1024" else "2000000")
       val oha = if (n >= 500000) "1024" else "2000000"
-      val times = queries.map { q =>
+      val times = queries.filter(q =>
+        !needsEmb(q) ||
+          n <= graft.model.IvfCentroids.blockingTrainedCeiling).map { q =>
         System.err.println(s"[textscale] running $q @ $n" +
           (if (isolated(q)) " (fresh JVM)" else ""))
         val sec =

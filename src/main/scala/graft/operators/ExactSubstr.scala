@@ -33,8 +33,74 @@ import org.apache.spark.sql.functions._
   * is handled by its bucket COUNT; positions are marked, not paired, so
   * there is no quadratic arm to cap. The per-doc island merge partitions
   * by doc — bounded by document length, embarrassingly parallel.
+  *
+  * Scratch bound (r14 verdict #1): the digest shuffle's merge phase
+  * holds spill files + merged output simultaneously — ~2× its shuffle
+  * bytes of transient scratch, measured ~20× the parquet input bytes at
+  * peak, which ENOSPC'd this host at 4M docs under BOTH codecs. Per-node
+  * DISK, not time, is the binding constraint at 100 TB — so
+  * `spark.graft.exactSubstr.passes = K` partitions the DIGEST SPACE into
+  * K sequential passes: pass i keeps only windows with
+  * `pmod(hash(digest), K) = i` BEFORE the shuffle, marks/cuts them, and
+  * releases its shuffle files before pass i+1 starts (eager
+  * localCheckpoint + GC-driven ContextCleaner). EXACT by construction:
+  * every occurrence of a window shares its digest, hence its pass, so
+  * the duplicated-position set is the disjoint union of the per-pass
+  * sets and the downstream island merge never notices. Cost: K window-
+  * generation scans (MD5 recompute — CPU, which is not the wall) for a
+  * merge-peak scratch bound of ~1/K per pass (~20×/K input bytes).
   */
 object ExactSubstr {
+
+  /** Digest-space pass count (default 1 = single-shuffle). */
+  private def digestPasses(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("spark.graft.exactSubstr.passes")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+
+  /** The (id, pos, digest) window frame — one fused pass per doc builds
+    * all window digests (len·MD5 per doc, the suite's most compute-dense
+    * scan family, hence the spread weight; see Spread.computeWeight and
+    * the q37 A/B). `unhex`: key by the 16 BINARY digest bytes, not
+    * md5's 32-char hex rendering — halves the corpus-sized shuffle's
+    * key width.
+    */
+  private def windowDigests(
+      df: DataFrame, idCol: String, textCol: String, L: Int): DataFrame =
+    Spread
+      .ensure(df.select(col(idCol), col(textCol)), computeWeight = 10.0)
+      .filter(length(col(textCol)) >= L)
+      .select(
+        col(idCol).as("__id"),
+        posexplode(expr(
+          s"transform(sequence(1, length($textCol) - ${L - 1}), " +
+            s"i -> unhex(md5(substring($textCol, i, $L))))")).as(Seq("__p0", "__h")))
+      .select(col("__id"), (col("__p0") + 1).as("pos"), col("__h"))
+
+  /** Run `stage` (a digest-keyed mark/cut producing (id, pos) rows)
+    * either once over the whole window frame, or as `passes` sequential
+    * digest-space slices. Each slice filters
+    * `pmod(hash(__h), passes) = i` BEFORE the shuffle — Murmur3 over
+    * the 16 digest bytes, so the slice is deterministic and every
+    * occurrence of a window lands in the same pass — then EAGERLY
+    * materializes (localCheckpoint) so the pass's shuffle scratch can
+    * be reclaimed before the next pass allocates its own. The explicit
+    * GC nudge is what turns "can be reclaimed" into "is reclaimed
+    * now": Spark's ContextCleaner deletes shuffle files only when the
+    * ShuffleDependency is garbage-collected, and a multi-minute pass
+    * would otherwise keep K−1 dead passes' files on disk — exactly the
+    * accumulation this mode exists to prevent.
+    */
+  private def multiPass(wins: DataFrame, passes: Int)(
+      stage: DataFrame => DataFrame): DataFrame =
+    if (passes <= 1) stage(wins)
+    else
+      (0 until passes).map { i =>
+        val part = stage(
+          wins.filter(pmod(hash(col("__h")), lit(passes)) === i))
+          .localCheckpoint(true)
+        System.gc()
+        part
+      }.reduce(_.union(_))
 
   /** Maximal duplicated spans `(id, span_start, span_end, span_len)`,
     * 1-based inclusive character positions; a span is reported for every
@@ -54,23 +120,12 @@ object ExactSubstr {
       minLen: Int = 50): DataFrame = {
     val L = minLen
     require(L >= 2, s"minLen must be >= 2, got $L")
-    // one fused pass per doc builds all window digests (len·MD5 per doc
-    // — the suite's most compute-dense scan family, hence the spread
-    // weight; see Spread.computeWeight and the q37 A/B)
-    val wins = Spread
-      .ensure(df.select(col(idCol), col(textCol)), computeWeight = 10.0)
-      .filter(length(col(textCol)) >= L)
-      .select(
-        col(idCol).as("__id"),
-        // unhex: key by the 16 BINARY digest bytes, not md5's 32-char
-        // hex rendering — halves the one corpus-sized shuffle's key width
-        posexplode(expr(
-          s"transform(sequence(1, length($textCol) - ${L - 1}), " +
-            s"i -> unhex(md5(substring($textCol, i, $L))))")).as(Seq("__p0", "__h")))
-      .select(col("__id"), (col("__p0") + 1).as("pos"), col("__h"))
+    val wins = windowDigests(df, idCol, textCol, L)
     // mark: window duplicated corpus-wide (count over the digest key;
-    // the only corpus-sized shuffle)
-    val dup = markDuplicated(wins)
+    // the only corpus-sized shuffle — or K digest-space slices of it
+    // under spark.graft.exactSubstr.passes, each released before the
+    // next: see the object scaladoc's scratch bound)
+    val dup = multiPass(wins, digestPasses(df))(markDuplicated)
     // merge: gaps-and-islands per doc — window starts p1 < p2 cover a
     // contiguous character run iff p2 ≤ p1 + L
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("pos"))
@@ -161,15 +216,7 @@ object ExactSubstr {
       minLen: Int = 50): DataFrame = {
     val L = minLen
     require(L >= 2, s"minLen must be >= 2, got $L")
-    val wins = Spread
-      .ensure(df.select(col(idCol), col(textCol)), computeWeight = 10.0)
-      .filter(length(col(textCol)) >= L)
-      .select(
-        col(idCol).as("__id"),
-        posexplode(expr(
-          s"transform(sequence(1, length($textCol) - ${L - 1}), " +
-            s"i -> unhex(md5(substring($textCol, i, $L))))")).as(Seq("__p0", "__h")))
-      .select(col("__id"), (col("__p0") + 1).as("pos"), col("__h"))
+    val wins = windowDigests(df, idCol, textCol, L)
     // Keeper decision — duplicated at all (count ≥ 2) and keeper
     // (min (id, pos)) — in the same two spellings as [[markDuplicated]],
     // selected by the same `spark.graft.exactSubstr.markViaAgg` conf
@@ -190,27 +237,31 @@ object ExactSubstr {
     val viaAgg =
       try df.sparkSession.conf.get("spark.graft.exactSubstr.markViaAgg").toBoolean
       catch { case _: java.util.NoSuchElementException => false }
-    val cut =
+    // keeper + cut are per-DIGEST decisions, so they slice cleanly into
+    // digest-space passes (multiPass): every occurrence of a window is
+    // in the same pass as its keeper
+    def cutStage(w: DataFrame): DataFrame =
       if (viaAgg) {
-        val keep = wins.groupBy(col("__h"))
+        val keep = w.groupBy(col("__h"))
           .agg(
             count(lit(1)).as("__cnt"),
             min(struct(col("__id"), col("pos"))).as("__keep"))
           .filter(col("__cnt") >= 2)
           .select(col("__h"), col("__keep"))
-        wins.join(keep, Seq("__h"))
+        w.join(keep, Seq("__h"))
           .filter(
             col("__id") =!= col("__keep.__id") || col("pos") =!= col("__keep.pos"))
           .select(col("__id"), col("pos"))
       } else {
         val byDigest = Window.partitionBy(col("__h"))
-        wins
+        w
           .withColumn("__cnt", count(lit(1)).over(byDigest))
           .withColumn("__rk",
             row_number().over(byDigest.orderBy(col("__id"), col("pos"))))
           .filter(col("__cnt") >= 2 && col("__rk") > 1)
           .select(col("__id"), col("pos"))
       }
+    val cut = multiPass(wins, digestPasses(df))(cutStage)
     val byDoc = Window.partitionBy(col("__id")).orderBy(col("pos"))
     val spans = cut
       .withColumn("__gap",

@@ -128,6 +128,30 @@ class ExactSubstrSpec extends AnyFunSuite with SparkTestBase {
     finally spark.conf.unset("spark.graft.exactSubstr.markViaAgg")
   }
 
+  test("digest-space multi-pass (passes = 3) is bit-identical to " +
+    "single-pass, spans and cut, both mark spellings (sf0.001)") {
+    // the scratch-bound mode (r14 verdict #1): pmod(hash(digest), K)
+    // slices the digest space; exactness rests on every occurrence of
+    // a window sharing its digest and therefore its pass — this pins
+    // the union of per-pass results against the one-shuffle answer
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def all(): (Set[(Long, Long, Long, Long)], Set[(Long, String, Long, Long)]) = (
+      ExactSubstr.duplicateSpans(docs, "doc_id", "text", minLen = 50)
+        .as[(Long, Long, Long, Long)].collect().toSet,
+      ExactSubstr.cutDuplicateSpans(docs, "doc_id", "text", minLen = 50)
+        .as[(Long, String, Long, Long)].collect().toSet)
+    val single = all()
+    assert(single._1.nonEmpty, "fixture has no duplicates — test is vacuous")
+    spark.conf.set("spark.graft.exactSubstr.passes", "3")
+    try {
+      assert(all() == single, "multi-pass diverged from single-pass")
+      spark.conf.set("spark.graft.exactSubstr.markViaAgg", "true")
+      try assert(all() == single,
+        "multi-pass agg spelling diverged from single-pass")
+      finally spark.conf.unset("spark.graft.exactSubstr.markViaAgg")
+    } finally spark.conf.unset("spark.graft.exactSubstr.passes")
+  }
+
   test("cut stage matches brute force on the real sf0.001 documents table") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
