@@ -70,9 +70,20 @@ object PlanDump {
       "q149_mix_temperature" -> "temperature mixture: #groups-bounded count collect, broadcast rates join, explode(sequence) copy fan-out — scan-shaped, no corpus shuffle",
       "q150_curation_pipeline" -> "fused curation lineage: cut's ONE digest shuffle -> codegen'd gate signals -> IVF-cell equi-join decontam -> dictionary-join encode -> fragment shuffle gather -> two-pass rank + 1-row attach; stage boundaries are narrow, no stage re-reads the source",
       "q152_shard_tokens" -> "token-balanced shards: greedy per-lang packs (hash shuffle + in-partition fold), token prefix sums via the tokenOffsets range exchange, 1-row total attach — shard id a pure function of the offset",
-      "q151_image_neardup" -> "image near-dup: real PNG roundtrip per row (map-side), codegen'd aHash/dHash HOFs, 16-bit-band EQUI join candidates (the q21 bucket shape — never all-pairs), bit_count Hamming gate")
+      "q153_curation_tokens" -> "fused lineage, token-balanced cut: q150's chain with the rank swapped for the tokenOffsets range exchange + 1-row total attach",
+      "q151_image_neardup" -> "image near-dup: real PNG roundtrip per row (map-side, hash index pinned ONCE), codegen'd aHash/dHash HOFs, 16-bit-band EQUI join candidates (the q21 bucket shape — never all-pairs), bit_count Hamming gate")
+    // stamp the code SHA the plans were recorded on — tools/check_freeze.py
+    // mechanically rejects an artifact whose SHA predates the last
+    // src/main commit (the r14 stale-PLANS episode)
+    val sha =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Exception => "unknown" }
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
+    sb.append(s"git_head: $sha\n\n")
     sb.append("Generated by `graft.PlanDump`. What to look for: `PushedFilters`/`ReadSchema`\n")
     sb.append("on every scan, `BroadcastHashJoin` on dimension joins, partial+final\n")
     sb.append("`HashAggregate` pairs, exactly one `Exchange` for the allocation operator,\n")

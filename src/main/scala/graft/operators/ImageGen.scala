@@ -1,0 +1,51 @@
+package graft.operators
+
+/** The deterministic synthetic image corpus shared by q151 and
+  * [[graft.ImageScaleBench]]: docs come in groups of 4 (`g = id / 4`)
+  * whose members are near-duplicate variants of one base image, so the
+  * perceptual-hash pipeline has planted within-group pairs and —
+  * by the mixing below — essentially no cross-group collisions.
+  *
+  * Kernel notes (earned at sf0.01, kept verbatim so the bench measures
+  * the SAME corpus q151 is oracle-checked on):
+  *  - group-MULTIPLICATIVE mix: an additive g-term would shift every
+  *    pixel of a group by the same offset, which aHash is (by design)
+  *    invariant to — measured 3.5k cross-group Hamming-0 pairs at
+  *    sf0.01 under the additive kernel, ~0 under this one;
+  *  - xorshift + small-prime multiply: the bare group-slope LCG left
+  *    linear structure (91 cross-group Hamming collisions at 500 docs;
+  *    0 after the mix). 104729 keeps the product inside i64 on both
+  *    engines (the DuckDB oracle replays this arithmetic).
+  */
+object ImageGen {
+
+  /** The 64 grayscale pixels (8×8, row-major, 0–255) of document `id`. */
+  def grayPixels(id: Long): Array[Int] = {
+    val g = id / 4
+    val v = (id % 4).toInt
+    Array.tabulate(64) { j =>
+      val mg = ((g + 1L) * 2654435761L) % 4294967296L
+      val h0 = (mg * (j + 17L) + j * 1013904223L) % 4294967296L
+      val h = (((h0 ^ (h0 / 8192L)) * 104729L) % 4294967296L)
+      val base = ((h / 65536L) % 256L).toInt
+      if (v == 3) 255 - base
+      else if (j % 16 == v) base ^ (v + 1)
+      else base
+    }
+  }
+
+  /** Document `id` as a real PNG (lossless, so decode→gray is exactly
+    * [[grayPixels]] — the q125/q151 roundtrip property).
+    */
+  def pngFor(id: Long): Array[Byte] = {
+    val px = grayPixels(id)
+    val rgb = new Array[Byte](64 * 3)
+    var i = 0
+    while (i < 64) {
+      val b = px(i).toByte
+      rgb(i * 3) = b; rgb(i * 3 + 1) = b; rgb(i * 3 + 2) = b
+      i += 1
+    }
+    MediaCodecs.encodePng(8, 8, rgb)
+  }
+}

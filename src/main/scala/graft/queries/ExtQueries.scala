@@ -287,36 +287,11 @@ object ExtQueries {
     */
   private def q151(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // pixel kernel + PNG roundtrip shared with ImageScaleBench via
+    // ImageGen (its scaladoc carries the mixing rationale measured here)
     val gray = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
       .as[Long].map { id =>
-        val g = id / 4
-        val v = (id % 4).toInt
-        val px = Array.tabulate(64) { j =>
-          // group-MULTIPLICATIVE mix: an additive g-term would shift
-          // every pixel of a group by the same offset, which aHash is
-          // (by design) invariant to — measured: 3.5k cross-group
-          // Hamming-0 pairs at sf0.01 under the additive kernel, ~0
-          // under this one
-          val mg = ((g + 1L) * 2654435761L) % 4294967296L
-          val h0 = (mg * (j + 17L) + j * 1013904223L) % 4294967296L
-          // xorshift + small-prime multiply: the bare group-slope LCG
-          // left linear structure (91 cross-group Hamming-collisions at
-          // 500 docs; 0 after the mix). 104729 keeps the product inside
-          // i64 on both engines.
-          val h = (((h0 ^ (h0 / 8192L)) * 104729L) % 4294967296L)
-          val base = ((h / 65536L) % 256L).toInt
-          if (v == 3) 255 - base
-          else if (j % 16 == v) base ^ (v + 1)
-          else base
-        }
-        val rgb = new Array[Byte](64 * 3)
-        var i = 0
-        while (i < 64) {
-          val b = px(i).toByte
-          rgb(i * 3) = b; rgb(i * 3 + 1) = b; rgb(i * 3 + 2) = b
-          i += 1
-        }
-        val png = graft.operators.MediaCodecs.encodePng(8, 8, rgb)
+        val png = graft.operators.ImageGen.pngFor(id)
         val img = graft.operators.MediaCodecs.decodeImageIOReused(png)
           .getOrElse(sys.error(s"png roundtrip decode failed for doc $id"))
         require(img.width == 8 && img.height == 8)
