@@ -478,11 +478,14 @@ object TrainQueries {
     * pattern): the synthetic corpus is pure `[a-y ]`, so without it the
     * byte-fallback path would never fire. ONE constant interpolated
     * into both engines; covers 1-byte (`!`, `,`, `?`), 2-byte (`¢ ¿`
-    * and the in-alphabet accents `ü é ß`), and 3-byte (`東 京 駅`)
-    * UTF-8, all BMP (the tokenizer's documented input domain). No
-    * apostrophe — it rides inside a SQL string literal.
+    * and the in-alphabet accents `ü é ß`), 3-byte (`東 京 駅`), and —
+    * since the r15 code-point fix — 4-byte SUPPLEMENTARY-plane UTF-8
+    * (the emoji), so the driver gate itself proves losslessness
+    * outside the BMP (a UTF-16 iterator would corrupt each surrogate
+    * half to a `?` byte and hash-fail here). No apostrophe — it rides
+    * inside a SQL string literal.
     */
-  private val q147Plant = " zürich! crème 42¢ 東京駅 ¿ok?"
+  private val q147Plant = " zürich! crème 42¢ 東京駅 ¿ok? 😀ok"
 
   /** Encode→decode round trip under the frozen fixture — the
     * detokenize / sample-readback stage, and the LOSSLESSNESS proof of
