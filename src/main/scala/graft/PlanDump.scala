@@ -71,7 +71,8 @@ object PlanDump {
       "q150_curation_pipeline" -> "fused curation lineage: cut's ONE digest shuffle -> codegen'd gate signals -> IVF-cell equi-join decontam -> dictionary-join encode -> fragment shuffle gather -> two-pass rank + 1-row attach; stage boundaries are narrow, no stage re-reads the source",
       "q152_shard_tokens" -> "token-balanced shards: greedy per-lang packs (hash shuffle + in-partition fold), token prefix sums via the tokenOffsets range exchange, 1-row total attach — shard id a pure function of the offset",
       "q153_curation_tokens" -> "fused lineage, token-balanced cut: q150's chain with the rank swapped for the tokenOffsets range exchange + 1-row total attach",
-      "q151_image_neardup" -> "image near-dup: real PNG roundtrip per row (map-side, hash index pinned ONCE), codegen'd aHash/dHash HOFs, 16-bit-band EQUI join candidates (the q21 bucket shape — never all-pairs), bit_count Hamming gate")
+      "q151_image_neardup" -> "image near-dup: real PNG roundtrip per row (map-side, hash index pinned ONCE), codegen'd aHash/dHash HOFs, 16-bit-band EQUI join candidates (the q21 bucket shape — never all-pairs), bit_count Hamming gate",
+      "q154_audio_neardup" -> "audio near-dup: real WAV/PCM roundtrip per row, codegen'd energy-delta fingerprint HOFs, the SAME banded candidate machinery as q151 (ImageHash.bandCandidatePairs reused) — never all-pairs")
     // stamp the code SHA the plans were recorded on — tools/check_freeze.py
     // mechanically rejects an artifact whose SHA predates the last
     // src/main commit (the r14 stale-PLANS episode)

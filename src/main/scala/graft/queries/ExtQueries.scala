@@ -327,6 +327,50 @@ object ExtQueries {
       .distinct()
   }
 
+  /** Acoustic near-dup dedup (the audio member of the dedup family —
+    * q151's modality sibling): each doc renders as a REAL 16-bit WAV
+    * via [[graft.operators.AudioGen]] (groups of 4 near-duplicate
+    * takes), roundtrips through the actual RIFF codec (lossless PCM,
+    * the q125/q151 license — the oracle replays the sample GENERATOR,
+    * not the codec), then fingerprints with
+    * [[graft.operators.AudioHash]]: 64 energy-delta-sign bits
+    * (Haitsma–Kalker's core, gain-invariant integer math) packed into
+    * the SAME (lo, hi) shape as the image aHash — so the 16-bit-band
+    * LSH candidates, Hamming gate, and the measured recall regime are
+    * [[graft.operators.ImageHash]]'s machinery REUSED, not cloned.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AudioGen, AudioHash, ImageHash, MediaCodecs}
+    val pcm = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long].map { id =>
+        val samples = AudioGen.samples(id)
+        val wav = MediaCodecs.encodeWav(8000, samples)
+        val back = MediaCodecs.decodeWav(wav)
+          .getOrElse(sys.error(s"wav roundtrip decode failed for doc $id"))
+        require(back.sampleRate == 8000 &&
+          java.util.Arrays.equals(back.samples, samples))
+        (id, back.samples.map(_.toInt).toSeq)
+      }.toDF("doc_id", "pcm")
+    // the q151 two-consumer pin: the banded self-join reads the
+    // fingerprint index twice; the frame is corpus-sized but 3 longs
+    val hashed = pcm
+      .withColumn("e", AudioHash.frameEnergies("pcm"))
+      .select(
+        col("doc_id"),
+        AudioHash.fpLo("e").as("lo"),
+        AudioHash.fpHi("e").as("hi"),
+        lit(0L).as("dh"))
+      .localCheckpoint(true)
+    ImageHash.bandCandidatePairs(hashed)
+      .select(
+        col("a_id"), col("b_id"),
+        ImageHash.hamming(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+  }
+
   /** LSH-bucketed approximate cosine top-k (scale path). Oracle-checked:
     * the seeded hyperplanes are counter-based SplitMix64, so the DuckDB
     * side regenerates the identical plane matrix (no sequential
@@ -659,6 +703,7 @@ object ExtQueries {
     "q28_multimodal_features" -> q28,
     "q125_png_roundtrip" -> q125,
     "q151_image_neardup" -> q151,
+    "q154_audio_neardup" -> q154,
     "q130_mp3_meta" -> q130,
     "q29_cosine_topk_lsh" -> q29,
     "q30_dedup_apply_semi" -> q30,
@@ -937,6 +982,55 @@ object ExtQueries {
     // q125 license) and the identical integer hash/band/Hamming
     // pipeline: per-bit rows summed against powers of two instead of
     // the Catalyst fold, a deliberately different spelling.
+    // q154: the oracle replays the sample GENERATOR arithmetic (16-bit
+    // PCM in a WAV container is lossless, so the codec roundtrip is
+    // the identity on samples — the q125/q151 license) and the
+    // identical integer energy/fingerprint/band/Hamming pipeline:
+    // per-bit rows summed against powers of two, deliberately a
+    // different spelling from the Catalyst fold.
+    "q154_audio_neardup" ->
+      """WITH smp AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    CASE WHEN doc_id % 4 > 0 AND (i // 8) % 32 = doc_id % 4
+        |         THEN base + CASE WHEN base >= 0 THEN 1500 ELSE -1500 END
+        |         ELSE base END AS v
+        |  FROM (
+        |    SELECT h.doc_id, h.i,
+        |      ((((xor(h0, h0 // 4096)) * 104729) % 4294967296)
+        |        // 32768) % 32768 - 16384 AS base
+        |    FROM (
+        |      SELECT d.doc_id, t.i,
+        |        (((((d.doc_id // 4) + 1) * 2654435761) % 4294967296)
+        |          * (t.i + 29) + t.i * 69069) % 4294967296 AS h0
+        |      FROM documents d, unnest(range(0, 520)) AS t(i)) h) b),
+        |en AS (
+        |  SELECT doc_id, i // 8 AS f, sum(abs(v)) AS e
+        |  FROM smp GROUP BY doc_id, i // 8),
+        |bits AS (
+        |  SELECT a.doc_id, a.f AS j, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS b
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+        |  WHERE a.f < 64),
+        |fp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN j < 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN j >= 32
+        |      THEN b * (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END)
+        |      AS BIGINT) AS hi
+        |  FROM bits GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, lo, hi, i AS bidx,
+        |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+        |  FROM fp, unnest(range(0, 4)) AS t(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+        |FROM cand WHERE hamming <= 6""".stripMargin,
     "q151_image_neardup" ->
       """WITH px AS MATERIALIZED (
         |  SELECT doc_id, j,
