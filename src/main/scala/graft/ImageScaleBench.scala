@@ -50,7 +50,11 @@ object ImageScaleBench {
 
     def genFiles(n: Int): String = {
       val dir = s"/tmp/graft_imscale_$n/png"
-      val marker = new java.io.File(s"$dir/_DONE_$n")
+      // marker carries the generator kernel hash (r15 ADVICE): a stale
+      // corpus from an older kernel regenerates instead of silently
+      // benching different pixels than the packed arm
+      val marker = new java.io.File(
+        s"$dir/_DONE_${n}_${graft.operators.ImageGen.kernelHash}")
       if (marker.exists()) return dir // file corpora are expensive; reuse
       val d = new java.io.File(dir)
       org.apache.commons.io.FileUtils.deleteQuietly(d)

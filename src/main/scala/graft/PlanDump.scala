@@ -75,13 +75,33 @@ object PlanDump {
       "q154_audio_neardup" -> "audio near-dup: real WAV/PCM roundtrip per row, codegen'd energy-delta fingerprint HOFs, the SAME banded candidate machinery as q151 (ImageHash.bandCandidatePairs reused) — never all-pairs")
     // stamp the code SHA the plans were recorded on — tools/check_freeze.py
     // mechanically rejects an artifact whose SHA predates the last
-    // src/main commit (the r14 stale-PLANS episode)
-    val sha =
-      try {
-        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
-        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
-        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
-      } catch { case _: Exception => "unknown" }
+    // src/main commit (the r14 stale-PLANS episode). r15 ADVICE
+    // hardening: (a) git runs against an EXPLICIT repo root — the dir
+    // that actually contains this source tree — instead of inheriting
+    // the JVM cwd, so a run launched from elsewhere can't stamp a
+    // different repository's SHA (it stamps "unknown", which
+    // check_freeze treats as stale); (b) uncommitted src/main changes
+    // append "-dirty", which check_freeze also treats as stale — a
+    // clean-SHA stamp now PROVES the described plans are the committed
+    // plans.
+    val sha = {
+      def git(root: java.io.File, args: String*): Option[String] =
+        try {
+          val p = new ProcessBuilder(("git" +: args): _*)
+            .directory(root).start()
+          val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+          if (p.waitFor() == 0) Some(out) else None
+        } catch { case _: Exception => None }
+      val root = new java.io.File(".").getAbsoluteFile
+      if (!new java.io.File(root, "src/main/scala/graft/PlanDump.scala").isFile)
+        "unknown"
+      else {
+        val head = git(root, "rev-parse", "HEAD").filter(_.nonEmpty)
+        val dirty = git(root, "status", "--porcelain", "--", "src/main")
+          .exists(_.nonEmpty)
+        head.map(h => if (dirty) s"$h-dirty" else h).getOrElse("unknown")
+      }
+    }
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
     sb.append(s"git_head: $sha\n\n")

@@ -240,12 +240,19 @@ object TextScaleBench {
       }
       (n, times)
     }
+    // per-point coverage is explicit (r15 ADVICE): points past the
+    // blocking-codebook ceiling drop the embedding arms, so each point
+    // carries the count it actually timed plus the skipped arm names —
+    // a consumer diffing fused vs sum sees the gap instead of assuming
+    // the registered count everywhere
     val json = points.map { case (n, ts) =>
       val qs = ts.map { case (q, s) => f""""$q":$s%.2f""" }.mkString(",")
-      f"""{"n_docs":$n,$qs}"""
+      val skipped = queries.filterNot(ts.map(_._1).toSet)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"n_docs":$n,"queries_timed":${ts.size},"skipped":$skipped,$qs}"""
     }.mkString("[", ",\n ", "]")
     val iso = queries.filter(isolated).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"text_scale","queries_timed":${queries.size},"isolated":$iso,"points":$json}""")
+    println(s"""{"metric":"text_scale","queries_registered":${queries.size},"isolated":$iso,"points":$json}""")
     spark.stop()
   }
 }

@@ -112,6 +112,16 @@ object ExactSubstr {
     *               L is not reported; one of length ≥ L is reported
     *               exactly (its every character is covered by a
     *               duplicated L-window). 50 is the Lee et al. default.
+    *
+    * @note With `spark.graft.exactSubstr.passes` > 1 this call EXECUTES
+    *       the K mark passes eagerly at DataFrame-construction time
+    *       (each pass localCheckpoints so its shuffle scratch releases
+    *       before the next allocates — the whole point of the mode),
+    *       and localCheckpoint is non-reliable: executor loss mid-job
+    *       fails the job instead of recomputing. Both are deliberate
+    *       trades for the measured ~/K scratch bound; callers composing
+    *       this lazily (e.g. building many frames before acting) should
+    *       leave passes at 1. Default passes = 1 is fully lazy.
     */
   def duplicateSpans(
       df: DataFrame,
@@ -208,6 +218,14 @@ object ExactSubstr {
     * pair arm), the island merge shuffles only cut positions by doc,
     * and the final stitch is a co-partitioned join back to the corpus
     * on id.
+    *
+    * @note Same multi-pass eager-execution caveat as
+    *       [[duplicateSpans]]: under `spark.graft.exactSubstr.passes`
+    *       > 1, building this frame runs the K cut passes immediately
+    *       (non-reliable localCheckpoints), which also means anything
+    *       composing it — `CurationPipeline.curateToShards` stage 1 —
+    *       executes that stage at build time. Default passes = 1 stays
+    *       lazy.
     */
   def cutDuplicateSpans(
       df: DataFrame,

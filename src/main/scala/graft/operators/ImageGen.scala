@@ -34,6 +34,18 @@ object ImageGen {
     }
   }
 
+  /** Content fingerprint of the generator kernel: CRC32 over a few
+    * probe PNGs. On-disk corpora (IMSCALE's million-file arm) are
+    * reused across runs keyed on this — if the kernel constants ever
+    * change, a stale file corpus regenerates instead of silently
+    * benching a different corpus than the packed arm (r15 ADVICE).
+    */
+  lazy val kernelHash: String = {
+    val crc = new java.util.zip.CRC32
+    Seq(0L, 1L, 2L, 3L, 12345L).foreach(id => crc.update(pngFor(id)))
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   /** Document `id` as a real PNG (lossless, so decode→gray is exactly
     * [[grayPixels]] — the q125/q151 roundtrip property).
     */

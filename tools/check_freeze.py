@@ -39,7 +39,12 @@ def sha_of_plans():
     if not os.path.exists(path):
         return ("missing", None)
     head = open(path, encoding="utf-8").read(2000)
-    m = re.search(r"^git_head:\s*([0-9a-f]{7,40})", head, re.M)
+    # a "-dirty" suffix (PlanDump stamps it when src/main had
+    # uncommitted changes at record time) is stale by definition: the
+    # artifact describes code no commit ships (r15 ADVICE)
+    if re.search(r"^git_head:\s*[0-9a-f]{7,40}-dirty", head, re.M):
+        return ("dirty-stamped", None)
+    m = re.search(r"^git_head:\s*([0-9a-f]{7,40})\s*$", head, re.M)
     return ("ok", m.group(1)) if m else ("no-sha", None)
 
 
@@ -50,6 +55,8 @@ def sha_of_sf1():
     try:
         meta = json.load(open(path, encoding="utf-8")).get("_meta", {})
         sha = meta.get("git_head")
+        if sha and str(sha).endswith("-dirty"):
+            return ("dirty-stamped", None)
         return ("ok", sha) if sha else ("no-sha", None)
     except Exception as e:
         return (f"unreadable ({e})", None)
