@@ -20,6 +20,46 @@ object AudioGen {
   val NumFrames = 65
   val NumSamples: Int = FrameLen * NumFrames // 520
 
+  /** Variable-length PCM for the scale record (AUSCALE) and the
+    * sub-fingerprint recall spec — the same per-sample mixing kernel at
+    * any length, with the variant set adjusted to exercise what
+    * sub-fingerprints exist for. Variant v = id % 4:
+    *  - v = 0: base take;
+    *  - v = 1, 3: re-level of frames ≡ v (mod 32) — the [[samples]]
+    *    fixture shape, flips a few energy-delta bits per window;
+    *  - v = 2: the base take TIME-SHIFTED by 2 whole frames (content at
+    *    i comes from position i − 2·frameLen; the lead-in extends the
+    *    kernel to negative positions via floorMod). Frame-aligned, so
+    *    the shifted clip's energy sequence is the base's shifted by 2 —
+    *    its hop-1 sub-fingerprint windows are EXACTLY the base's at
+    *    offset 2 (min window Hamming 0), while its first-window
+    *    single fingerprint is ~uncorrelated with the base's. The
+    *    variant a single 64-bit summary structurally misses and
+    *    sub-fingerprints catch.
+    *
+    * Products stay inside i64 (|pos|·mg < 2^53 at any realistic
+    * length), so an oracle can replay the arithmetic exactly.
+    */
+  def samplesVar(id: Long, numSamples: Int, frameLen: Int = FrameLen): Array[Short] = {
+    require(numSamples >= 1 && frameLen >= 1)
+    val g = id / 4
+    val v = (id % 4).toInt
+    val shift = if (v == 2) 2 * frameLen else 0
+    val M = 4294967296L
+    Array.tabulate(numSamples) { i =>
+      val pos = i - shift
+      val mg = ((g + 1L) * 2654435761L) % M
+      val h0 = java.lang.Math.floorMod(mg * (pos + 29L) + pos * 69069L, M)
+      val h = (((h0 ^ (h0 / 4096L)) * 104729L) % M)
+      val base = (((h / 32768L) % 32768L) - 16384L).toInt
+      val s =
+        if ((v == 1 || v == 3) && (i / frameLen) % 32 == v)
+          base + (if (base >= 0) 1500 else -1500)
+        else base
+      s.toShort
+    }
+  }
+
   /** The PCM samples of document `id`. Variant v = id % 4: v = 0 is
     * the base take; v in 1..3 bumps the magnitude of every sample in
     * frames f ≡ v (mod 32) by 1500 — a two-frame re-level that flips

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Acoustic fingerprinting for near-duplicate audio dedup — the audio
@@ -14,34 +14,137 @@ import org.apache.spark.sql.functions._
   * INTEGER math end to end (Σ|s| per frame), so the DuckDB oracle
   * replays it exactly.
   *
+  * Input shape (r15 verdict #1 — previously welded to the 520-sample
+  * fixture): the frame count derives from `size(pcm)`, clips shorter
+  * than one fingerprint window fail LOUDLY (`raise_error`) instead of
+  * silently hashing zero-energy frames, and clips longer than one
+  * window emit Haitsma–Kalker SUB-FINGERPRINTS — one 64-bit (lo, hi)
+  * per 65-frame window at a caller-chosen frame hop — so a 3-minute
+  * clip is a sequence of window prints, not one 64-bit summary. Two
+  * clips near-match when ANY window pair is within the Hamming gate
+  * (the union-over-windows match unit; [[subFpCandidatePairs]]).
+  *
   * All pure Catalyst HOF expressions over an `array<int>` PCM column —
-  * codegen'd, no UDF, no shuffle. 64 bits pack as the same two 32-bit
-  * halves as [[ImageHash]]'s aHash (`acc·2` on 32-bit halves — ANSI
+  * no UDF, no shuffle. 64 bits pack as the same two 32-bit halves as
+  * [[ImageHash]]'s aHash (`acc·2` on 32-bit halves — ANSI
   * overflow-safe on both engines), which means the ENTIRE candidate
   * machinery is reused, not re-implemented: [[ImageHash.bands]],
   * [[ImageHash.hamming]], [[ImageHash.bandCandidatePairs]] operate on
   * (lo, hi) unchanged, and the banding recall regime measured in
   * `ImageHashSpec` (pigeonhole-exact ≤ 3, ≈ 0.90/0.74/0.58 at 4/5/6)
-  * carries over verbatim.
+  * carries over verbatim per WINDOW PAIR; the per-CLIP recall under
+  * sub-fingerprints is the union over window pairs, measured in
+  * `AudioHashSpec` (it can only exceed the single-window regime).
   */
 object AudioHash {
 
-  /** Per-frame magnitude energies: `array<long>` of
-    * [[AudioGen.NumFrames]] sums of |sample| over
-    * [[AudioGen.FrameLen]]-sample frames.
-    */
-  def frameEnergies(pcmCol: String): Column =
-    expr(s"transform(sequence(0, ${AudioGen.NumFrames - 1}), " +
-      s"f -> aggregate(slice($pcmCol, f * ${AudioGen.FrameLen} + 1, " +
-      s"${AudioGen.FrameLen}), 0L, (a, x) -> a + abs(x)))")
+  /** Frames per fingerprint window: 65 energies → 64 delta bits. */
+  val WindowFrames = 65
 
-  /** Fingerprint bits 0–31 packed as Σ bit_j·2^j (bit j = e(j) > e(j+1)). */
+  /** Per-frame magnitude energies: `array<long>` of `size(pcm) DIV
+    * frameLen` sums of |sample| over `frameLen`-sample frames (the
+    * trailing partial frame, if any, is dropped — a fingerprint bit
+    * must compare equal-length frames). Clips with fewer than
+    * [[WindowFrames]] complete frames raise — one window is the
+    * minimum meaningful fingerprint (r15 verdict #1: the old
+    * fixed-count spelling sliced past the array end on short input and
+    * hashed zero-energy frames with no error).
+    */
+  def frameEnergies(pcmCol: String, frameLen: Int = AudioGen.FrameLen): Column = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val minSamples = WindowFrames * frameLen
+    expr(
+      s"""CASE WHEN size($pcmCol) < $minSamples
+         |  THEN raise_error(concat(
+         |    'AudioHash.frameEnergies: need >= $minSamples samples ($WindowFrames frames x $frameLen), got ',
+         |    CAST(size($pcmCol) AS STRING)))
+         |  ELSE transform(
+         |    sequence(0, CAST(size($pcmCol) DIV $frameLen AS INT) - 1),
+         |    f -> aggregate(slice($pcmCol, f * $frameLen + 1, $frameLen),
+         |                   0L, (a, x) -> a + abs(x)))
+         |END""".stripMargin)
+  }
+
+  /** Fingerprint bits 0–31 of the FIRST window packed as Σ bit_j·2^j
+    * (bit j = e(j) > e(j+1)); for multi-window clips see
+    * [[subFingerprints]].
+    */
   def fpLo(eCol: String): Column =
     expr(s"aggregate(sequence(31, 0, -1), 0L, (acc, j) -> acc * 2 + " +
       s"IF(element_at($eCol, j + 1) > element_at($eCol, j + 2), 1L, 0L))")
 
-  /** Fingerprint bits 32–63 packed as Σ bit_j·2^(j−32). */
+  /** Fingerprint bits 32–63 of the first window packed as Σ bit_j·2^(j−32). */
   def fpHi(eCol: String): Column =
     expr(s"aggregate(sequence(63, 32, -1), 0L, (acc, j) -> acc * 2 + " +
       s"IF(element_at($eCol, j + 1) > element_at($eCol, j + 2), 1L, 0L))")
+
+  /** Haitsma–Kalker sub-fingerprints over an energy array: one 64-bit
+    * (lo, hi) per [[WindowFrames]]-frame window, window w starting at
+    * frame `w` for w = 0, hop, 2·hop, … ≤ frames − 65. Returns
+    * `array<struct<w int, lo bigint, hi bigint>>`; raises on fewer
+    * than [[WindowFrames]] frames (same loud-undersize contract as
+    * [[frameEnergies]]).
+    *
+    * Hop trade (the HK paper uses maximal frame overlap, hop = 1):
+    * hop = 1 catches any FRAME-ALIGNED time shift exactly (the shifted
+    * clip's windows are a subset of the original's) at frames−64
+    * sub-prints per clip; hop = h divides storage and band-join volume
+    * by h but only guarantees window alignment for shifts that are
+    * multiples of gcd-ish offsets — AUSCALE prices the axis. Sub-ms
+    * non-frame-aligned shifts are out of scope for this integer
+    * spelling (HK recovers them with 31/32-overlapped frames).
+    */
+  def subFingerprints(eCol: String, hopFrames: Int = 1): Column = {
+    require(hopFrames >= 1, s"hopFrames must be >= 1, got $hopFrames")
+    def pack(fromBit: Int, toBit: Int) =
+      s"aggregate(sequence($toBit, $fromBit, -1), 0L, (acc, j) -> acc * 2 + " +
+        s"IF(element_at($eCol, wi * $hopFrames + j + 1) > " +
+        s"element_at($eCol, wi * $hopFrames + j + 2), 1L, 0L))"
+    expr(
+      s"""CASE WHEN size($eCol) < $WindowFrames
+         |  THEN raise_error(concat(
+         |    'AudioHash.subFingerprints: need >= $WindowFrames frame energies, got ',
+         |    CAST(size($eCol) AS STRING)))
+         |  ELSE transform(
+         |    sequence(0, CAST((size($eCol) - $WindowFrames) DIV $hopFrames AS INT)),
+         |    wi -> named_struct(
+         |      'w', CAST(wi * $hopFrames AS INT),
+         |      'lo', ${pack(0, 31)},
+         |      'hi', ${pack(32, 63)}))
+         |END""".stripMargin)
+  }
+
+  /** Candidate CLIP pairs from sub-fingerprints — the union-over-windows
+    * match unit: two clips are a candidate when any window pair shares
+    * a 16-bit band, and the returned `min_hamming` is the minimum
+    * window-pair Hamming over the surfaced candidates (callers gate on
+    * it, e.g. ≤ 6). Input: `(doc_id, sfp array<struct<w, lo, hi>>)`.
+    *
+    * Scale shape: explode to (clip, window) rows, band-equi self-join
+    * on (bidx, bval) exactly like [[ImageHash.bandCandidatePairs]] —
+    * never all-pairs; the band table at 100 TB partitions by
+    * (bidx, bval) and its row count is clips × windows-per-clip × 4.
+    * The groupBy collapses the per-window pair fan-out to one row per
+    * clip pair BEFORE the caller's gate, so downstream joins see clip
+    * pairs, not window pairs.
+    */
+  def subFpCandidatePairs(clips: DataFrame): DataFrame = {
+    val wins = clips.select(col("doc_id"), explode(col("sfp")).as("s"))
+      .select(col("doc_id"), col("s.lo").as("lo"), col("s.hi").as("hi"))
+    val banded = wins.select(
+      col("doc_id"), col("lo"), col("hi"),
+      posexplode(ImageHash.bands(col("lo"), col("hi"))).as(Seq("bidx", "bval")))
+    val a = banded.select(
+      col("doc_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"),
+      col("bidx"), col("bval"))
+    val b = banded.select(
+      col("doc_id").as("b_id"), col("lo").as("b_lo"), col("hi").as("b_hi"),
+      col("bidx"), col("bval"))
+    a.join(b, Seq("bidx", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(ImageHash.hamming(
+        col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi")).cast("long"))
+        .as("min_hamming"))
+  }
 }

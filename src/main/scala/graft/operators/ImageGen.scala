@@ -34,6 +34,25 @@ object ImageGen {
     }
   }
 
+  /** Document `id` rendered at an arbitrary `w`×`h` (row-major) by
+    * nearest-neighbor upscale of its 8×8 pattern — the cross-size
+    * corpus for [[ImageHash.gridReduce]]: big-image pixel (x, y) takes
+    * base pixel (⌊8x/w⌋, ⌊8y/h⌋). When 8 | w and 8 | h every gridReduce
+    * block is constant, so the floor-mean recovers [[grayPixels]]`(id)`
+    * EXACTLY and the hash — hence the whole measured banding-recall
+    * regime — is size-invariant; at non-multiple dims blocks straddle
+    * base pixels and the reduction is a genuine mean (spec'd against an
+    * independent reference, not an identity).
+    */
+  def grayPixelsAt(id: Long, w: Int, h: Int): Array[Int] = {
+    require(w >= 8 && h >= 8, s"need w,h >= 8, got ${w}x$h")
+    val base = grayPixels(id)
+    Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      base((y * 8 / h) * 8 + (x * 8 / w))
+    }
+  }
+
   /** Content fingerprint of the generator kernel: CRC32 over a few
     * probe PNGs. On-disk corpora (IMSCALE's million-file arm) are
     * reused across runs keyed on this — if the kernel constants ever

@@ -29,6 +29,47 @@ import org.apache.spark.sql.functions._
   */
 object ImageHash {
 
+  /** Block-average reduction of an arbitrary W×H row-major gray array
+    * to the 8×8 grid [[aHashLo]]/[[aHashHi]]/[[dHash]] consume — the
+    * downsample step every real aHash implementation starts with (r15
+    * verdict #1: the operators previously ASSUMED an already-8×8
+    * array; the corpus happened to be generated at 8×8). Grid cell
+    * (r, c) is the floor-mean over the pixel block
+    * rows [⌊r·H/8⌋, ⌊(r+1)·H/8⌋) × cols [⌊c·W/8⌋, ⌊(c+1)·W/8⌋) — the
+    * standard equal-ish partition; blocks differ by at most one
+    * row/column when 8 ∤ H or 8 ∤ W. Integer-exact (sum then DIV), so
+    * an oracle replay cannot drift. 8×8 input reduces to itself
+    * (identity — the fixture corpora and their oracles are untouched).
+    *
+    * Loud on bad input: width/height below 8 (an upscale is not a
+    * hash-preserving reduction) or `size(gray) ≠ width·height` raise
+    * instead of hashing garbage. Pure HOFs over the gray array + the
+    * width/height columns — per-row, no shuffle.
+    */
+  def gridReduce(grayCol: String, widthCol: String, heightCol: String): Column =
+    expr(
+      s"""CASE WHEN $widthCol < 8 OR $heightCol < 8
+         |       OR size($grayCol) != $widthCol * $heightCol
+         |  THEN raise_error(concat(
+         |    'ImageHash.gridReduce: need width,height >= 8 and size(gray) = width*height, got (',
+         |    CAST($widthCol AS STRING), 'x', CAST($heightCol AS STRING),
+         |    ', ', CAST(size($grayCol) AS STRING), ' pixels)'))
+         |  ELSE transform(sequence(0, 63), k -> CAST(
+         |    aggregate(
+         |      sequence((k DIV 8) * $heightCol DIV 8,
+         |               ((k DIV 8) + 1) * $heightCol DIV 8 - 1),
+         |      0L,
+         |      (ra, rr) -> ra + aggregate(
+         |        sequence((k % 8) * $widthCol DIV 8,
+         |                 ((k % 8) + 1) * $widthCol DIV 8 - 1),
+         |        0L,
+         |        (ca, cc) -> ca + element_at($grayCol,
+         |          CAST(rr * $widthCol + cc + 1 AS INT))))
+         |    DIV ((((k DIV 8) + 1) * $heightCol DIV 8 - (k DIV 8) * $heightCol DIV 8)
+         |         * (((k % 8) + 1) * $widthCol DIV 8 - (k % 8) * $widthCol DIV 8))
+         |    AS INT))
+         |END""".stripMargin)
+
   /** Σ of the gray values (the integer mean gate's right side). */
   def graySum(gray: Column): Column =
     aggregate(gray, lit(0L), (a, x) => a + x)

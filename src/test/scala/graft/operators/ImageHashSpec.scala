@@ -198,6 +198,101 @@ class ImageHashSpec extends AnyFunSuite with SparkTestBase {
     assert(foundPairs(advOneBandIds), "one-band pair must be found")
   }
 
+  /** Independent block-mean grid reduction (plain Scala loops). */
+  private def refGridReduce(gray: Seq[Int], w: Int, h: Int): Seq[Int] =
+    (0 until 64).map { k =>
+      val r = k / 8; val c = k % 8
+      val r0 = r * h / 8; val r1 = (r + 1) * h / 8
+      val c0 = c * w / 8; val c1 = (c + 1) * w / 8
+      var s = 0L
+      for (rr <- r0 until r1; cc <- c0 until c1) s += gray(rr * w + cc)
+      (s / ((r1 - r0).toLong * (c1 - c0))).toInt
+    }
+
+  test("gridReduce equals the independent block-mean reference on " +
+    "arbitrary W x H (including non-multiples of 8), is the identity " +
+    "at 8x8, and fails loudly on undersized or mismatched input " +
+    "(r15 verdict #1)") {
+    val rng = new scala.util.Random(47)
+    val dims = Seq((8, 8), (16, 16), (17, 9), (33, 41), (64, 48), (9, 120))
+    val rows = dims.zipWithIndex.map { case ((w, h), i) =>
+      (i.toLong, Seq.fill(w * h)(rng.nextInt(256)), w, h)
+    }
+    val got = rows.toDF("id", "gray", "w", "h")
+      .select(col("id"), ImageHash.gridReduce("gray", "w", "h").as("g"))
+      .as[(Long, Seq[Int])].collect().toMap
+    rows.foreach { case (id, gray, w, h) =>
+      assert(got(id) === refGridReduce(gray, w, h), s"dims ${w}x$h")
+      if (w == 8 && h == 8) assert(got(id) === gray, "8x8 must be identity")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // undersized: a 4x4 input is an upscale, not a reduction — loud
+    val exSmall = intercept[Exception] {
+      Seq((0L, Seq.fill(16)(7), 4, 4)).toDF("id", "gray", "w", "h")
+        .select(ImageHash.gridReduce("gray", "w", "h")).collect()
+    }
+    assert(msgs(exSmall).exists(_.contains("ImageHash.gridReduce: need")))
+    // mismatched: size(gray) != w*h would silently hash garbage — loud
+    val exMismatch = intercept[Exception] {
+      Seq((0L, Seq.fill(100)(7), 16, 16)).toDF("id", "gray", "w", "h")
+        .select(ImageHash.gridReduce("gray", "w", "h")).collect()
+    }
+    assert(msgs(exMismatch).exists(_.contains("ImageHash.gridReduce: need")))
+  }
+
+  test("cross-size invariance: multiple-of-8 upscales reduce to exactly " +
+    "the 8x8 base pattern, so hashes — and the measured banding recall " +
+    "regime — carry over to any such size; non-multiple dims reduce to " +
+    "a genuine mean that stays within the near-dup gate") {
+    val ids = (0L until 60L).toSeq
+    val sizes = Seq((16, 16), (32, 24), (40, 64))
+    val rows = for (id <- ids; (w, h) <- sizes)
+      yield (id, ImageGen.grayPixelsAt(id, w, h).toSeq, w, h)
+    val reduced = rows.toDF("id", "gray", "w", "h")
+      .select(col("id"), col("w"), col("h"),
+        ImageHash.gridReduce("gray", "w", "h").as("g"))
+      .as[(Long, Int, Int, Seq[Int])].collect()
+    reduced.foreach { case (id, w, h, g) =>
+      assert(g === ImageGen.grayPixels(id).toSeq,
+        s"doc $id at ${w}x$h must reduce to its 8x8 pattern exactly")
+    }
+    // non-multiple dims: blocks straddle base pixels, so the reduction
+    // is a genuine (lossy) mean — and this white-noise corpus is the
+    // WORST case for it (no local smoothness to preserve; real images
+    // drift far less). The usable property is separation, not gate
+    // membership: the reduced hash stays strictly closer to its own
+    // base pattern than to any other document's
+    val odd = ids.map(id => (id, ImageGen.grayPixelsAt(id, 20, 12).toSeq, 20, 12))
+    val oddHash = odd.toDF("id", "gray", "w", "h")
+      .withColumn("g", ImageHash.gridReduce("gray", "w", "h"))
+      .withColumn("tot", ImageHash.graySum(col("g")))
+      .select(col("id"),
+        ImageHash.aHashLo("g", "tot").as("lo"),
+        ImageHash.aHashHi("g", "tot").as("hi"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val baseHash = ids.map(id => (id, ImageGen.grayPixels(id).toSeq))
+      .toDF("id", "gray")
+      .withColumn("tot", ImageHash.graySum(col("gray")))
+      .select(col("id"),
+        ImageHash.aHashLo("gray", "tot").as("lo"),
+        ImageHash.aHashHi("gray", "tot").as("hi"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def hamOf(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    val selfHams = ids.map(id => hamOf(oddHash(id), baseHash(id)))
+    // offsets >= 5 so the partner is never in the same GROUP of 4
+    // (within-group variants are planted near-dups by construction)
+    val crossHams = for (id <- ids; o <- Seq(5L, 17L, 29L))
+      yield hamOf(oddHash(id), baseHash((id + o) % ids.size))
+    assert(selfHams.max < crossHams.min,
+      s"no separation: self max ${selfHams.max} vs cross min ${crossHams.min}")
+    assert(selfHams.sum.toDouble / selfHams.size < 16.0,
+      s"self drift too large: $selfHams")
+  }
+
   test("hamming equals Long.bitCount of the xor on random hash pairs") {
     val rng = new scala.util.Random(37)
     val rows = (1 to 25).map(_ => (
