@@ -72,7 +72,8 @@ object PlanDump {
       "q152_shard_tokens" -> "token-balanced shards: greedy per-lang packs (hash shuffle + in-partition fold), token prefix sums via the tokenOffsets range exchange, 1-row total attach — shard id a pure function of the offset",
       "q153_curation_tokens" -> "fused lineage, token-balanced cut: q150's chain with the rank swapped for the tokenOffsets range exchange + 1-row total attach",
       "q151_image_neardup" -> "image near-dup: real PNG roundtrip per row (map-side, hash index pinned ONCE), codegen'd aHash/dHash HOFs, 16-bit-band EQUI join candidates (the q21 bucket shape — never all-pairs), bit_count Hamming gate",
-      "q154_audio_neardup" -> "audio near-dup: real WAV/PCM roundtrip per row, codegen'd energy-delta fingerprint HOFs, the SAME banded candidate machinery as q151 (ImageHash.bandCandidatePairs reused) — never all-pairs")
+      "q154_audio_neardup" -> "audio near-dup: real WAV/PCM roundtrip per row, codegen'd energy-delta fingerprint HOFs, the SAME banded candidate machinery as q151 (ImageHash.bandCandidatePairs reused) — never all-pairs",
+      "q155_incremental_image_dedup" -> "incremental near-dup ingest: batch probes the history band table via band-equi TWO-TABLE joins (history touched only in probed buckets, never rescanned), min-id attribution, left-join status attach — the arrival-driven daily shape")
     // stamp the code SHA the plans were recorded on — tools/check_freeze.py
     // mechanically rejects an artifact whose SHA predates the last
     // src/main commit (the r14 stale-PLANS episode). r15 ADVICE

@@ -186,6 +186,89 @@ object StreamScaleBench {
       R(sec, (nBatch / sec).toLong, idxRows, 0.0)
     }
 
+    /** foreachBatch incremental NEAR-DUP ingest (q155's arrival-driven
+      * shape, r15 verdict next #6): image fingerprints stream in; each
+      * micro-batch probes the on-disk history hash table through
+      * [[graft.operators.ImageHash.incrementalNearDup]] — band-equi
+      * two-table joins, never all-pairs — and the kept survivors append
+      * back. Planted half-and-half so decisions aren't degenerate:
+      * history holds v1..v3 of groups [0, G); the batch is v0 of groups
+      * [0, G/2) (near-dups of ingested takes) plus v0 of groups
+      * [G, 3G/2) (fresh — no group mates anywhere). State = the on-disk
+      * history rows (stored hashed; a production deployment stores the
+      * BANDED table partitioned by (bidx, bval) — the banding here is a
+      * per-row narrow op on the read path, so the measured per-batch
+      * cost profile is the same).
+      */
+    def runNearDupIngest(nHist: Int, nAppends: Int = 4): R = {
+      import graft.operators.{ImageGen, ImageHash}
+      val root = java.nio.file.Files.createTempDirectory("streamscale_nd")
+      val idx = s"$root/index"
+      val srcDir = s"$root/src"
+      def hashFrame(ids: DataFrame): DataFrame =
+        ids.select(col("doc_id")).as[Long]
+          .map(id => (id, ImageGen.grayPixels(id).toSeq)).toDF("doc_id", "gray")
+          .withColumn("tot", ImageHash.graySum(col("gray")))
+          .select(col("doc_id"),
+            ImageHash.aHashLo("gray", "tot").as("lo"),
+            ImageHash.aHashHi("gray", "tot").as("hi"))
+      val groups = math.max(nHist / 3, 8)
+      hashFrame(spark.range(groups * 4L).filter(col("id") % 4 =!= 0)
+        .select(col("id").as("doc_id")))
+        .write.mode("overwrite").parquet(idx)
+      val batchIds = spark.range(groups / 2L).select((col("id") * 4).as("doc_id"))
+        .union(spark.range(groups.toLong, groups * 3L / 2)
+          .select((col("id") * 4).as("doc_id")))
+      val nBatch = batchIds.count()
+      val batch = hashFrame(batchIds)
+      for (a <- 0 until nAppends) {
+        batch.filter(pmod(expr("doc_id DIV 4"), lit(nAppends.toLong)) === a)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        Thread.sleep(30)
+      }
+      val schema = batch.schema
+      val decided = new java.util.concurrent.atomic.AtomicLong(0L)
+      val kept = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ingest: (DataFrame, Long) => Unit = (mb, b) => {
+        val hist = mb.sparkSession.read.parquet(idx)
+        val all = hist.withColumn("__b", lit(false))
+          .unionByName(mb.withColumn("__b", lit(true)))
+        // pinned: consumed twice (decision count + survivor semi-join)
+        val dec = ImageHash.incrementalNearDup(all, col("__b"))
+          .localCheckpoint(true)
+        decided.addAndGet(dec.count())
+        val survivors = dec.filter(col("status") === "kept").select("doc_id")
+        val appended = mb.join(survivors, Seq("doc_id"), "left_semi")
+        kept.addAndGet(appended.count())
+        appended.write.mode("append").parquet(idx)
+      }
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .writeStream.foreachBatch(ingest)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val idxRows = spark.read.parquet(idx).count()
+      require(decided.get == nBatch, s"ingest decided ${decided.get} of $nBatch rows")
+      // the fresh half must survive; the dup half must not, except the
+      // rare planted pair whose variant drifts past Hamming 3 AND lands
+      // one diff in every band (the measured <1 − recall regime) —
+      // allow a small one-sided overshoot, never an undershoot
+      val expectFresh = groups * 3L / 2 - groups
+      require(kept.get >= expectFresh &&
+        kept.get <= expectFresh + math.max(2L, groups / 50L),
+        s"survivor count ${kept.get} far from the planted $expectFresh")
+      val idxMb = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(walk).sum
+        walk(new java.io.File(idx)) / 1048576.0
+      }
+      R(sec, (nBatch / sec).toLong, idxRows, idxMb)
+    }
+
     import graft.streaming.{AllocationStreaming, EventStreams, PackingStreaming}
     def paths(src: String, n: Int): Seq[(String, () => R)] = Seq(
       "hourly_rollup" -> (() =>
@@ -254,6 +337,10 @@ object StreamScaleBench {
         (if (keep("semdedup_ingest_bulk"))
           Seq("semdedup_ingest_bulk" ->
             runSemDedupIngest(nHist = math.max(n / 20, 1000), nAppends = 1))
+        else Nil) ++
+        (if (keep("neardup_ingest"))
+          Seq("neardup_ingest" ->
+            runNearDupIngest(nHist = math.max(n / 20, 1000)))
         else Nil)
       (n, timed ++ sem)
     }

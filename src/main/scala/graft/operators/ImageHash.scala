@@ -121,6 +121,67 @@ object ImageHash {
   def hamming(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =
     bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB))
 
+  /** Banded candidates of a PROBE frame against an INDEX frame — the
+    * two-table layout incremental dedup needs (today's batch probing
+    * the history band table). Inputs are hashed frames
+    * `(doc_id, lo, hi)`; output one row per banded agreement:
+    * `(bidx, bval, p_id, p_lo, p_hi, i_id, i_lo, i_hi)` — callers gate
+    * on [[hamming]] and aggregate. At 100 TB the index side is a
+    * STORED band table partitioned by (bidx, bval), appended per batch;
+    * probes shuffle by the same key, so the history is only touched in
+    * the buckets the batch lands in — never rescanned, never all-pairs.
+    */
+  def bandCandidatesAgainst(probes: DataFrame, index: DataFrame): DataFrame = {
+    def banded(df: DataFrame, p: String) = df.select(
+      col("doc_id").as(s"${p}_id"), col("lo").as(s"${p}_lo"),
+      col("hi").as(s"${p}_hi"),
+      posexplode(bands(col("lo"), col("hi"))).as(Seq("bidx", "bval")))
+    banded(probes, "p").join(banded(index, "i"), Seq("bidx", "bval"))
+  }
+
+  /** Incremental near-dup dedup — the arrival-driven shape a training
+    * pipeline runs daily (the q99/q131 pattern applied to
+    * perceptual-hash bands, r15 verdict next #6): `isBatch` splits a
+    * hashed frame `(doc_id, lo, hi)` into today's batch and the
+    * history; each batch doc reports
+    *  - `dup_of_history` (dup_of = min history id within the gate) — a
+    *    near-copy of something already ingested;
+    *  - else `dup_in_batch` (dup_of = min EARLIER batch id within the
+    *    gate) — deterministic first-keeps-it attribution, the
+    *    [[graft.operators.ExactSubstr]] keep policy's id order;
+    *  - else `kept` — appended to the history band table.
+    * Modality-agnostic over the (lo, hi) shape: image aHash and audio
+    * energy-delta prints run the SAME operator (q155/q156).
+    *
+    * @note builds on an eager localCheckpoint of the hashed frame (it
+    *       is consumed three times: history index + both probe arms) —
+    *       constructing this frame materializes the hash pass, the
+    *       q151 pin discipline.
+    */
+  def incrementalNearDup(
+      hashed: DataFrame, isBatch: Column, maxHamming: Int = 6): DataFrame = {
+    val pinned = hashed.localCheckpoint(true)
+    val batch = pinned.filter(isBatch)
+    val hist = pinned.filter(!isBatch)
+    def gate = hamming(
+      col("p_lo"), col("p_hi"), col("i_lo"), col("i_hi")) <= maxHamming
+    val vsHist = bandCandidatesAgainst(batch, hist)
+      .filter(gate)
+      .groupBy(col("p_id")).agg(min(col("i_id")).as("hist_dup"))
+    val inBatch = bandCandidatesAgainst(batch, batch)
+      .filter(col("i_id") < col("p_id") && gate)
+      .groupBy(col("p_id")).agg(min(col("i_id")).as("batch_dup"))
+    batch.select(col("doc_id"))
+      .join(vsHist, col("doc_id") === col("p_id"), "left").drop("p_id")
+      .join(inBatch, col("doc_id") === col("p_id"), "left").drop("p_id")
+      .select(
+        col("doc_id"),
+        when(col("hist_dup").isNotNull, lit("dup_of_history"))
+          .when(col("batch_dup").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("kept")).as("status"),
+        coalesce(col("hist_dup"), col("batch_dup")).as("dup_of"))
+  }
+
   /** LSH candidate pairs over a hashed frame `(doc_id, lo, hi, dh)`:
     * explode the four 16-bit aHash bands, band-equi self-join (the
     * MinHash bucket shape — at 100 TB the band table partitions by

@@ -371,6 +371,60 @@ object ExtQueries {
       .distinct()
   }
 
+  /** Incremental IMAGE near-dup dedup (r15 verdict next #6 — the
+    * arrival-driven shape a training pipeline runs daily): today's
+    * batch ((doc_id DIV 4) % 3 = 0 groups arrive whole, plus the v0
+    * take of every other group) probes the HISTORY band table via
+    * [[graft.operators.ImageHash.incrementalNearDup]] — band-equi
+    * two-table joins, never all-pairs, history touched only in the
+    * buckets the batch lands in. The split plants all three outcomes:
+    * whole-group arrivals dedup IN-batch (v1/v2 against their v0),
+    * lone v0 arrivals dedup against HISTORY (their v1/v2 are already
+    * ingested), v3 (inverted) and first takes stay kept. Pixel kernel
+    * straight from [[graft.operators.ImageGen]] — the codec roundtrip
+    * is q151/q125's job; this query isolates the incremental banding.
+    * Oracle: q151's generator→hash→band CTE chain VERBATIM (shared
+    * builder, the q150/q153 discipline) + the split replay.
+    */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{ImageGen, ImageHash}
+    val hashed = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long].map(id => (id, ImageGen.grayPixels(id).toSeq))
+      .toDF("doc_id", "gray")
+      .withColumn("tot", ImageHash.graySum(col("gray")))
+      .select(
+        col("doc_id"),
+        ImageHash.aHashLo("gray", "tot").as("lo"),
+        ImageHash.aHashHi("gray", "tot").as("hi"))
+    ImageHash.incrementalNearDup(
+      hashed, expr("(doc_id DIV 4) % 3 = 0 OR doc_id % 4 = 0"))
+  }
+
+  /** Incremental AUDIO near-dup dedup — q155's modality sibling, and
+    * the proof the incremental operator is modality-agnostic: the
+    * energy-delta fingerprint packs into the same (lo, hi) shape, so
+    * [[graft.operators.ImageHash.incrementalNearDup]] runs UNCHANGED
+    * over [[graft.operators.AudioHash]] prints (one operator, not
+    * three — the q154 reuse discipline). Same batch split, same
+    * three-outcome plant; oracle shares q154's generator→fingerprint→
+    * band CTE chain verbatim.
+    */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AudioGen, AudioHash, ImageHash}
+    val hashed = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long].map(id => (id, AudioGen.samples(id).map(_.toInt).toSeq))
+      .toDF("doc_id", "pcm")
+      .withColumn("e", AudioHash.frameEnergies("pcm"))
+      .select(
+        col("doc_id"),
+        AudioHash.fpLo("e").as("lo"),
+        AudioHash.fpHi("e").as("hi"))
+    ImageHash.incrementalNearDup(
+      hashed, expr("(doc_id DIV 4) % 3 = 0 OR doc_id % 4 = 0"))
+  }
+
   /** LSH-bucketed approximate cosine top-k (scale path). Oracle-checked:
     * the seeded hyperplanes are counter-based SplitMix64, so the DuckDB
     * side regenerates the identical plane matrix (no sequential
@@ -704,6 +758,8 @@ object ExtQueries {
     "q125_png_roundtrip" -> q125,
     "q151_image_neardup" -> q151,
     "q154_audio_neardup" -> q154,
+    "q155_incremental_image_dedup" -> q155,
+    "q156_incremental_audio_dedup" -> q156,
     "q130_mp3_meta" -> q130,
     "q29_cosine_topk_lsh" -> q29,
     "q30_dedup_apply_semi" -> q30,
@@ -950,6 +1006,140 @@ object ExtQueries {
        |FROM ver WHERE CAST(ni AS DOUBLE) / (na + nb - ni) >= 0.4""".stripMargin
   }
 
+  /** q151's generator→aHash/dHash→band-table CTE chain, ending in a
+    * `bands (doc_id, lo, hi, dh, bidx, bval)` CTE — shared VERBATIM by
+    * the pairwise (q151) and incremental (q155) oracles so the two
+    * replays cannot drift (the q150/q153 shared-chain discipline). The
+    * oracle replays the pixel GENERATOR arithmetic (PNG is lossless,
+    * so the codec roundtrip is the identity on pixels — the q125
+    * license) and the identical integer hash/band pipeline: per-bit
+    * rows summed against powers of two instead of the Catalyst fold, a
+    * deliberately different spelling.
+    */
+  private val imageBandCtes: String =
+    """px AS MATERIALIZED (
+      |  SELECT doc_id, j,
+      |    CASE WHEN doc_id % 4 = 3 THEN 255 - base
+      |         WHEN j % 16 = doc_id % 4
+      |           THEN xor(base, (doc_id % 4) + 1)
+      |         ELSE base END AS p
+      |  FROM (
+      |    SELECT h.doc_id, h.j,
+      |      ((((xor(h0, h0 // 8192)) * 104729) % 4294967296)
+      |        // 65536) % 256 AS base
+      |    FROM (
+      |      SELECT d.doc_id, t.j,
+      |        (((((d.doc_id // 4) + 1) * 2654435761) % 4294967296)
+      |          * (t.j + 17) + t.j * 1013904223) % 4294967296 AS h0
+      |      FROM documents d, unnest(range(0, 64)) AS t(j)) h) b),
+      |tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
+      |abits AS (
+      |  SELECT px.doc_id, j,
+      |    CASE WHEN p * 64 > tot THEN 1 ELSE 0 END AS b
+      |  FROM px JOIN tot USING (doc_id)),
+      |ah AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN j < 32
+      |      THEN b * (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN j >= 32
+      |      THEN b * (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS hi
+      |  FROM abits GROUP BY doc_id),
+      |dbits AS (
+      |  SELECT a.doc_id, (a.j // 8) * 7 + (a.j % 8) AS k,
+      |    CASE WHEN a.p < nx.p THEN 1 ELSE 0 END AS b
+      |  FROM px a JOIN px nx ON nx.doc_id = a.doc_id AND nx.j = a.j + 1
+      |  WHERE a.j % 8 < 7),
+      |dhh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(b * (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT) AS dh
+      |  FROM dbits GROUP BY doc_id),
+      |h AS MATERIALIZED (
+      |  SELECT ah.doc_id, lo, hi, dh FROM ah JOIN dhh USING (doc_id)),
+      |bands AS (
+      |  SELECT doc_id, lo, hi, dh, i AS bidx,
+      |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+      |  FROM h, unnest(range(0, 4)) AS t(i))""".stripMargin
+
+  /** q154's generator→energy-fingerprint→band-table CTE chain, ending
+    * in a `bands (doc_id, lo, hi, bidx, bval)` CTE — shared verbatim by
+    * q154 and the incremental q156 (see [[imageBandCtes]]). Replays the
+    * sample GENERATOR arithmetic (16-bit PCM in a WAV container is
+    * lossless, so the codec roundtrip is the identity on samples) and
+    * the identical integer energy/fingerprint/band pipeline.
+    */
+  private val audioBandCtes: String =
+    """smp AS MATERIALIZED (
+      |  SELECT doc_id, i,
+      |    CASE WHEN doc_id % 4 > 0 AND (i // 8) % 32 = doc_id % 4
+      |         THEN base + CASE WHEN base >= 0 THEN 1500 ELSE -1500 END
+      |         ELSE base END AS v
+      |  FROM (
+      |    SELECT h.doc_id, h.i,
+      |      ((((xor(h0, h0 // 4096)) * 104729) % 4294967296)
+      |        // 32768) % 32768 - 16384 AS base
+      |    FROM (
+      |      SELECT d.doc_id, t.i,
+      |        (((((d.doc_id // 4) + 1) * 2654435761) % 4294967296)
+      |          * (t.i + 29) + t.i * 69069) % 4294967296 AS h0
+      |      FROM documents d, unnest(range(0, 520)) AS t(i)) h) b),
+      |en AS (
+      |  SELECT doc_id, i // 8 AS f, sum(abs(v)) AS e
+      |  FROM smp GROUP BY doc_id, i // 8),
+      |bits AS (
+      |  SELECT a.doc_id, a.f AS j, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS b
+      |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      |  WHERE a.f < 64),
+      |fp AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN j < 32
+      |      THEN b * (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN j >= 32
+      |      THEN b * (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS hi
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, lo, hi, i AS bidx,
+      |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+      |  FROM fp, unnest(range(0, 4)) AS t(i))""".stripMargin
+
+  /** The incremental batch-vs-history split replayed over a `bands`
+    * CTE (either chain above): history candidates and earlier-in-batch
+    * candidates via the same band-equi joins + Hamming ≤ 6 gate the
+    * Spark side runs, min-id attribution, the same status precedence.
+    * Batch condition mirrors the queries' `(doc_id DIV 4) % 3 = 0 OR
+    * doc_id % 4 = 0` exactly.
+    */
+  private val incrementalOracleTail: String =
+    """ch AS (
+      |  SELECT b.doc_id AS p_id, min(i.doc_id) AS hist_dup
+      |  FROM bands b JOIN bands i ON b.bidx = i.bidx AND b.bval = i.bval
+      |  WHERE ((b.doc_id // 4) % 3 = 0 OR b.doc_id % 4 = 0)
+      |    AND NOT ((i.doc_id // 4) % 3 = 0 OR i.doc_id % 4 = 0)
+      |    AND bit_count(xor(b.lo, i.lo)) + bit_count(xor(b.hi, i.hi)) <= 6
+      |  GROUP BY b.doc_id),
+      |cb AS (
+      |  SELECT b.doc_id AS p_id, min(e.doc_id) AS batch_dup
+      |  FROM bands b JOIN bands e ON b.bidx = e.bidx AND b.bval = e.bval
+      |  WHERE ((b.doc_id // 4) % 3 = 0 OR b.doc_id % 4 = 0)
+      |    AND ((e.doc_id // 4) % 3 = 0 OR e.doc_id % 4 = 0)
+      |    AND e.doc_id < b.doc_id
+      |    AND bit_count(xor(b.lo, e.lo)) + bit_count(xor(b.hi, e.hi)) <= 6
+      |  GROUP BY b.doc_id)
+      |SELECT p.doc_id,
+      |  CASE WHEN ch.hist_dup IS NOT NULL THEN 'dup_of_history'
+      |       WHEN cb.batch_dup IS NOT NULL THEN 'dup_in_batch'
+      |       ELSE 'kept' END AS status,
+      |  coalesce(ch.hist_dup, cb.batch_dup) AS dup_of
+      |FROM (SELECT DISTINCT doc_id FROM bands
+      |      WHERE (doc_id // 4) % 3 = 0 OR doc_id % 4 = 0) p
+      |LEFT JOIN ch ON ch.p_id = p.doc_id
+      |LEFT JOIN cb ON cb.p_id = p.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q21_minhash_pairs" -> q21LshReplayOracleSql,
     "q28_multimodal_features" ->
@@ -989,95 +1179,24 @@ object ExtQueries {
     // per-bit rows summed against powers of two, deliberately a
     // different spelling from the Catalyst fold.
     "q154_audio_neardup" ->
-      """WITH smp AS MATERIALIZED (
-        |  SELECT doc_id, i,
-        |    CASE WHEN doc_id % 4 > 0 AND (i // 8) % 32 = doc_id % 4
-        |         THEN base + CASE WHEN base >= 0 THEN 1500 ELSE -1500 END
-        |         ELSE base END AS v
-        |  FROM (
-        |    SELECT h.doc_id, h.i,
-        |      ((((xor(h0, h0 // 4096)) * 104729) % 4294967296)
-        |        // 32768) % 32768 - 16384 AS base
-        |    FROM (
-        |      SELECT d.doc_id, t.i,
-        |        (((((d.doc_id // 4) + 1) * 2654435761) % 4294967296)
-        |          * (t.i + 29) + t.i * 69069) % 4294967296 AS h0
-        |      FROM documents d, unnest(range(0, 520)) AS t(i)) h) b),
-        |en AS (
-        |  SELECT doc_id, i // 8 AS f, sum(abs(v)) AS e
-        |  FROM smp GROUP BY doc_id, i // 8),
-        |bits AS (
-        |  SELECT a.doc_id, a.f AS j, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS b
-        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
-        |  WHERE a.f < 64),
-        |fp AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN j < 32
-        |      THEN b * (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
-        |      AS BIGINT) AS lo,
-        |    CAST(sum(CASE WHEN j >= 32
-        |      THEN b * (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END)
-        |      AS BIGINT) AS hi
-        |  FROM bits GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, lo, hi, i AS bidx,
-        |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
-        |  FROM fp, unnest(range(0, 4)) AS t(i)),
-        |cand AS (
+      (s"WITH $audioBandCtes,\n" +
+        """cand AS (
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
         |  FROM bands a JOIN bands b
         |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
-        |FROM cand WHERE hamming <= 6""".stripMargin,
+        |FROM cand WHERE hamming <= 6""".stripMargin),
+    // q155/q156: the incremental (batch-vs-history) split replayed on
+    // the SAME band-table chains as q151/q154 — shared builder vals, so
+    // the hash replays cannot drift from the pairwise queries'
+    "q155_incremental_image_dedup" ->
+      (s"WITH $imageBandCtes,\n$incrementalOracleTail"),
+    "q156_incremental_audio_dedup" ->
+      (s"WITH $audioBandCtes,\n$incrementalOracleTail"),
     "q151_image_neardup" ->
-      """WITH px AS MATERIALIZED (
-        |  SELECT doc_id, j,
-        |    CASE WHEN doc_id % 4 = 3 THEN 255 - base
-        |         WHEN j % 16 = doc_id % 4
-        |           THEN xor(base, (doc_id % 4) + 1)
-        |         ELSE base END AS p
-        |  FROM (
-        |    SELECT h.doc_id, h.j,
-        |      ((((xor(h0, h0 // 8192)) * 104729) % 4294967296)
-        |        // 65536) % 256 AS base
-        |    FROM (
-        |      SELECT d.doc_id, t.j,
-        |        (((((d.doc_id // 4) + 1) * 2654435761) % 4294967296)
-        |          * (t.j + 17) + t.j * 1013904223) % 4294967296 AS h0
-        |      FROM documents d, unnest(range(0, 64)) AS t(j)) h) b),
-        |tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
-        |abits AS (
-        |  SELECT px.doc_id, j,
-        |    CASE WHEN p * 64 > tot THEN 1 ELSE 0 END AS b
-        |  FROM px JOIN tot USING (doc_id)),
-        |ah AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN j < 32
-        |      THEN b * (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)
-        |      AS BIGINT) AS lo,
-        |    CAST(sum(CASE WHEN j >= 32
-        |      THEN b * (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END)
-        |      AS BIGINT) AS hi
-        |  FROM abits GROUP BY doc_id),
-        |dbits AS (
-        |  SELECT a.doc_id, (a.j // 8) * 7 + (a.j % 8) AS k,
-        |    CASE WHEN a.p < nx.p THEN 1 ELSE 0 END AS b
-        |  FROM px a JOIN px nx ON nx.doc_id = a.doc_id AND nx.j = a.j + 1
-        |  WHERE a.j % 8 < 7),
-        |dhh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(b * (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT) AS dh
-        |  FROM dbits GROUP BY doc_id),
-        |h AS MATERIALIZED (
-        |  SELECT ah.doc_id, lo, hi, dh FROM ah JOIN dhh USING (doc_id)),
-        |bands AS (
-        |  SELECT doc_id, lo, hi, dh, i AS bidx,
-        |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
-        |  FROM h, unnest(range(0, 4)) AS t(i)),
-        |cand AS (
+      (s"WITH $imageBandCtes,\n" +
+        """cand AS (
         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
         |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming,
         |    bit_count(xor(a.dh, b.dh)) AS ham_dhash
@@ -1085,7 +1204,7 @@ object ExtQueries {
         |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming,
         |  CAST(ham_dhash AS BIGINT) AS ham_dhash
-        |FROM cand WHERE hamming <= 6""".stripMargin,
+        |FROM cand WHERE hamming <= 6""".stripMargin),
     // q130: frame count, integer duration (1152 samples/frame at
     // 44100 Hz, floor division exactly as the parser's Long math), and
     // floor-average bitrate recomputed from the same per-event bitrate
