@@ -20,6 +20,21 @@ object AudioGen {
   val NumFrames = 65
   val NumSamples: Int = FrameLen * NumFrames // 520
 
+  /** Content fingerprint of the generator kernel (the [[ImageGen]]
+    * marker discipline): stale on-disk AUSCALE file corpora regenerate
+    * when the kernel constants change instead of silently benching
+    * different waveforms than the packed arm.
+    */
+  lazy val kernelHash: String = {
+    val crc = new java.util.zip.CRC32
+    Seq(0L, 1L, 2L, 3L, 77L).foreach { id =>
+      samplesVar(id, 2048).foreach { s =>
+        crc.update(s & 0xff); crc.update((s >> 8) & 0xff)
+      }
+    }
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   /** Variable-length PCM for the scale record (AUSCALE) and the
     * sub-fingerprint recall spec — the same per-sample mixing kernel at
     * any length, with the variant set adjusted to exercise what

@@ -128,12 +128,14 @@ object AudioHash {
     * clip pair BEFORE the caller's gate, so downstream joins see clip
     * pairs, not window pairs.
     */
-  def subFpCandidatePairs(clips: DataFrame): DataFrame = {
+  def subFpCandidatePairs(
+      clips: DataFrame,
+      bander: (Column, Column) => Column = ImageHash.bands): DataFrame = {
     val wins = clips.select(col("doc_id"), explode(col("sfp")).as("s"))
       .select(col("doc_id"), col("s.lo").as("lo"), col("s.hi").as("hi"))
     val banded = wins.select(
       col("doc_id"), col("lo"), col("hi"),
-      posexplode(ImageHash.bands(col("lo"), col("hi"))).as(Seq("bidx", "bval")))
+      posexplode(bander(col("lo"), col("hi"))).as(Seq("bidx", "bval")))
     val a = banded.select(
       col("doc_id").as("a_id"), col("lo").as("a_lo"), col("hi").as("a_hi"),
       col("bidx"), col("bval"))

@@ -117,6 +117,18 @@ object ImageHash {
       hi.bitwiseAND(lit(65535L)),
       shiftright(hi, 16).bitwiseAND(lit(65535L)))
 
+  /** Two 32-bit bands (band 0 = lo, band 1 = hi) — the scale-path
+    * banding for corpora whose window-print volume makes the 16-bit
+    * buckets collide quadratically (AUSCALE's measured axis: sub-
+    * fingerprint tables hold clips × windows prints, and bucket
+    * occupancy at 2.5M prints is ~39, squaring into ~hundreds of
+    * millions of chance candidates). Occupancy drops by 2^16;
+    * pigeonhole exactness narrows from Hamming ≤ 3 to ≤ 1 — the right
+    * trade once near-dups are expected at tiny distances (re-levels,
+    * shifts) and the print count, not the distance, is the threat.
+    */
+  def bandsWide(lo: Column, hi: Column): Column = array(lo, hi)
+
   /** Hamming distance of two (hi, lo) hash pairs. */
   def hamming(loA: Column, hiA: Column, loB: Column, hiB: Column): Column =
     bit_count(loA.bitwiseXOR(loB)) + bit_count(hiA.bitwiseXOR(hiB))

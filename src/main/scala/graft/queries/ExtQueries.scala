@@ -342,15 +342,28 @@ object ExtQueries {
   private def q154(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.{AudioGen, AudioHash, ImageHash, MediaCodecs}
+    // the per-row encode→decode→require roundtrip is a self-proof the
+    // spec already pins (AudioHashSpec's WAV bit-exactness); at the
+    // 520-sample fixture it is harmless, at real clip lengths the
+    // double codec pass would dominate the fingerprint (r15 verdict
+    // wrong #4) — so it gates on a conf, default ON here (the q125/q151
+    // exercise-the-codec-in-query license), OFF in AUSCALE's long-clip
+    // arms where its cost is priced explicitly
+    val roundtrip =
+      s.conf.getOption("spark.graft.audio.roundtrip").forall(_.toBoolean)
     val pcm = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
       .as[Long].map { id =>
         val samples = AudioGen.samples(id)
-        val wav = MediaCodecs.encodeWav(8000, samples)
-        val back = MediaCodecs.decodeWav(wav)
-          .getOrElse(sys.error(s"wav roundtrip decode failed for doc $id"))
-        require(back.sampleRate == 8000 &&
-          java.util.Arrays.equals(back.samples, samples))
-        (id, back.samples.map(_.toInt).toSeq)
+        val out =
+          if (roundtrip) {
+            val wav = MediaCodecs.encodeWav(8000, samples)
+            val back = MediaCodecs.decodeWav(wav)
+              .getOrElse(sys.error(s"wav roundtrip decode failed for doc $id"))
+            require(back.sampleRate == 8000 &&
+              java.util.Arrays.equals(back.samples, samples))
+            back.samples
+          } else samples
+        (id, out.map(_.toInt).toSeq)
       }.toDF("doc_id", "pcm")
     // the q151 two-consumer pin: the banded self-join reads the
     // fingerprint index twice; the frame is corpus-sized but 3 longs
