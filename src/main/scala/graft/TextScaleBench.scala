@@ -210,6 +210,14 @@ object TextScaleBench {
 
     val points = sizes.map { n =>
       val dir = gen(n)
+      // record the exact-substring auto-pass decision against THIS
+      // corpus and the host's real free scratch (r15 verdict next #3):
+      // the sizing inputs ride along so a reader can replay the rule
+      val (autoK, autoIn, autoFree) = graft.operators.ExactSubstr
+        .autoPassDecision(spark.read.parquet(s"$dir/documents.parquet"))
+      System.err.println(
+        f"[textscale] exactSubstr auto passes=$autoK @ $n docs " +
+          f"(input=${autoIn / 1e6}%.1f MB, free=${autoFree / 1e9}%.1f GB)")
       // the GraftSession sizing rule applied (see its fallbackThreshold
       // note: ObjectHashAggregate's sort fallback triggers on group
       // COUNT, never bytes — it is the only bound on per-group buffer
@@ -238,18 +246,20 @@ object TextScaleBench {
         System.err.println(f"[textscale] $q @ $n = $sec%.2f s")
         q -> sec
       }
-      (n, times)
+      (n, times, (autoK, autoIn, autoFree))
     }
     // per-point coverage is explicit (r15 ADVICE): points past the
     // blocking-codebook ceiling drop the embedding arms, so each point
     // carries the count it actually timed plus the skipped arm names —
     // a consumer diffing fused vs sum sees the gap instead of assuming
     // the registered count everywhere
-    val json = points.map { case (n, ts) =>
+    val json = points.map { case (n, ts, (autoK, autoIn, autoFree)) =>
       val qs = ts.map { case (q, s) => f""""$q":$s%.2f""" }.mkString(",")
       val skipped = queries.filterNot(ts.map(_._1).toSet)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
-      f"""{"n_docs":$n,"queries_timed":${ts.size},"skipped":$skipped,$qs}"""
+      f"""{"n_docs":$n,"queries_timed":${ts.size},"skipped":$skipped,""" +
+        f""""auto_passes":$autoK,"auto_input_mb":${autoIn / 1e6}%.1f,""" +
+        f""""auto_free_gb":${autoFree / 1e9}%.1f,$qs}"""
     }.mkString("[", ",\n ", "]")
     val iso = queries.filter(isolated).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"text_scale","queries_registered":${queries.size},"isolated":$iso,"points":$json}""")

@@ -52,10 +52,94 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstr {
 
-  /** Digest-space pass count (default 1 = single-shuffle). */
+  /** Measured merge-peak scratch per parquet input byte under the zstd
+    * default codec: the r15 TEXTSCALE 4M-doc record ran K = 4 passes
+    * over 1.5 GB of input at 23.2 GB peak scratch ⇒ ~62× input bytes
+    * per full digest shuffle (consistent with the r14 K = 1 ENOSPC at
+    * >74 GB free on the same corpus: 62 × 1.5 ≈ 93 GB > 74). Override
+    * via `spark.graft.exactSubstr.scratchPerInputByte` — e.g. roughly
+    * double it under lz4 (zstd ~halves shuffle scratch, the r14 A/B).
+    */
+  val ScratchPerInputByte: Double = 62.0
+
+  /** Planning fill-factor of currently-free scratch space: auto mode
+    * provisions each pass to use at most this fraction of what is free
+    * NOW. 0.8 reproduces the true historical decisions (2M docs fit at
+    * K = 1; 4M did not) while guarding the estimate's variance — the
+    * failure costs are asymmetric (ENOSPC kills a multi-hundred-second
+    * job; one extra pass costs ~K-th of a corpus re-scan). Override via
+    * `spark.graft.exactSubstr.scratchHeadroom`.
+    */
+  val ScratchHeadroom: Double = 0.8
+
+  /** Minimal pass count whose per-pass merge-peak scratch
+    * (`scratchPerInputByte · inputBytes / K`) fits inside
+    * `headroom · freeBytes`. Pure — spec'd on both regimes. Unknown
+    * input or free space (≤ 0) degrades to 1, the lazy single-shuffle
+    * default; the 64 cap is a runaway backstop (a K that large means
+    * the scratch volume is ~wrong for the host, not that 65 corpus
+    * re-scans are a good plan).
+    */
+  def sizePasses(
+      inputBytes: Long,
+      freeBytes: Long,
+      scratchPerInputByte: Double = ScratchPerInputByte,
+      headroom: Double = ScratchHeadroom): Int = {
+    if (inputBytes <= 0 || freeBytes <= 0) 1
+    else {
+      val need = scratchPerInputByte * inputBytes
+      val budget = headroom * freeBytes
+      if (need <= budget) 1 else math.min(64, math.ceil(need / budget).toInt)
+    }
+  }
+
+  /** The auto-mode decision against `df`'s real input stats and the
+    * host's real local-dir free space: (passes, inputBytes, freeBytes).
+    * Public so the TEXTSCALE record can carry the decision inputs.
+    */
+  def autoPassDecision(df: DataFrame): (Int, Long, Long) = {
+    val spark = df.sparkSession
+    val input = Spread.inputBytes(df)
+    val free = freeScratchBytes(spark)
+    def dconf(key: String, dflt: Double): Double =
+      spark.conf.getOption(key).flatMap(_.toDoubleOption).getOrElse(dflt)
+    val k = sizePasses(input, free,
+      dconf("spark.graft.exactSubstr.scratchPerInputByte", ScratchPerInputByte),
+      dconf("spark.graft.exactSubstr.scratchHeadroom", ScratchHeadroom))
+    (k, input, free)
+  }
+
+  /** Usable bytes across the session's `spark.local.dir` targets (the
+    * dirs shuffle scratch actually lands in), JVM tmpdir fallback —
+    * distinct paths summed, mirroring Spark's own round-robin use.
+    */
+  private def freeScratchBytes(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val dirs = Option(spark.sparkContext.getConf.get("spark.local.dir", null))
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+    dirs.split(",").map(_.trim).filter(_.nonEmpty).distinct
+      .map(d => new java.io.File(d).getUsableSpace).sum
+  }
+
+  /** Digest-space pass count: an explicit integer conf is taken as-is
+    * (the measured dial); `auto` provisions via [[sizePasses]] against
+    * real input stats + free scratch, with a loud log of the decision
+    * and its inputs. Default 1 — auto is OPT-IN because K > 1 changes
+    * execution semantics (eager, non-reliable; see [[duplicateSpans]]),
+    * which a library must not spring on callers by disk state.
+    */
   private def digestPasses(df: DataFrame): Int =
-    df.sparkSession.conf.getOption("spark.graft.exactSubstr.passes")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    df.sparkSession.conf.getOption("spark.graft.exactSubstr.passes") match {
+      case Some(v) if v.trim.equalsIgnoreCase("auto") =>
+        val (k, input, free) = autoPassDecision(df)
+        System.err.println(
+          f"[exactSubstr] auto passes=$k (input=${input / 1e9}%.2f GB, " +
+            f"scratch~${ScratchPerInputByte * input / 1e9}%.1f GB at K=1, " +
+            f"free=${free / 1e9}%.1f GB)")
+        k
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(1)
+      case None => 1
+    }
 
   /** The (id, pos, digest) window frame — one fused pass per doc builds
     * all window digests (len·MD5 per doc, the suite's most compute-dense

@@ -132,6 +132,41 @@ object Spread {
     else df
   }
 
+  /** Total input bytes of `df`'s file sources — 0 for streams and
+    * non-file relations. Same bounded stat discipline as [[ensure]]:
+    * past the stride-sample ceiling the total extrapolates from the
+    * sample mean instead of paying thousands of sequential driver
+    * stats. Public for sizing decisions that provision against input
+    * volume (ExactSubstr's auto-pass scratch rule).
+    */
+  def inputBytes(df: DataFrame): Long = {
+    if (df.isStreaming) return 0L
+    val spark = df.sparkSession
+    val files =
+      try df.inputFiles
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    if (files.isEmpty) return 0L
+    val statCeiling = math.max(1024, 32 * spark.sparkContext.defaultParallelism)
+    val statTargets =
+      if (files.length <= statCeiling) files
+      else {
+        val stride = files.length.toDouble / statCeiling
+        Array.tabulate(statCeiling)(i => files((i * stride).toInt))
+      }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val statted = statTargets.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(hconf).getFileStatus(p).getLen
+      } catch {
+        case _: java.io.IOException => 0L
+        case _: IllegalArgumentException => 0L
+      }
+    }
+    if (statTargets.length == files.length) statted.sum
+    else (statted.sum.toDouble / statted.length * files.length).toLong
+  }
+
   private def bytesConf(
       spark: org.apache.spark.sql.SparkSession, key: String, dflt: Long): Long =
     try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(

@@ -152,6 +152,61 @@ class ExactSubstrSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.unset("spark.graft.exactSubstr.passes")
   }
 
+  test("sizePasses: both regimes of the scratch provisioning rule, " +
+    "degradation on unknown inputs, monotonicity, runaway cap") {
+    val GB = 1L << 30
+    // fits: 62x of 0.74 GB = 46 GB <= 0.8 x 67 GB -> single pass (the
+    // true 2M-doc history: ran fine at K = 1)
+    assert(ExactSubstr.sizePasses(743L * (1L << 20), 67 * GB) === 1)
+    // does not fit: 62x of 1.5 GB = 93 GB > 0.8 x 67 GB -> minimal K
+    // with 93/K <= 53.6, i.e. K = 2 (the r14 4M ENOSPC at K = 1 and
+    // the honest minimal fit on a 67 GB-free host)
+    assert(ExactSubstr.sizePasses((1536L) * (1L << 20), 67 * GB) === 2)
+    // the r15 record host regime: 4M docs against ~40 GB free -> K = 3
+    assert(ExactSubstr.sizePasses(1536L * (1L << 20), 40 * GB) === 3)
+    // unknown input or free space degrades to the lazy default
+    assert(ExactSubstr.sizePasses(0, 67 * GB) === 1)
+    assert(ExactSubstr.sizePasses(1536L * (1L << 20), 0) === 1)
+    // monotone in input, antitone in free space
+    val ks = (1 to 20).map(i =>
+      ExactSubstr.sizePasses(i.toLong * GB, 50 * GB))
+    assert(ks === ks.sorted)
+    // runaway cap: an absurd ratio cannot demand thousands of scans
+    assert(ExactSubstr.sizePasses(1000 * GB, 1 * GB) === 64)
+  }
+
+  test("passes = auto resolves against real input stats and is " +
+    "bit-identical to single-pass when forced into multi-pass by conf") {
+    // file-backed corpus: auto sizing reads inputFiles stats, so the
+    // in-memory fixture must round-trip through parquet first
+    val dir = java.nio.file.Files.createTempDirectory("exsub_auto").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    def all(): Set[(Long, Long, Long, Long)] =
+      ExactSubstr.duplicateSpans(docs, "doc_id", "text", minLen = 50)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val single = all()
+    assert(single.nonEmpty)
+    // tiny corpus, real free space: auto must pick 1 (the <= 2M regime)
+    val (k1, in1, free1) = ExactSubstr.autoPassDecision(docs)
+    assert(in1 > 0 && free1 > 0 && k1 === 1,
+      s"auto picked $k1 on a ${in1}-byte corpus with $free1 free")
+    spark.conf.set("spark.graft.exactSubstr.passes", "auto")
+    try {
+      assert(all() == single, "auto(K=1) diverged from default")
+      // force the rule into multi-pass by inflating the scratch factor
+      // (the same code path a 100 TB input takes): results unchanged
+      spark.conf.set("spark.graft.exactSubstr.scratchPerInputByte", "1e9")
+      val (kForced, _, _) = ExactSubstr.autoPassDecision(docs)
+      assert(kForced > 1, s"conf-inflated auto still picked $kForced")
+      assert(all() == single, "auto multi-pass diverged from single-pass")
+    } finally {
+      spark.conf.unset("spark.graft.exactSubstr.passes")
+      spark.conf.unset("spark.graft.exactSubstr.scratchPerInputByte")
+    }
+  }
+
   test("cut stage matches brute force on the real sf0.001 documents table") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text").as[(Long, String)].collect().toSeq
