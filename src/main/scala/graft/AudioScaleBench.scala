@@ -47,7 +47,14 @@ object AudioScaleBench {
     val clipLen = sys.env.getOrElse("SPARK_GRAFT_AU_LEN", "131072").toInt
     val hop = 64
     val cpus = BenchHarness.envCpus()
-    val spark = BenchHarness.session()
+    // fat-blob reader posture: the vectorized parquet reader sizes
+    // batches in ROWS (default 4096), and 4096 × ~262 KB WAV blobs is
+    // ~1 GB PER TASK — 32 concurrent scan tasks OOM any sane heap
+    // (measured here at the 10k point). Row-bound the batch so a batch
+    // holds ~16 MB of blobs; the same posture any 100 TB multimodal
+    // scan needs when a binary column's rows are 100s of KB.
+    val spark = BenchHarness.session(
+      extraConfs = Map("spark.sql.parquet.columnarReaderBatchSize" -> "64"))
     import spark.implicits._
     import graft.operators.{AudioGen, AudioHash, ImageHash, MediaCodecs}
 
@@ -115,15 +122,20 @@ object AudioScaleBench {
     def drain(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // the IMSCALE timing discipline: each arm runs twice, second run
-    // recorded (first absorbs residual writeback/warmup), quiesce
-    // between windows
-    def time(f: => Unit): Double = {
+    // the IMSCALE r16 timing discipline: one untimed warm run, then 3
+    // timed runs recorded as min/med/max — the first AUSCALE record's
+    // single-sample arms swung 3.5× between identical runs (GC churn
+    // over the per-task array garbage: each clip materializes a 131k-int
+    // pcm + 2k window structs), which min/med/max makes visible instead
+    // of baking into one number
+    def times(f: => Unit): Seq[Double] = {
       f
       BenchHarness.quiesce(spark)
-      val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
-      BenchHarness.quiesce(spark)
-      s
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
+        BenchHarness.quiesce(spark)
+        s
+      }
     }
 
     // JIT warmup on a small corpus
@@ -148,24 +160,27 @@ object AudioScaleBench {
     val points = gens.map { case (n, packed, files) =>
       val arms = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       def rec(name: String)(f: => Unit): Unit = {
-        val s = time(f)
-        System.err.println(f"[auscale] $name @ $n = $s%.2f s")
-        arms += name -> f"$s%.2f"
+        val ts = times(f).sorted
+        System.err.println(f"[auscale] $name @ $n = " +
+          ts.map(t => f"$t%.2f").mkString("/") + " s")
+        arms += name ->
+          (f"""{"min":${ts.head}%.2f,"med":${ts(1)}%.2f,""" +
+            f""""max":${ts.last}%.2f}""")
       }
       rec("subfp_packed") {
         drain(subFps(spark.read.parquet(packed), roundtrip = false))
       }
       if (n == sizes.head) {
-        // the roundtrip price at real clip lengths (verdict wrong #4)
+        // the roundtrip price at real clip lengths (verdict wrong #4):
+        // read the delta between this arm's MIN and subfp_packed's MIN
+        // (mins bound the machine's best case; medians carry GC noise)
         rec("subfp_packed_roundtrip") {
           drain(subFps(spark.read.parquet(packed), roundtrip = true))
         }
-        // repeat of the plain arm AFTER: read the delta from this pair
-        rec("subfp_packed2") {
-          drain(subFps(spark.read.parquet(packed), roundtrip = false))
-        }
       }
       rec("subfp_binfile") {
+        // (binaryFile probes the glob for a streaming-sink metadata dir
+        // and logs a benign FileNotFound WARN per query — glob noise)
         val blobs = graft.sources.RobustSources
           .binaryBlobs(spark, s"$files/sub_*", "*.wav")
           .select(
