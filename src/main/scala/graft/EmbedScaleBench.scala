@@ -34,10 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object EmbedScaleBench {
   def main(args: Array[String]): Unit = {
-    val sizes = sys.env.getOrElse("SPARK_GRAFT_EMB_NS", "200000,1000000,3000000")
+    val sizes = sys.env.getOrElse("SPARK_GRAFT_EMB_NS", "200000,600000,1500000")
       .split(",").map(_.trim.toInt).toSeq
     val dim = 64
-    val tau = 0.4 // q50/q94's production gate on this distribution
+    // τ = 0.9: the planted near-dups are exact copies (cosine 1.0), and
+    // in-cell candidates are cosine-correlated BY CONSTRUCTION (same
+    // nearest centroid), so the q50 gate of 0.4 — tuned for the narrow
+    // testdata distribution — forms a correlation blob on this uniform
+    // corpus (measured: 2.48M survivor edges vs 4,000 planted at 200k).
+    // The candidate-scan COST is τ-independent (every candidate pays
+    // its cosine either way); 0.9 keeps the survivor set dedup-shaped.
+    val tau = 0.9
     val nprobe = 4
     val cpus = BenchHarness.envCpus()
     val spark = BenchHarness.session()
