@@ -119,7 +119,8 @@ object EmbedScaleBench {
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("__v")))
         .localCheckpoint(true)
       val cents = Similarity.trainQuantizer(
-        assigned, "__v", autoK, seed = 7L, trainSample = 16384,
+        assigned, "__v", autoK, seed = 7L,
+        trainSample = math.max(16384, 32 * autoK), // the timed run's rule
         knownCount = n.toLong)
       val occ = assigned
         .select(explode(graft.functions.NearestCells.toCol(

@@ -334,7 +334,16 @@ object Similarity {
         if (numCells > 0) numCells
         else math.min(65536, math.max(16,
           (nprobe * math.ceil(math.sqrt(n.toDouble / 2))).toInt))
-      trainQuantizer(assigned, "__v", k, seed, trainSample, knownCount = n)
+      // the train sample must SCALE WITH K (EMBSCALE r16): a fixed 16k
+      // sample at auto-K = 3468 leaves ~4.7 rows per centroid, Lloyd's
+      // cannot populate the cells, occupancy skews (measured max/mean
+      // 10.5× at 1.5M vectors), and the Σocc²-shaped candidate volume
+      // grew ~N^1.9 instead of the flop-balanced N^1.5. 32 rows per
+      // centroid restores the balance assumption; the fitter is
+      // thread-parallel, so the bigger sample costs seconds, and
+      // `trainSample` keeps acting as the caller's floor.
+      trainQuantizer(assigned, "__v", k, seed,
+        math.max(trainSample, 32 * k), knownCount = n)
     }
     // Vectors ride WITH the (cell, id) rows and cosine evaluates inside
     // the cell join, so only SURVIVING pairs ever materialize. The
