@@ -34,10 +34,15 @@ import org.apache.spark.sql.functions._
   * there is no quadratic arm to cap. The per-doc island merge partitions
   * by doc — bounded by document length, embarrassingly parallel.
   *
-  * Scratch bound (r14 verdict #1): the digest shuffle's merge phase
-  * holds spill files + merged output simultaneously — ~2× its shuffle
-  * bytes of transient scratch, measured ~20× the parquet input bytes at
-  * peak, which ENOSPC'd this host at 4M docs under BOTH codecs. Per-node
+  * Scratch bound (r14 verdict #1; factor re-anchored r16): the digest
+  * shuffle's merge phase holds spill files + merged output
+  * simultaneously — ~2× its shuffle bytes of transient scratch, which
+  * ENOSPC'd this host at 4M docs under BOTH codecs. The best-measured
+  * peak is [[ScratchPerInputByte]] ≈ 62× the parquet input bytes under
+  * the zstd default (the r15 4M record: 23.2 GB peak at K = 4 over
+  * 1.5 GB input; the earlier "~20×" figure underestimated — it was
+  * read from a mid-run disk sample, not the K-normalized peak, and the
+  * same-corpus ENOSPC at >74 GB free already implied ≥ 49×). Per-node
   * DISK, not time, is the binding constraint at 100 TB — so
   * `spark.graft.exactSubstr.passes = K` partitions the DIGEST SPACE into
   * K sequential passes: pass i keeps only windows with
@@ -48,7 +53,8 @@ import org.apache.spark.sql.functions._
   * the duplicated-position set is the disjoint union of the per-pass
   * sets and the downstream island merge never notices. Cost: K window-
   * generation scans (MD5 recompute — CPU, which is not the wall) for a
-  * merge-peak scratch bound of ~1/K per pass (~20×/K input bytes).
+  * merge-peak scratch bound of ~1/K per pass; `passes = auto` turns
+  * the rule into provisioning ([[sizePasses]]).
   */
 object ExactSubstr {
 
