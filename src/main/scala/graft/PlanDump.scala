@@ -73,7 +73,9 @@ object PlanDump {
       "q153_curation_tokens" -> "fused lineage, token-balanced cut: q150's chain with the rank swapped for the tokenOffsets range exchange + 1-row total attach",
       "q151_image_neardup" -> "image near-dup: real PNG roundtrip per row (map-side, hash index pinned ONCE), codegen'd aHash/dHash HOFs, 16-bit-band EQUI join candidates (the q21 bucket shape — never all-pairs), bit_count Hamming gate",
       "q154_audio_neardup" -> "audio near-dup: real WAV/PCM roundtrip per row, codegen'd energy-delta fingerprint HOFs, the SAME banded candidate machinery as q151 (ImageHash.bandCandidatePairs reused) — never all-pairs",
-      "q155_incremental_image_dedup" -> "incremental near-dup ingest: batch probes the history band table via band-equi TWO-TABLE joins (history touched only in probed buckets, never rescanned), min-id attribution, left-join status attach — the arrival-driven daily shape")
+      "q155_incremental_image_dedup" -> "incremental near-dup ingest: batch probes the history band table via band-equi TWO-TABLE joins (history touched only in probed buckets, never rescanned), min-id attribution, left-join status attach — the arrival-driven daily shape",
+      "q157_crosssize_image_neardup" -> "cross-size image near-dup: per-row gridReduce W×H → 8×8 block-mean HOF (narrow, codegen'd) feeding the SAME hash/band plan as q151 — size variance never reaches the join",
+      "q158_subfp_audio_neardup" -> "sub-fingerprint audio near-dup: variable-length clips → per-window print explode → 16-bit-band EQUI self-join on window prints → min-Hamming groupBy collapses window fan-out to clip pairs BEFORE the gate — never all-pairs, band table rows = clips × windows × 4")
     // stamp the code SHA the plans were recorded on — tools/check_freeze.py
     // mechanically rejects an artifact whose SHA predates the last
     // src/main commit (the r14 stale-PLANS episode). r15 ADVICE

@@ -257,9 +257,12 @@ object TextScaleBench {
       val qs = ts.map { case (q, s) => f""""$q":$s%.2f""" }.mkString(",")
       val skipped = queries.filterNot(ts.map(_._1).toSet)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
+      // qs may be empty (a pure sizing sweep times zero arms) — only
+      // then would a bare ",$qs" emit a trailing comma, which is not JSON
       f"""{"n_docs":$n,"queries_timed":${ts.size},"skipped":$skipped,""" +
         f""""auto_passes":$autoK,"auto_input_mb":${autoIn / 1e6}%.1f,""" +
-        f""""auto_free_gb":${autoFree / 1e9}%.1f,$qs}"""
+        f""""auto_free_gb":${autoFree / 1e9}%.1f""" +
+        (if (qs.isEmpty) "}" else s",$qs}")
     }.mkString("[", ",\n ", "]")
     val iso = queries.filter(isolated).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"text_scale","queries_registered":${queries.size},"isolated":$iso,"points":$json}""")

@@ -53,6 +53,20 @@ object ImageGen {
     }
   }
 
+  /** Per-doc deterministic render shape for the cross-size corpus
+    * (q157): six W×H shapes cycled by `id % 6` — three exact-identity
+    * reductions (8 | W and 8 | H, where [[ImageHash.gridReduce]]
+    * recovers [[grayPixels]]`(id)` bit-for-bit, so near-dups land
+    * ACROSS sizes) and three genuine floor-means (8 ∤ W or 8 ∤ H).
+    * Group members (consecutive ids) span shapes independently of the
+    * variant cycle, so both variant classes see both shape kinds.
+    */
+  val Shapes: Array[(Int, Int)] =
+    Array((8, 8), (16, 16), (24, 8), (11, 9), (16, 10), (13, 13))
+
+  /** The render shape of document `id` ([[Shapes]]`(id % 6)`). */
+  def shapeFor(id: Long): (Int, Int) = Shapes((id % 6).toInt)
+
   /** Content fingerprint of the generator kernel: CRC32 over a few
     * probe PNGs. On-disk corpora (IMSCALE's million-file arm) are
     * reused across runs keyed on this — if the kernel constants ever

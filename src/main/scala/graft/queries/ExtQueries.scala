@@ -438,6 +438,80 @@ object ExtQueries {
       hashed, expr("(doc_id DIV 4) % 3 = 0 OR doc_id % 4 = 0"))
   }
 
+  /** Cross-size image near-dup — the r15-verdict generality item
+    * ([[graft.operators.ImageHash.gridReduce]]) made first-class at
+    * the ORACLE level, not just spec'd: each doc renders at a per-doc
+    * deterministic W×H ([[graft.operators.ImageGen.Shapes]], three
+    * exact 8-multiples, three non-multiples) by nearest-neighbor
+    * upscale of its 8×8 pattern, and `gridReduce` block-floor-means it
+    * back to the 8×8 grid the hash consumes. At 8-multiple shapes the
+    * reduction recovers the base pattern EXACTLY — the hash is
+    * size-invariant there, so within-group near-dups land ACROSS
+    * render sizes; at non-multiples it is a genuine lossy mean, and
+    * whatever pairs survive are pinned by the oracle replaying the
+    * same integer block arithmetic over the same upscaled pixels.
+    * Tail (band LSH, Hamming ≤ 6 gate, dHash rider) shared with q151.
+    */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{ImageGen, ImageHash}
+    val gray = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long].map { id =>
+        val (w, h) = ImageGen.shapeFor(id)
+        (id, w, h, ImageGen.grayPixelsAt(id, w, h).toSeq)
+      }.toDF("doc_id", "w", "h", "big")
+    val hashed = gray
+      .withColumn("gray", ImageHash.gridReduce("big", "w", "h"))
+      .withColumn("tot", ImageHash.graySum(col("gray")))
+      .select(
+        col("doc_id"),
+        ImageHash.aHashLo("gray", "tot").as("lo"),
+        ImageHash.aHashHi("gray", "tot").as("hi"),
+        ImageHash.dHash("gray").as("dh"))
+      .localCheckpoint(true)
+    ImageHash.bandCandidatePairs(hashed)
+      .select(
+        col("a_id"), col("b_id"),
+        ImageHash.hamming(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi"))
+          .cast("long").as("hamming"),
+        bit_count(col("a_dh").bitwiseXOR(col("b_dh")))
+          .cast("long").as("ham_dhash"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+  }
+
+  /** Sub-fingerprint audio near-dup — the union-over-windows match
+    * unit (r15 verdict next #8) made first-class at the oracle level:
+    * clips at per-doc variable lengths (520 + (id % 5)·131 samples —
+    * deliberately NOT frame multiples, so the trailing-partial-frame
+    * drop is oracle-exercised, not just spec'd) fingerprint as
+    * Haitsma–Kalker sub-fingerprint sequences
+    * ([[graft.operators.AudioHash.subFingerprints]], one 64-bit print
+    * per 65-frame window at hop 2), and two clips match when ANY
+    * window pair shares a 16-bit band with min window Hamming ≤ 6
+    * ([[graft.operators.AudioHash.subFpCandidatePairs]]). The corpus
+    * plants the shape the single-print q154 summary structurally
+    * misses: v = 2 takes are TIME-SHIFTED by two whole frames
+    * ([[graft.operators.AudioGen.samplesVar]]) — their first-window
+    * print is ~uncorrelated with the base's, but their window at
+    * offset 2 matches the base's at offset 0 exactly.
+    */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AudioGen, AudioHash}
+    val clips = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long].map { id =>
+        val n = 520 + (id % 5).toInt * 131
+        (id, AudioGen.samplesVar(id, n).map(_.toInt).toSeq)
+      }.toDF("doc_id", "pcm")
+      .withColumn("e", AudioHash.frameEnergies("pcm"))
+      .select(col("doc_id"),
+        AudioHash.subFingerprints("e", hopFrames = 2).as("sfp"))
+      .localCheckpoint(true)
+    AudioHash.subFpCandidatePairs(clips)
+      .filter(col("min_hamming") <= 6)
+  }
+
   /** LSH-bucketed approximate cosine top-k (scale path). Oracle-checked:
     * the seeded hyperplanes are counter-based SplitMix64, so the DuckDB
     * side regenerates the identical plane matrix (no sequential
@@ -773,6 +847,8 @@ object ExtQueries {
     "q154_audio_neardup" -> q154,
     "q155_incremental_image_dedup" -> q155,
     "q156_incremental_audio_dedup" -> q156,
+    "q157_crosssize_image_neardup" -> q157,
+    "q158_subfp_audio_neardup" -> q158,
     "q130_mp3_meta" -> q130,
     "q29_cosine_topk_lsh" -> q29,
     "q30_dedup_apply_semi" -> q30,
@@ -1029,7 +1105,7 @@ object ExtQueries {
     * rows summed against powers of two instead of the Catalyst fold, a
     * deliberately different spelling.
     */
-  private val imageBandCtes: String =
+  private val imagePxCte: String =
     """px AS MATERIALIZED (
       |  SELECT doc_id, j,
       |    CASE WHEN doc_id % 4 = 3 THEN 255 - base
@@ -1044,12 +1120,21 @@ object ExtQueries {
       |      SELECT d.doc_id, t.j,
       |        (((((d.doc_id // 4) + 1) * 2654435761) % 4294967296)
       |          * (t.j + 17) + t.j * 1013904223) % 4294967296 AS h0
-      |      FROM documents d, unnest(range(0, 64)) AS t(j)) h) b),
-      |tot AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
+      |      FROM documents d, unnest(range(0, 64)) AS t(j)) h) b)""".stripMargin
+
+  /** The 8×8-pixel → aHash/dHash → band-table section of the image
+    * chain, parameterized on the pixel CTE it reads (`src` must expose
+    * `(doc_id, j, p)` for j = 0..63) — shared by the fixture chain
+    * ([[imageBandCtes]], src = the generator `px`) and q157's
+    * cross-size chain (src = the `grid` reduced from arbitrary W×H),
+    * so the hash replay exists ONCE.
+    */
+  private def imageHashChainCtes(src: String): String =
+    s"""tot AS (SELECT doc_id, sum(p) AS tot FROM $src GROUP BY doc_id),
       |abits AS (
-      |  SELECT px.doc_id, j,
+      |  SELECT $src.doc_id, j,
       |    CASE WHEN p * 64 > tot THEN 1 ELSE 0 END AS b
-      |  FROM px JOIN tot USING (doc_id)),
+      |  FROM $src JOIN tot USING (doc_id)),
       |ah AS (
       |  SELECT doc_id,
       |    CAST(sum(CASE WHEN j < 32
@@ -1062,7 +1147,7 @@ object ExtQueries {
       |dbits AS (
       |  SELECT a.doc_id, (a.j // 8) * 7 + (a.j % 8) AS k,
       |    CASE WHEN a.p < nx.p THEN 1 ELSE 0 END AS b
-      |  FROM px a JOIN px nx ON nx.doc_id = a.doc_id AND nx.j = a.j + 1
+      |  FROM $src a JOIN $src nx ON nx.doc_id = a.doc_id AND nx.j = a.j + 1
       |  WHERE a.j % 8 < 7),
       |dhh AS (
       |  SELECT doc_id,
@@ -1075,6 +1160,9 @@ object ExtQueries {
       |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
       |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
       |  FROM h, unnest(range(0, 4)) AS t(i))""".stripMargin
+
+  private val imageBandCtes: String =
+    imagePxCte + ",\n" + imageHashChainCtes("px")
 
   /** q154's generator→energy-fingerprint→band-table CTE chain, ending
     * in a `bands (doc_id, lo, hi, bidx, bval)` CTE — shared verbatim by
@@ -1218,6 +1306,110 @@ object ExtQueries {
         |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming,
         |  CAST(ham_dhash AS BIGINT) AS ham_dhash
         |FROM cand WHERE hamming <= 6""".stripMargin),
+    // q157: the oracle replays the nearest-neighbor upscale (big pixel
+    // (x, y) = base(⌊8y/h⌋·8 + ⌊8x/w⌋)) over the SAME generator px CTE,
+    // then gridReduce's block-floor-mean — each upscaled pixel maps to
+    // grid cell ((8y+7)//h, (8x+7)//w), the exact inverse of the
+    // [⌊r·H/8⌋, ⌊(r+1)·H/8⌋) block partition, so sum(p)//count(*) per
+    // cell IS the floor-mean over the block — and feeds the reduced
+    // grid through the IDENTICAL hash/band chain (shared builder).
+    "q157_crosssize_image_neardup" ->
+      (s"WITH $imagePxCte,\n" +
+        """sz AS (SELECT doc_id,
+        |    CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
+        |                    WHEN 3 THEN 11 WHEN 4 THEN 16 ELSE 13 END AS w,
+        |    CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 8
+        |                    WHEN 3 THEN 9 WHEN 4 THEN 10 ELSE 13 END AS h
+        |  FROM documents),
+        |gpx AS (
+        |  SELECT s.doc_id,
+        |    ((8 * (t.i // s.w) + 7) // s.h) * 8
+        |      + ((8 * (t.i % s.w) + 7) // s.w) AS k,
+        |    px.p AS p
+        |  FROM sz s, unnest(range(0, s.w * s.h)) AS t(i), px
+        |  WHERE px.doc_id = s.doc_id
+        |    AND px.j = ((t.i // s.w) * 8 // s.h) * 8
+        |      + ((t.i % s.w) * 8 // s.w)),
+        |grid AS MATERIALIZED (
+        |  SELECT doc_id, k AS j, CAST(sum(p) // count(*) AS BIGINT) AS p
+        |  FROM gpx GROUP BY doc_id, k),
+        |""".stripMargin +
+        imageHashChainCtes("grid") + ",\n" +
+        """cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming,
+        |    bit_count(xor(a.dh, b.dh)) AS ham_dhash
+        |  FROM bands a JOIN bands b
+        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming,
+        |  CAST(ham_dhash AS BIGINT) AS ham_dhash
+        |FROM cand WHERE hamming <= 6""".stripMargin),
+    // q158: the oracle replays samplesVar (floorMod spelled as the
+    // double-mod, the v = 2 two-frame time shift via pos = i − 16),
+    // drops the trailing partial frame exactly as frameEnergies does
+    // (i < (n // 8) * 8), derives per-window prints from the ONE
+    // consecutive-frame delta-bit table (window wi bit j = delta bit
+    // at frame wi·2 + j — the same factoring subFingerprints' packing
+    // loop performs), and takes min window-pair Hamming over banded
+    // candidates — a deliberately different spelling of the same
+    // integer pipeline.
+    "q158_subfp_audio_neardup" ->
+      """WITH len AS (
+        |  SELECT doc_id, 520 + (doc_id % 5) * 131 AS n FROM documents),
+        |smp AS MATERIALIZED (
+        |  SELECT doc_id, i,
+        |    CASE WHEN (doc_id % 4 = 1 OR doc_id % 4 = 3)
+        |          AND (i // 8) % 32 = doc_id % 4
+        |         THEN base + CASE WHEN base >= 0 THEN 1500 ELSE -1500 END
+        |         ELSE base END AS v
+        |  FROM (
+        |    SELECT h.doc_id, h.i,
+        |      ((((xor(h0, h0 // 4096)) * 104729) % 4294967296)
+        |        // 32768) % 32768 - 16384 AS base
+        |    FROM (
+        |      SELECT l.doc_id, t.i,
+        |        (((((((l.doc_id // 4) + 1) * 2654435761) % 4294967296)
+        |            * ((t.i - CASE WHEN l.doc_id % 4 = 2 THEN 16 ELSE 0 END) + 29)
+        |           + (t.i - CASE WHEN l.doc_id % 4 = 2 THEN 16 ELSE 0 END) * 69069)
+        |          % 4294967296) + 4294967296) % 4294967296 AS h0
+        |      FROM len l, unnest(range(0, l.n)) AS t(i)) h) b),
+        |en AS (
+        |  SELECT s.doc_id, s.i // 8 AS f, sum(abs(s.v)) AS e
+        |  FROM smp s JOIN len l ON l.doc_id = s.doc_id
+        |  WHERE s.i < (l.n // 8) * 8
+        |  GROUP BY s.doc_id, s.i // 8),
+        |db AS MATERIALIZED (
+        |  SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS b
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
+        |nw AS (
+        |  SELECT doc_id, (count(*) + 1 - 65) // 2 AS maxwi
+        |  FROM en GROUP BY doc_id),
+        |wfp AS MATERIALIZED (
+        |  SELECT d.doc_id, t.wi,
+        |    CAST(sum(CASE WHEN d.f - t.wi * 2 < 32
+        |      THEN d.b * (CAST(1 AS BIGINT) << CAST(d.f - t.wi * 2 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN d.f - t.wi * 2 >= 32
+        |      THEN d.b * (CAST(1 AS BIGINT) << CAST(d.f - t.wi * 2 - 32 AS INT))
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM db d JOIN nw ON nw.doc_id = d.doc_id,
+        |       unnest(range(0, nw.maxwi + 1)) AS t(wi)
+        |  WHERE d.f >= t.wi * 2 AND d.f <= t.wi * 2 + 63
+        |  GROUP BY d.doc_id, t.wi),
+        |bands AS (
+        |  SELECT doc_id, lo, hi, i AS bidx,
+        |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+        |  FROM wfp, unnest(range(0, 4)) AS t(i)),
+        |cand AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    min(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
+        |      AS min_hamming
+        |  FROM bands a JOIN bands b
+        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT a_id, b_id, CAST(min_hamming AS BIGINT) AS min_hamming
+        |FROM cand WHERE min_hamming <= 6""".stripMargin,
     // q130: frame count, integer duration (1152 samples/frame at
     // 44100 Hz, floor division exactly as the parser's Long math), and
     // floor-average bitrate recomputed from the same per-event bitrate
