@@ -495,6 +495,15 @@ object ExtQueries {
     * ([[graft.operators.AudioGen.samplesVar]]) — their first-window
     * print is ~uncorrelated with the base's, but their window at
     * offset 2 matches the base's at offset 0 exactly.
+    *
+    * Scale note: 16-bit bands keep the pigeonhole-exact ≤ 3 regime the
+    * fixture's distances live in, at the price of chance band
+    * collisions growing with the WINDOW-PRINT count (the suite's
+    * heaviest sf1 query, ~44M candidate rows at 850k prints) —
+    * AUSCALE's measured axis; corpora whose print volume, not
+    * distance, is the threat switch the bander to
+    * [[graft.operators.ImageHash.bandsWide]] (near-linear there,
+    * 0.4–7.3% measured recall cost).
     */
   private def q158(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1382,7 +1391,7 @@ object ExtQueries {
         |  SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS b
         |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
         |nw AS (
-        |  SELECT doc_id, (count(*) + 1 - 65) // 2 AS maxwi
+        |  SELECT doc_id, (count(*) - 65) // 2 AS maxwi
         |  FROM en GROUP BY doc_id),
         |wfp AS MATERIALIZED (
         |  SELECT d.doc_id, t.wi,
