@@ -75,7 +75,8 @@ object PlanDump {
       "q154_audio_neardup" -> "audio near-dup: real WAV/PCM roundtrip per row, codegen'd energy-delta fingerprint HOFs, the SAME banded candidate machinery as q151 (ImageHash.bandCandidatePairs reused) — never all-pairs",
       "q155_incremental_image_dedup" -> "incremental near-dup ingest: batch probes the history band table via band-equi TWO-TABLE joins (history touched only in probed buckets, never rescanned), min-id attribution, left-join status attach — the arrival-driven daily shape",
       "q157_crosssize_image_neardup" -> "cross-size image near-dup: per-row gridReduce W×H → 8×8 block-mean HOF (narrow, codegen'd) feeding the SAME hash/band plan as q151 — size variance never reaches the join",
-      "q158_subfp_audio_neardup" -> "sub-fingerprint audio near-dup: variable-length clips → per-window print explode → 16-bit-band EQUI self-join on window prints → min-Hamming groupBy collapses window fan-out to clip pairs BEFORE the gate — never all-pairs, band table rows = clips × windows × 4")
+      "q158_subfp_audio_neardup" -> "sub-fingerprint audio near-dup: variable-length clips → per-window print explode → 16-bit-band EQUI self-join on window prints → min-Hamming groupBy collapses window fan-out to clip pairs BEFORE the gate — never all-pairs, band table rows = clips × windows × 4",
+      "q159_incremental_subfp_audio" -> "incremental sub-fingerprint ingest: batch window prints probe the history print band table two-table band-equi; the min-id fold implements union-over-windows attribution; distinct doc base — one output row per batch clip")
     // stamp the code SHA the plans were recorded on — tools/check_freeze.py
     // mechanically rejects an artifact whose SHA predates the last
     // src/main commit (the r14 stale-PLANS episode). r15 ADVICE

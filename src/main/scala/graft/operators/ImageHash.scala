@@ -165,13 +165,26 @@ object ImageHash {
     * Modality-agnostic over the (lo, hi) shape: image aHash and audio
     * energy-delta prints run the SAME operator (q155/q156).
     *
+    * Multi-print docs (`multiPrint = true`): the hashed frame may hold
+    * SEVERAL (lo, hi) rows per doc_id — sub-fingerprint window prints
+    * ([[AudioHash.subFingerprints]]) — and the semantics generalize
+    * for free: a batch doc matches history when ANY of its window
+    * prints is within the gate of ANY history window print (the
+    * union-over-windows match unit), because the min-id aggregation
+    * already folds over every gate-passing candidate row. The only
+    * structural change is deduplicating the attribution base (one
+    * output row per batch DOC, not per print). q159 runs this over
+    * variable-length audio; the single-print q155/q156 path is the
+    * `multiPrint = false` default and its plan is unchanged.
+    *
     * @note builds on an eager localCheckpoint of the hashed frame (it
     *       is consumed three times: history index + both probe arms) —
     *       constructing this frame materializes the hash pass, the
     *       q151 pin discipline.
     */
   def incrementalNearDup(
-      hashed: DataFrame, isBatch: Column, maxHamming: Int = 6): DataFrame = {
+      hashed: DataFrame, isBatch: Column, maxHamming: Int = 6,
+      multiPrint: Boolean = false): DataFrame = {
     val pinned = hashed.localCheckpoint(true)
     val batch = pinned.filter(isBatch)
     val hist = pinned.filter(!isBatch)
@@ -183,7 +196,10 @@ object ImageHash {
     val inBatch = bandCandidatesAgainst(batch, batch)
       .filter(col("i_id") < col("p_id") && gate)
       .groupBy(col("p_id")).agg(min(col("i_id")).as("batch_dup"))
-    batch.select(col("doc_id"))
+    val base =
+      if (multiPrint) batch.select(col("doc_id")).distinct()
+      else batch.select(col("doc_id"))
+    base
       .join(vsHist, col("doc_id") === col("p_id"), "left").drop("p_id")
       .join(inBatch, col("doc_id") === col("p_id"), "left").drop("p_id")
       .select(

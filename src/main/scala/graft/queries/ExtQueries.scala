@@ -521,6 +521,45 @@ object ExtQueries {
       .filter(col("min_hamming") <= 6)
   }
 
+  /** Incremental SUB-FINGERPRINT audio dedup — q158's match unit
+    * composed with q155/q156's arrival-driven split, i.e. the shape a
+    * daily AUDIO ingest actually runs: today's batch of variable-length
+    * clips probes a HISTORY of window prints, and a batch clip is a
+    * dup when ANY of its windows is within the gate of ANY history
+    * window ([[graft.operators.ImageHash.incrementalNearDup]] with
+    * `multiPrint = true` — the min-id fold already implements the
+    * union-over-windows semantics; only the attribution base dedups).
+    * The plant pins both sides of the union-over-windows semantics at
+    * sf0.01: of the 42 TIME-SHIFTED v = 2 takes arriving in whole-group
+    * batches ([[graft.operators.AudioGen.samplesVar]] — their
+    * first-window print is ~uncorrelated with their group mates'), 34
+    * attribute `dup_in_batch` through an offset-2 window alignment,
+    * and the 8 whose length admits only the single lead-in-shifted
+    * window stay `kept` — a one-window shifted clip exposes only its
+    * lead-in content, which no unshifted take contains at any hop (the
+    * structural boundary of shift recovery by window alignment). Both
+    * outcomes are oracle-pinned, not asserted. Oracle = q158's
+    * generator→window-print→band CTE chain VERBATIM + the SAME
+    * incremental tail q155/q156 replay (shared builder vals at both
+    * ends — neither replay can drift).
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{AudioGen, AudioHash, ImageHash}
+    val prints = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long].map { id =>
+        val n = 520 + (id % 5).toInt * 131
+        (id, AudioGen.samplesVar(id, n).map(_.toInt).toSeq)
+      }.toDF("doc_id", "pcm")
+      .withColumn("e", AudioHash.frameEnergies("pcm"))
+      .select(col("doc_id"),
+        explode(AudioHash.subFingerprints("e", hopFrames = 2)).as("s"))
+      .select(col("doc_id"), col("s.lo").as("lo"), col("s.hi").as("hi"))
+    ImageHash.incrementalNearDup(
+      prints, expr("(doc_id DIV 4) % 3 = 0 OR doc_id % 4 = 0"),
+      multiPrint = true)
+  }
+
   /** LSH-bucketed approximate cosine top-k (scale path). Oracle-checked:
     * the seeded hyperplanes are counter-based SplitMix64, so the DuckDB
     * side regenerates the identical plane matrix (no sequential
@@ -858,6 +897,7 @@ object ExtQueries {
     "q156_incremental_audio_dedup" -> q156,
     "q157_crosssize_image_neardup" -> q157,
     "q158_subfp_audio_neardup" -> q158,
+    "q159_incremental_subfp_audio" -> q159,
     "q130_mp3_meta" -> q130,
     "q29_cosine_topk_lsh" -> q29,
     "q30_dedup_apply_semi" -> q30,
@@ -1217,6 +1257,67 @@ object ExtQueries {
       |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
       |  FROM fp, unnest(range(0, 4)) AS t(i))""".stripMargin
 
+  /** q158's generator→window-print→band-table CTE chain, ending in a
+    * `bands (doc_id, lo, hi, bidx, bval)` CTE over SUB-FINGERPRINT
+    * window prints (multiple rows per doc) — shared VERBATIM by the
+    * pairwise q158 and the incremental q159, exactly as
+    * [[imageBandCtes]]/[[audioBandCtes]] are shared by their
+    * pairwise/incremental siblings. Replays samplesVar (floorMod as
+    * the double-mod, the v = 2 two-frame time shift via pos = i − 16),
+    * drops the trailing partial frame as frameEnergies does, and
+    * derives per-window prints from the ONE consecutive-frame
+    * delta-bit table (window wi bit j = delta bit at frame wi·2 + j —
+    * the same factoring subFingerprints' packing loop performs).
+    */
+  private val audioSubFpBandCtes: String =
+    """len AS (
+      |  SELECT doc_id, 520 + (doc_id % 5) * 131 AS n FROM documents),
+      |smp AS MATERIALIZED (
+      |  SELECT doc_id, i,
+      |    CASE WHEN (doc_id % 4 = 1 OR doc_id % 4 = 3)
+      |          AND (i // 8) % 32 = doc_id % 4
+      |         THEN base + CASE WHEN base >= 0 THEN 1500 ELSE -1500 END
+      |         ELSE base END AS v
+      |  FROM (
+      |    SELECT h.doc_id, h.i,
+      |      ((((xor(h0, h0 // 4096)) * 104729) % 4294967296)
+      |        // 32768) % 32768 - 16384 AS base
+      |    FROM (
+      |      SELECT l.doc_id, t.i,
+      |        (((((((l.doc_id // 4) + 1) * 2654435761) % 4294967296)
+      |            * ((t.i - CASE WHEN l.doc_id % 4 = 2 THEN 16 ELSE 0 END) + 29)
+      |           + (t.i - CASE WHEN l.doc_id % 4 = 2 THEN 16 ELSE 0 END) * 69069)
+      |          % 4294967296) + 4294967296) % 4294967296 AS h0
+      |      FROM len l, unnest(range(0, l.n)) AS t(i)) h) b),
+      |en AS (
+      |  SELECT s.doc_id, s.i // 8 AS f, sum(abs(s.v)) AS e
+      |  FROM smp s JOIN len l ON l.doc_id = s.doc_id
+      |  WHERE s.i < (l.n // 8) * 8
+      |  GROUP BY s.doc_id, s.i // 8),
+      |db AS MATERIALIZED (
+      |  SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS b
+      |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
+      |nw AS (
+      |  SELECT doc_id, (count(*) - 65) // 2 AS maxwi
+      |  FROM en GROUP BY doc_id),
+      |wfp AS MATERIALIZED (
+      |  SELECT d.doc_id, t.wi,
+      |    CAST(sum(CASE WHEN d.f - t.wi * 2 < 32
+      |      THEN d.b * (CAST(1 AS BIGINT) << CAST(d.f - t.wi * 2 AS INT))
+      |      ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(sum(CASE WHEN d.f - t.wi * 2 >= 32
+      |      THEN d.b * (CAST(1 AS BIGINT) << CAST(d.f - t.wi * 2 - 32 AS INT))
+      |      ELSE 0 END) AS BIGINT) AS hi
+      |  FROM db d JOIN nw ON nw.doc_id = d.doc_id,
+      |       unnest(range(0, nw.maxwi + 1)) AS t(wi)
+      |  WHERE d.f >= t.wi * 2 AND d.f <= t.wi * 2 + 63
+      |  GROUP BY d.doc_id, t.wi),
+      |bands AS (
+      |  SELECT doc_id, lo, hi, i AS bidx,
+      |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+      |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
+      |  FROM wfp, unnest(range(0, 4)) AS t(i))""".stripMargin
+
   /** The incremental batch-vs-history split replayed over a `bands`
     * CTE (either chain above): history candidates and earlier-in-batch
     * candidates via the same band-equi joins + Hamming ≤ 6 gate the
@@ -1363,54 +1464,8 @@ object ExtQueries {
     // candidates — a deliberately different spelling of the same
     // integer pipeline.
     "q158_subfp_audio_neardup" ->
-      """WITH len AS (
-        |  SELECT doc_id, 520 + (doc_id % 5) * 131 AS n FROM documents),
-        |smp AS MATERIALIZED (
-        |  SELECT doc_id, i,
-        |    CASE WHEN (doc_id % 4 = 1 OR doc_id % 4 = 3)
-        |          AND (i // 8) % 32 = doc_id % 4
-        |         THEN base + CASE WHEN base >= 0 THEN 1500 ELSE -1500 END
-        |         ELSE base END AS v
-        |  FROM (
-        |    SELECT h.doc_id, h.i,
-        |      ((((xor(h0, h0 // 4096)) * 104729) % 4294967296)
-        |        // 32768) % 32768 - 16384 AS base
-        |    FROM (
-        |      SELECT l.doc_id, t.i,
-        |        (((((((l.doc_id // 4) + 1) * 2654435761) % 4294967296)
-        |            * ((t.i - CASE WHEN l.doc_id % 4 = 2 THEN 16 ELSE 0 END) + 29)
-        |           + (t.i - CASE WHEN l.doc_id % 4 = 2 THEN 16 ELSE 0 END) * 69069)
-        |          % 4294967296) + 4294967296) % 4294967296 AS h0
-        |      FROM len l, unnest(range(0, l.n)) AS t(i)) h) b),
-        |en AS (
-        |  SELECT s.doc_id, s.i // 8 AS f, sum(abs(s.v)) AS e
-        |  FROM smp s JOIN len l ON l.doc_id = s.doc_id
-        |  WHERE s.i < (l.n // 8) * 8
-        |  GROUP BY s.doc_id, s.i // 8),
-        |db AS MATERIALIZED (
-        |  SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS b
-        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1),
-        |nw AS (
-        |  SELECT doc_id, (count(*) - 65) // 2 AS maxwi
-        |  FROM en GROUP BY doc_id),
-        |wfp AS MATERIALIZED (
-        |  SELECT d.doc_id, t.wi,
-        |    CAST(sum(CASE WHEN d.f - t.wi * 2 < 32
-        |      THEN d.b * (CAST(1 AS BIGINT) << CAST(d.f - t.wi * 2 AS INT))
-        |      ELSE 0 END) AS BIGINT) AS lo,
-        |    CAST(sum(CASE WHEN d.f - t.wi * 2 >= 32
-        |      THEN d.b * (CAST(1 AS BIGINT) << CAST(d.f - t.wi * 2 - 32 AS INT))
-        |      ELSE 0 END) AS BIGINT) AS hi
-        |  FROM db d JOIN nw ON nw.doc_id = d.doc_id,
-        |       unnest(range(0, nw.maxwi + 1)) AS t(wi)
-        |  WHERE d.f >= t.wi * 2 AND d.f <= t.wi * 2 + 63
-        |  GROUP BY d.doc_id, t.wi),
-        |bands AS (
-        |  SELECT doc_id, lo, hi, i AS bidx,
-        |    CASE i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bval
-        |  FROM wfp, unnest(range(0, 4)) AS t(i)),
-        |cand AS (
+      (s"WITH $audioSubFpBandCtes,\n" +
+        """cand AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    min(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))
         |      AS min_hamming
@@ -1418,7 +1473,12 @@ object ExtQueries {
         |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT a_id, b_id, CAST(min_hamming AS BIGINT) AS min_hamming
-        |FROM cand WHERE min_hamming <= 6""".stripMargin,
+        |FROM cand WHERE min_hamming <= 6""".stripMargin),
+    // q159: q158's window-print band chain + the SAME incremental tail
+    // q155/q156 replay — shared builder vals at BOTH ends, so neither
+    // the hash replay nor the split replay can drift from its sibling
+    "q159_incremental_subfp_audio" ->
+      (s"WITH $audioSubFpBandCtes,\n$incrementalOracleTail"),
     // q130: frame count, integer duration (1152 samples/frame at
     // 44100 Hz, floor division exactly as the parser's Long math), and
     // floor-average bitrate recomputed from the same per-event bitrate
