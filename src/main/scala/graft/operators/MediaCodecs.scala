@@ -346,7 +346,15 @@ object MediaCodecs {
         if (!it.hasNext) return decodeImageIO(b)
         it.next()
       })
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory honors ImageIO.getUseCache() (JDK default true) and
+      // backs every call with a fresh TEMP FILE — one file create+write+
+      // delete per decoded row, serialized on the filesystem across a
+      // 32-thread local run. The payload is already a byte array in
+      // memory; the disk cache buys nothing and the direct
+      // memory-backed stream is bit-identical (r16 A/B: q151's decode
+      // stage is where the per-row fixed cost sat).
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(b))
       try {
         reader.setInput(iis, true, true)

@@ -289,7 +289,17 @@ object ExtQueries {
     import s.implicits._
     // pixel kernel + PNG roundtrip shared with ImageScaleBench via
     // ImageGen (its scaladoc carries the mixing rationale measured here)
-    val gray = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+    // computeWeight 32 (the media-generator family: q151/q154–q159):
+    // each ~120-byte parquet row fans into a synthesized image/clip
+    // (64–1044 ints) plus the interpreted-HOF hash kernel — thousands
+    // of expression ops per input byte, ~2 decades beyond the
+    // corpus-scan norm the 64 KB/core floor models. r16 isolated A/B at
+    // sf0.1 (594 KB input = 19 KB/core, the regime where default-weight
+    // ensure passes through and the whole family ran its generator +
+    // fingerprint stage on ONE task of 32): family sum 10.3 s → 4.1 s
+    // (q158 3.33 → 0.95, q159 2.71 → 1.25, q151 1.15 → 0.54).
+    val gray = Spread.ensure(
+      Tables.documents(s, d).select(col("doc_id")), computeWeight = 32.0)
       .as[Long].map { id =>
         val png = graft.operators.ImageGen.pngFor(id)
         val img = graft.operators.MediaCodecs.decodeImageIOReused(png)
@@ -351,7 +361,8 @@ object ExtQueries {
     // arms where its cost is priced explicitly
     val roundtrip =
       s.conf.getOption("spark.graft.audio.roundtrip").forall(_.toBoolean)
-    val pcm = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+    val pcm = Spread.ensure(  // computeWeight: see the q151 A/B note
+      Tables.documents(s, d).select(col("doc_id")), computeWeight = 32.0)
       .as[Long].map { id =>
         val samples = AudioGen.samples(id)
         val out =
@@ -402,7 +413,8 @@ object ExtQueries {
   private def q155(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.{ImageGen, ImageHash}
-    val hashed = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+    val hashed = Spread.ensure(  // computeWeight: see the q151 A/B note
+      Tables.documents(s, d).select(col("doc_id")), computeWeight = 32.0)
       .as[Long].map(id => (id, ImageGen.grayPixels(id).toSeq))
       .toDF("doc_id", "gray")
       .withColumn("tot", ImageHash.graySum(col("gray")))
@@ -426,7 +438,8 @@ object ExtQueries {
   private def q156(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.{AudioGen, AudioHash, ImageHash}
-    val hashed = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+    val hashed = Spread.ensure(  // computeWeight: see the q151 A/B note
+      Tables.documents(s, d).select(col("doc_id")), computeWeight = 32.0)
       .as[Long].map(id => (id, AudioGen.samples(id).map(_.toInt).toSeq))
       .toDF("doc_id", "pcm")
       .withColumn("e", AudioHash.frameEnergies("pcm"))
@@ -455,7 +468,8 @@ object ExtQueries {
   private def q157(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.{ImageGen, ImageHash}
-    val gray = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+    val gray = Spread.ensure(  // computeWeight: see the q151 A/B note
+      Tables.documents(s, d).select(col("doc_id")), computeWeight = 32.0)
       .as[Long].map { id =>
         val (w, h) = ImageGen.shapeFor(id)
         (id, w, h, ImageGen.grayPixelsAt(id, w, h).toSeq)
@@ -508,7 +522,8 @@ object ExtQueries {
   private def q158(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.{AudioGen, AudioHash}
-    val clips = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+    val clips = Spread.ensure(  // computeWeight: see the q151 A/B note
+      Tables.documents(s, d).select(col("doc_id")), computeWeight = 32.0)
       .as[Long].map { id =>
         val n = 520 + (id % 5).toInt * 131
         (id, AudioGen.samplesVar(id, n).map(_.toInt).toSeq)
@@ -546,7 +561,8 @@ object ExtQueries {
   private def q159(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.operators.{AudioGen, AudioHash, ImageHash}
-    val prints = Spread.ensure(Tables.documents(s, d).select(col("doc_id")))
+    val prints = Spread.ensure(  // computeWeight: see the q151 A/B note
+      Tables.documents(s, d).select(col("doc_id")), computeWeight = 32.0)
       .as[Long].map { id =>
         val n = 520 + (id % 5).toInt * 131
         (id, AudioGen.samplesVar(id, n).map(_.toInt).toSeq)
