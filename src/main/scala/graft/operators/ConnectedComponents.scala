@@ -70,10 +70,19 @@ object ConnectedComponents {
     // A lazy union over the one materialized checkpoint costs each round
     // two cheap reads of local blocks and keeps lineage depth constant.
     val ck = e.localCheckpoint(true)
-    val sym = ck.union(ck.select(col("dst"), col("src")))
-    var labels = sym.select(col("src").as("id")).distinct()
+    var labels = ck.union(ck.select(col("dst"), col("src")))
+      .select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Closed neighborhood as self-loops IN the edge relation: the round
+    // below used to union a separate `labels` branch into the groupBy
+    // to keep each vertex's own label in the min — a |V|-row exchange
+    // per round. A (id, id) self-loop per vertex delivers the own label
+    // through the SAME join, so the round is one union branch (and one
+    // AQE stage job) slimmer; the loop rows are lazy reads of the
+    // already-checkpointed label blocks.
+    val sym = ck.union(ck.select(col("dst"), col("src")))
+      .union(labels.select(col("id").as("src"), col("id").as("dst")))
     // Convergence probe: labels are per-vertex non-increasing (each
     // round takes the min over the closed neighborhood, own label
     // included), so for NUMERIC ids Σ component strictly decreases
@@ -110,12 +119,23 @@ object ConnectedComponents {
           labels.alias("a")
             .join(labels.alias("b"), col("a.component") === col("b.id"))
             .select(col("a.id"), col("b.component").as("component")))
-      val next = (labels.select(col("id"), col("component"))
-        .union(viaNeighbors) +: viaPointer.toSeq)
+      // LAZY checkpoint on the numeric path: the convergence probe right
+      // below is a full-scan aggregate over this frame, so it is the
+      // action that materializes the checkpoint blocks — one job per
+      // round instead of two (eager-checkpoint job + probe job), and the
+      // probe no longer pays a second read pass over the stored blocks.
+      // Lineage is truncated at plan-build time either way (the frame is
+      // LogicalRDD-backed from construction), which is what the
+      // "plan must not grow with iterations" note above actually needs.
+      // The non-numeric fallback keeps the eager checkpoint: its join
+      // probe is limit(1)-short-circuited and may scan only some
+      // partitions, which would leave the checkpoint partially
+      // materialized for the next round's three consumers.
+      val next = (viaNeighbors +: viaPointer.toSeq)
         .reduce(_ union _)
         .groupBy("id")
         .agg(min("component").as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(eager = !numericIds)
       if (numericIds) {
         val s = next
           .agg(sum(col("component").cast("decimal(38,0)")))
