@@ -116,8 +116,14 @@ object Packing {
     val order: Seq[Column] = orderCols.map(col)
     // the trailing localCheckpoint is the correctness pin: ONE range
     // exchange executes (inside this materialization) and every
-    // consumer below reads its frozen blocks — see the scaladoc
-    val sorted = df.localCheckpoint(true)
+    // consumer below reads its frozen blocks — see the scaladoc.
+    // The INPUT pin is cost-only (don't re-run upstream for the range
+    // sampler) and skipped when the input already replays as a narrow
+    // pass over checkpoint blocks (Ranking.cheapReplay — the r16
+    // q150/q153/q152 shape: token-balanced cuts over the pinned gather)
+    val pinned =
+      if (Ranking.cheapReplay(df)) df else df.localCheckpoint(true)
+    val sorted = pinned
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .select(col("*"), spark_partition_id().as("__pid"))

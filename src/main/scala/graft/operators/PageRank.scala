@@ -71,9 +71,13 @@ object PageRank {
     // a round is one join + one shuffle. The earlier nodes-LEFT-JOIN-
     // contribs formulation spent a second shuffle join per round only to
     // re-attach nodes that received no mass.
+    // no checkpoint: base is a literal-append PROJECTION over the
+    // already-checkpointed nodes blocks — each iteration's union re-reads
+    // those blocks and re-applies one codegen'd map, which is cheaper
+    // than the extra materialization job + second block copy the old
+    // eager checkpoint paid (r16: one fewer job per PageRank call)
     val base = nodes
       .select(col("id"), lit((1 - damping) / n).as("__c"))
-      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
       val contribs = withDeg

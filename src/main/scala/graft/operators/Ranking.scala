@@ -58,6 +58,33 @@ object Ranking {
     * partition's count contributes to every later partition) — no
     * non-equi join, no window, nothing driver-side — and broadcast back.
     */
+  /** True iff `df` replays as a narrow per-row pass over RDD-backed
+    * blocks: only Project/Filter/alias operators over a LogicalRDD leaf
+    * (i.e. a prior localCheckpoint). Such a frame does not need the
+    * sampling-cost INPUT pin below — the range partitioner's boundary
+    * sampling job re-reads local blocks through one codegen'd map,
+    * which is cheaper than the extra materialization job + second block
+    * copy an unconditional pin pays (r16: q150/q153 rank their
+    * md5-keyed frame, a projection over the already-checkpointed gather
+    * output). Anything wider — joins, aggregates, generates — keeps the
+    * pin: re-running those for the sampler measured ~1.9× on q104.
+    */
+  private[operators] def cheapReplay(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // deterministic-only: a nondeterministic projection would evaluate
+    // differently in the sampler pass and the exchange pass once the pin
+    // is skipped — boundary placement stays correctness-neutral for the
+    // two-pass scans, but there is no reason to admit the ambiguity
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case p: Project => p.projectList.forall(_.deterministic) && ok(p.child)
+      case f: Filter => f.condition.deterministic && ok(f.child)
+      case s: SubqueryAlias => ok(s.child)
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
+  }
+
   def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     // Upper bound on the partition ids the range shuffle can produce:
@@ -101,7 +128,8 @@ object Ranking {
     // the pid-order-equals-rank-order invariant — and leaves the full
     // width when the frame is actually large. `nPart` above is the upper
     // bound the prefix-sum explode enumerates against.
-    val sorted = df.localCheckpoint(true)
+    val pinned = if (cheapReplay(df)) df else df.localCheckpoint(true)
+    val sorted = pinned
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .select(col("*"),
