@@ -41,7 +41,12 @@ object SimilarityJoin {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val base = Spread.ensure(docs.select(col(idCol), col(textCol)))
+    val base = Spread.ensure(docs.select(col(idCol), col(textCol)),
+      // PPJoin's per-row prefix kernel (word shingles + sort + slice) is
+      // the q37 density class; r16 isolated A/B at sf0.1 (19 KB/core,
+      // previously pass-through): q58 0.97–1.01 → 0.83–0.85 s across two
+      // interleaved 5/7-run pairs with a q110 host-speed control
+      computeWeight = 10.0)
       .select(
         col(idCol).as("__id"),
         QualityRules.wordShingles(col(textCol), shingleWords).as("__sh"))

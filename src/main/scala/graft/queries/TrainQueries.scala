@@ -271,7 +271,13 @@ object TrainQueries {
     */
   private def q135(s: SparkSession, d: String): DataFrame =
     Sampling.dsirSelect(
-      Spread.ensure(Tables.documents(s, d).select("doc_id", "text", "lang")),
+      // computeWeight 10: DSIR's two corpus passes (hashed uni+bigram
+      // histogram, then per-doc log-ratio scoring) are both scan-side
+      // shingle+hash kernels — the q37 density class. r16 isolated A/B
+      // at sf0.1 (19 KB/core, previously pass-through → both passes on
+      // one task): q135 1.57 → 0.82 s (5-run medians, q110 control flat)
+      Spread.ensure(Tables.documents(s, d).select("doc_id", "text", "lang"),
+        computeWeight = 10.0),
       "doc_id", "text", isTarget = col("lang") === "en",
       buckets = 1024, k = 100)
 
