@@ -296,8 +296,11 @@ object ExtQueries {
     // corpus-scan norm the 64 KB/core floor models. r16 isolated A/B at
     // sf0.1 (594 KB input = 19 KB/core, the regime where default-weight
     // ensure passes through and the whole family ran its generator +
-    // fingerprint stage on ONE task of 32): family sum 10.3 s → 4.1 s
-    // (q158 3.33 → 0.95, q159 2.71 → 1.25, q151 1.15 → 0.54).
+    // fingerprint stage on ONE task of 32): family sum 10.3 → 5.9 s
+    // (q158 3.33 → 0.98, q159 2.71 → 0.83, q157 1.00 → 0.48; q151/q154
+    // move less — their per-row codec roundtrip cost sits partly in
+    // driver-side planning, and host steal puts ±20 % on sub-second
+    // readings).
     val gray = Spread.ensure(
       Tables.documents(s, d).select(col("doc_id")), computeWeight = 32.0)
       .as[Long].map { id =>
