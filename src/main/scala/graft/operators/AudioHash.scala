@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.functions
+import graft.internal.Cols
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -24,8 +26,13 @@ import org.apache.spark.sql.functions._
   * clips near-match when ANY window pair is within the Hamming gate
   * (the union-over-windows match unit; [[subFpCandidatePairs]]).
   *
-  * All pure Catalyst HOF expressions over an `array<int>` PCM column —
-  * no UDF, no shuffle. 64 bits pack as the same two 32-bit halves as
+  * All native codegen'd `Expression`s over an `array<int>` PCM column
+  * ([[graft.functions.AudioFp]] — one fused JVM pass per kernel inside
+  * whole-stage codegen; r16 replaced the interpreted-HOF spellings,
+  * which dispatched a lambda per element, ~4,000 applications per
+  * sf0.1 clip) — no UDF, no shuffle; `AudioHashSpec` pins the kernels
+  * bit-identical to an independent reference. 64 bits pack as the same
+  * two 32-bit halves as
   * [[ImageHash]]'s aHash (`acc·2` on 32-bit halves — ANSI
   * overflow-safe on both engines), which means the ENTIRE candidate
   * machinery is reused, not re-implemented: [[ImageHash.bands]],
@@ -52,17 +59,7 @@ object AudioHash {
     */
   def frameEnergies(pcmCol: String, frameLen: Int = AudioGen.FrameLen): Column = {
     require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
-    val minSamples = WindowFrames * frameLen
-    expr(
-      s"""CASE WHEN size($pcmCol) < $minSamples
-         |  THEN raise_error(concat(
-         |    'AudioHash.frameEnergies: need >= $minSamples samples ($WindowFrames frames x $frameLen), got ',
-         |    CAST(size($pcmCol) AS STRING)))
-         |  ELSE transform(
-         |    sequence(0, CAST(size($pcmCol) DIV $frameLen AS INT) - 1),
-         |    f -> aggregate(slice($pcmCol, f * $frameLen + 1, $frameLen),
-         |                   0L, (a, x) -> a + abs(x)))
-         |END""".stripMargin)
+    Cols.of(functions.FrameEnergies(Cols.expressionOf(col(pcmCol)), frameLen))
   }
 
   /** Fingerprint bits 0–31 of the FIRST window packed as Σ bit_j·2^j
@@ -70,13 +67,11 @@ object AudioHash {
     * [[subFingerprints]].
     */
   def fpLo(eCol: String): Column =
-    expr(s"aggregate(sequence(31, 0, -1), 0L, (acc, j) -> acc * 2 + " +
-      s"IF(element_at($eCol, j + 1) > element_at($eCol, j + 2), 1L, 0L))")
+    Cols.of(functions.FpBits(Cols.expressionOf(col(eCol)), fromBit = 0))
 
   /** Fingerprint bits 32–63 of the first window packed as Σ bit_j·2^(j−32). */
   def fpHi(eCol: String): Column =
-    expr(s"aggregate(sequence(63, 32, -1), 0L, (acc, j) -> acc * 2 + " +
-      s"IF(element_at($eCol, j + 1) > element_at($eCol, j + 2), 1L, 0L))")
+    Cols.of(functions.FpBits(Cols.expressionOf(col(eCol)), fromBit = 32))
 
   /** Haitsma–Kalker sub-fingerprints over an energy array: one 64-bit
     * (lo, hi) per [[WindowFrames]]-frame window, window w starting at
@@ -96,22 +91,7 @@ object AudioHash {
     */
   def subFingerprints(eCol: String, hopFrames: Int = 1): Column = {
     require(hopFrames >= 1, s"hopFrames must be >= 1, got $hopFrames")
-    def pack(fromBit: Int, toBit: Int) =
-      s"aggregate(sequence($toBit, $fromBit, -1), 0L, (acc, j) -> acc * 2 + " +
-        s"IF(element_at($eCol, wi * $hopFrames + j + 1) > " +
-        s"element_at($eCol, wi * $hopFrames + j + 2), 1L, 0L))"
-    expr(
-      s"""CASE WHEN size($eCol) < $WindowFrames
-         |  THEN raise_error(concat(
-         |    'AudioHash.subFingerprints: need >= $WindowFrames frame energies, got ',
-         |    CAST(size($eCol) AS STRING)))
-         |  ELSE transform(
-         |    sequence(0, CAST((size($eCol) - $WindowFrames) DIV $hopFrames AS INT)),
-         |    wi -> named_struct(
-         |      'w', CAST(wi * $hopFrames AS INT),
-         |      'lo', ${pack(0, 31)},
-         |      'hi', ${pack(32, 63)}))
-         |END""".stripMargin)
+    Cols.of(functions.SubFingerprints(Cols.expressionOf(col(eCol)), hopFrames))
   }
 
   /** Candidate CLIP pairs from sub-fingerprints — the union-over-windows

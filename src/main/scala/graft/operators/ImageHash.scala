@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.functions
+import graft.internal.Cols
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -16,8 +18,12 @@ import org.apache.spark.sql.functions._
   *    columns = 56 bits. Robust to global brightness shifts that move
   *    every aHash bit together.
   *
-  * All pure Catalyst HOF expressions over an `array<int>` gray column —
-  * codegen'd, no UDF, no shuffle. The 64-bit aHash rides as two 32-bit
+  * All native codegen'd `Expression`s over an `array<int>` gray column
+  * ([[graft.functions.ImageFp]] — one fused JVM pass per kernel inside
+  * whole-stage codegen; r16 replaced the interpreted-HOF spellings,
+  * whose lambdas were dispatched per grid cell × per block pixel) — no
+  * UDF, no shuffle; `ImageHashSpec` pins the kernels bit-identical to
+  * independent references. The 64-bit aHash rides as two 32-bit
   * halves (`lo` bits 0–31, `hi` bits 32–63): `acc·2` packing on 32-bit
   * halves stays far from Long overflow, so the expressions are safe
   * under ANSI arithmetic on BOTH engines (a 64-bit single-long pack
@@ -43,56 +49,36 @@ object ImageHash {
     *
     * Loud on bad input: width/height below 8 (an upscale is not a
     * hash-preserving reduction) or `size(gray) ≠ width·height` raise
-    * instead of hashing garbage. Pure HOFs over the gray array + the
-    * width/height columns — per-row, no shuffle.
+    * instead of hashing garbage. One fused JVM pass over the gray
+    * array + the width/height columns — per-row, no shuffle.
     */
   def gridReduce(grayCol: String, widthCol: String, heightCol: String): Column =
-    expr(
-      s"""CASE WHEN $widthCol < 8 OR $heightCol < 8
-         |       OR size($grayCol) != $widthCol * $heightCol
-         |  THEN raise_error(concat(
-         |    'ImageHash.gridReduce: need width,height >= 8 and size(gray) = width*height, got (',
-         |    CAST($widthCol AS STRING), 'x', CAST($heightCol AS STRING),
-         |    ', ', CAST(size($grayCol) AS STRING), ' pixels)'))
-         |  ELSE transform(sequence(0, 63), k -> CAST(
-         |    aggregate(
-         |      sequence((k DIV 8) * $heightCol DIV 8,
-         |               ((k DIV 8) + 1) * $heightCol DIV 8 - 1),
-         |      0L,
-         |      (ra, rr) -> ra + aggregate(
-         |        sequence((k % 8) * $widthCol DIV 8,
-         |                 ((k % 8) + 1) * $widthCol DIV 8 - 1),
-         |        0L,
-         |        (ca, cc) -> ca + element_at($grayCol,
-         |          CAST(rr * $widthCol + cc + 1 AS INT))))
-         |    DIV ((((k DIV 8) + 1) * $heightCol DIV 8 - (k DIV 8) * $heightCol DIV 8)
-         |         * (((k % 8) + 1) * $widthCol DIV 8 - (k % 8) * $widthCol DIV 8))
-         |    AS INT))
-         |END""".stripMargin)
+    Cols.of(functions.GridReduce(
+      Cols.expressionOf(col(grayCol)),
+      Cols.expressionOf(col(widthCol)),
+      Cols.expressionOf(col(heightCol))))
 
   /** Σ of the gray values (the integer mean gate's right side). */
   def graySum(gray: Column): Column =
-    aggregate(gray, lit(0L), (a, x) => a + x)
+    Cols.of(functions.GraySum(Cols.expressionOf(gray)))
 
   /** aHash bits 0–31 packed as Σ bit_j·2^j (needs a `totCol` holding
     * [[graySum]] — hoist it, don't inline it 32×).
     */
   def aHashLo(grayCol: String, totCol: String): Column =
-    expr(s"aggregate(sequence(31, 0, -1), 0L, (acc, j) -> acc * 2 + " +
-      s"IF(element_at($grayCol, j + 1) * 64 > $totCol, 1L, 0L))")
+    Cols.of(functions.AHashBits(
+      Cols.expressionOf(col(grayCol)), Cols.expressionOf(col(totCol)), fromBit = 0))
 
   /** aHash bits 32–63 packed as Σ bit_j·2^(j−32). */
   def aHashHi(grayCol: String, totCol: String): Column =
-    expr(s"aggregate(sequence(63, 32, -1), 0L, (acc, j) -> acc * 2 + " +
-      s"IF(element_at($grayCol, j + 1) * 64 > $totCol, 1L, 0L))")
+    Cols.of(functions.AHashBits(
+      Cols.expressionOf(col(grayCol)), Cols.expressionOf(col(totCol)), fromBit = 32))
 
   /** dHash: 56 gradient bits (8 rows × 7 columns, row-major
     * k = r·7 + c), packed as Σ bit_k·2^k — < 2^56, overflow-safe.
     */
   def dHash(grayCol: String): Column =
-    expr(s"aggregate(sequence(55, 0, -1), 0L, (acc, k) -> acc * 2 + " +
-      s"IF(element_at($grayCol, CAST((k DIV 7) * 8 + (k % 7) + 1 AS INT)) < " +
-      s"element_at($grayCol, CAST((k DIV 7) * 8 + (k % 7) + 2 AS INT)), 1L, 0L))")
+    Cols.of(functions.DHash56(Cols.expressionOf(col(grayCol))))
 
   /** The four 16-bit LSH bands of the (hi, lo) aHash.
     *

@@ -127,6 +127,84 @@ class NativeExprSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L).length == 1 && out(2L).toSeq == Seq(0))
   }
 
+  test("audio fingerprint natives == the interpreted HOF formulations " +
+    "they replaced (frame energies, first-window bits, sub-fingerprints)") {
+    import graft.operators.{AudioGen, AudioHash}
+    // the r16-retired HOF spellings, inlined verbatim as the reference
+    val hofEnergies = expr(
+      s"""transform(
+         |  sequence(0, CAST(size(pcm) DIV ${AudioGen.FrameLen} AS INT) - 1),
+         |  f -> aggregate(slice(pcm, f * ${AudioGen.FrameLen} + 1, ${AudioGen.FrameLen}),
+         |                 0L, (a, x) -> a + abs(x)))""".stripMargin)
+    def hofPack(fromBit: Int, toBit: Int, idx: String) =
+      s"aggregate(sequence($toBit, $fromBit, -1), 0L, (acc, j) -> acc * 2 + " +
+        s"IF(element_at(e, $idx + j + 1) > element_at(e, $idx + j + 2), 1L, 0L))"
+    val hofSubFps = expr(
+      s"""transform(
+         |  sequence(0, CAST((size(e) - 65) DIV 2 AS INT)),
+         |  wi -> named_struct(
+         |    'w', CAST(wi * 2 AS INT),
+         |    'lo', ${hofPack(0, 31, "wi * 2")},
+         |    'hi', ${hofPack(32, 63, "wi * 2")}))""".stripMargin)
+    val clips = (0L until 30L).map { id =>
+      val n = 520 + (id % 5).toInt * 131
+      (id, AudioGen.samplesVar(id, n).map(_.toInt).toSeq)
+    }.toDF("doc_id", "pcm")
+      .withColumn("e", AudioHash.frameEnergies("pcm"))
+      .withColumn("e_hof", hofEnergies)
+    val diff = clips
+      .select(
+        (col("e") =!= col("e_hof")).as("d1"),
+        (AudioHash.fpLo("e") =!= expr(hofPack(0, 31, "0"))).as("d2"),
+        (AudioHash.fpHi("e") =!= expr(hofPack(32, 63, "0"))).as("d3"),
+        (AudioHash.subFingerprints("e", 2) =!= hofSubFps).as("d4"))
+      .filter(col("d1") || col("d2") || col("d3") || col("d4"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("image hash natives == the interpreted HOF formulations they " +
+    "replaced (graySum, aHash halves, dHash, gridReduce)") {
+    import graft.operators.{ImageGen, ImageHash}
+    def hofAHash(fromBit: Int, toBit: Int) =
+      expr(s"aggregate(sequence($toBit, $fromBit, -1), 0L, (acc, j) -> acc * 2 + " +
+        s"IF(element_at(g, j + 1) * 64 > tot_hof, 1L, 0L))")
+    val hofDHash = expr(
+      s"aggregate(sequence(55, 0, -1), 0L, (acc, k) -> acc * 2 + " +
+        s"IF(element_at(g, CAST((k DIV 7) * 8 + (k % 7) + 1 AS INT)) < " +
+        s"element_at(g, CAST((k DIV 7) * 8 + (k % 7) + 2 AS INT)), 1L, 0L))")
+    val hofGrid = expr(
+      s"""transform(sequence(0, 63), k -> CAST(
+         |  aggregate(
+         |    sequence((k DIV 8) * h DIV 8, ((k DIV 8) + 1) * h DIV 8 - 1),
+         |    0L,
+         |    (ra, rr) -> ra + aggregate(
+         |      sequence((k % 8) * w DIV 8, ((k % 8) + 1) * w DIV 8 - 1),
+         |      0L,
+         |      (ca, cc) -> ca + element_at(big, CAST(rr * w + cc + 1 AS INT))))
+         |  DIV ((((k DIV 8) + 1) * h DIV 8 - (k DIV 8) * h DIV 8)
+         |       * (((k % 8) + 1) * w DIV 8 - (k % 8) * w DIV 8))
+         |  AS INT))""".stripMargin)
+    val imgs = (0L until 30L).map { id =>
+      val (w, h) = ImageGen.shapeFor(id)
+      (id, w, h, ImageGen.grayPixelsAt(id, w, h).toSeq)
+    }.toDF("doc_id", "w", "h", "big")
+      .withColumn("g", ImageHash.gridReduce("big", "w", "h"))
+      .withColumn("g_hof", hofGrid)
+      .withColumn("tot", ImageHash.graySum(col("g")))
+      .withColumn("tot_hof", expr("aggregate(g, 0L, (a, x) -> a + x)"))
+    val diff = imgs
+      .select(
+        (col("g") =!= col("g_hof")).as("d1"),
+        (col("tot") =!= col("tot_hof")).as("d2"),
+        (ImageHash.aHashLo("g", "tot") =!= hofAHash(0, 31)).as("d3"),
+        (ImageHash.aHashHi("g", "tot") =!= hofAHash(32, 63)).as("d4"),
+        (ImageHash.dHash("g") =!= hofDHash).as("d5"))
+      .filter(col("d1") || col("d2") || col("d3") || col("d4") || col("d5"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("sorted_jaccard over ngram_shingles == ngram_jaccard over the texts (corpus + edges)") {
     // the q21 verify split: per-doc prebuilt shingle arrays must give
     // the BIT-IDENTICAL jaccard the fused text-pair expression gives
