@@ -129,7 +129,13 @@ object CurationPipeline {
     val enc = Bpe.encode(survivors, idCol, textCol, merges, idOf)
     // stage 5 — gather the packed sequences (q144); the gathered frame
     // feeds TWO consumers below (rank + 1-row total), so pin it once
-    // (the q148 discipline)
+    // (the q148 discipline). The pin is LAZY (r16, the CC probe
+    // pattern): its first consumer is stage 6's construction-time
+    // boundary-sampling job (globalRowNumber / tokenOffsets both run it
+    // eagerly over the full frame before anything else), so that job
+    // materializes the blocks — one job instead of eager-checkpoint job
+    // + sampler job; the 1-row total and the exchange then read the
+    // stored blocks.
     val gathered = Packing.gatherSequences(
       enc, "n_tokens", "bpe_ids", Seq(idCol), seqLen)
       .select(
@@ -137,7 +143,7 @@ object CurationPipeline {
         col("n_tokens").as("seq_tokens"),
         array_join(transform(col("token_ids"), _.cast("string")), " ")
           .as("__ids"))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     // stage 6 — epoch-0 shard manifest: md5 permutation, then the
     // chosen contiguous cut. Both arms are one ordered exchange plus a
     // ONE-ROW broadcast total (bounded by construction)

@@ -47,9 +47,13 @@ object Sharding {
       shardCol: String = "shard"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     // the offsets frame feeds TWO consumers (rows + the 1-row total):
-    // pin it once (the q148 discipline)
+    // pin it once (the q148 discipline). LAZY (r16, the CC probe
+    // pattern): the broadcast `total` stage is a full-scan aggregate
+    // that AQE materializes strictly BEFORE the stream side of the
+    // cross join can run, so its job materializes the blocks — one job
+    // instead of eager-checkpoint job + aggregate job.
     val withOff = Packing.tokenOffsets(df, sizeCol, orderCols)
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val total = withOff.agg(
       sum(greatest(coalesce(col(sizeCol).cast("long"), lit(0L)), lit(0L)))
         .as("__total"))
