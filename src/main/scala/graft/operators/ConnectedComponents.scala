@@ -74,6 +74,7 @@ object ConnectedComponents {
       .select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    val spark = e.sparkSession
     // Closed neighborhood as self-loops IN the edge relation: the round
     // below used to union a separate `labels` branch into the groupBy
     // to keep each vertex's own label in the min — a |V|-row exchange
@@ -81,8 +82,56 @@ object ConnectedComponents {
     // through the SAME join, so the round is one union branch (and one
     // AQE stage job) slimmer; the loop rows are lazy reads of the
     // already-checkpointed label blocks.
-    val sym = ck.union(ck.select(col("dst"), col("src")))
+    val symBase = ck.union(ck.select(col("dst"), col("src")))
       .union(labels.select(col("id").as("src"), col("id").as("dst")))
+    // Regime decision from MEASURED bytes, not estimates: both ck and
+    // labels are materialized localCheckpoints, so their true in-memory
+    // sizes are on the driver's storage listing for free (no extra job).
+    val ckBytes = storedBytes(ck)
+    val labelsBytes = storedBytes(labels)
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    // spark.graft.cc.roundMode: "auto" (default — broadcast rounds when
+    // the measured labels bytes fit the broadcast threshold) or
+    // "shuffle" (force the pre-r16 lazy-union rounds; the A/B arm and
+    // the escape hatch for a host where the 2|E|-row cache is unwelcome)
+    val mode = spark.conf.getOption("spark.graft.cc.roundMode")
+      .map(_.trim.toLowerCase).getOrElse("auto")
+    val broadcastRounds = mode != "shuffle" &&
+      labelsBytes.exists(b => b > 0 && b <= threshold) && threshold > 0
+    // Broadcast regime (labels measured under the broadcast threshold —
+    // every oracle/bench scale, and any production graph whose label
+    // table fits an executor): pre-partition the CONSTANT symmetric
+    // relation by src ONCE and persist it. Each round then plans as
+    // [InMemoryTableScan ⋈ BroadcastHashJoin(labels) → partial+final
+    // HashAggregate] with ZERO data exchanges — the cache's
+    // hashpartitioning(src) alias-propagates through the join's stream
+    // side into the groupBy(id), so the round's only shuffle is the
+    // probe's one-row aggregate. persist(), not localCheckpoint: a
+    // LogicalRDD forgets outputPartitioning (measured: the checkpointed
+    // round kept its groupBy exchange), while InMemoryRelation preserves
+    // the cached plan's layout (canChangeCachedPlanOutputPartitioning
+    // stays at its false default). Cost: the union is stored once
+    // (2|E|+|V| rows) instead of read lazily off the ck blocks — the
+    // storage-for-shuffles trade only taken when it pays every round.
+    // Partition count is scale-adaptive (guide §2): derived from the
+    // measured checkpoint bytes against the session's advisory partition
+    // size, so a small graph runs 1-task rounds (what AQE coalescing
+    // produced here anyway) and a big one scales out; never above
+    // numShufflePartitions, the width the shuffle regime would use.
+    // Shuffle regime (labels over the threshold, or broadcasting
+    // disabled): keep the lazy union — rounds shuffle as before, and no
+    // 2|E|-row cache is paid for nothing.
+    val sym =
+      if (!broadcastRounds) symBase
+      else {
+        val advisory = spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+        val symBytes = 2L * ckBytes.getOrElse(0L) + labelsBytes.getOrElse(0L)
+        val nSym = math.max(1L, math.min(
+          spark.sessionState.conf.numShufflePartitions.toLong,
+          (symBytes + advisory - 1) / math.max(1L, advisory))).toInt
+        symBase.repartition(nSym, col("src")).persist()
+      }
     // Convergence probe: labels are per-vertex non-increasing (each
     // round takes the min over the closed neighborhood, own label
     // included), so for NUMERIC ids Σ component strictly decreases
@@ -105,8 +154,13 @@ object ConnectedComponents {
     while (!converged && it < maxIter) {
       // candidate label per vertex: min over its own label and every
       // neighbor's label
+      // The broadcast hint is backed by the MEASURED labels bytes above,
+      // so it can never bake an unbounded broadcast into the plan; in
+      // the shuffle regime the planner keeps its own choice.
+      val labelsSide =
+        if (broadcastRounds) broadcast(labels) else labels
       val viaNeighbors = sym
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .join(labelsSide.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
       // Pointer jumping (label-of-label) from round 4 on: near-clique
       // dedup graphs reach fixpoint in ≤ 2 rounds + 1 probe round, so
@@ -117,7 +171,7 @@ object ConnectedComponents {
         if (it < 3) None
         else Some(
           labels.alias("a")
-            .join(labels.alias("b"), col("a.component") === col("b.id"))
+            .join(labelsSide.alias("b"), col("a.component") === col("b.id"))
             .select(col("a.id"), col("b.component").as("component")))
       // LAZY checkpoint on the numeric path: the convergence probe right
       // below is a full-scan aggregate over this frame, so it is the
@@ -151,6 +205,10 @@ object ConnectedComponents {
       labels = next
       it += 1
     }
+    // The returned labels frame is a fully materialized checkpoint (the
+    // last probe ran over it), so the cached union is dead weight from
+    // here — release it rather than hold 2|E| rows for the app lifetime.
+    if (broadcastRounds) sym.unpersist(false)
     // Non-convergence means labels are still mid-propagation: components
     // are SPLIT and downstream survivor selection would silently keep
     // duplicates. Fail loudly rather than return wrong labels.
@@ -160,4 +218,19 @@ object ConnectedComponents {
           "the graph diameter exceeds the iteration budget — raise maxIter")
     labels
   }
+
+  /** Measured in-memory bytes of a materialized localCheckpoint — read
+    * off the driver's block-manager listing (no job). None when the
+    * frame is not a checkpoint or its blocks are not (yet) reported.
+    */
+  private def storedBytes(df: DataFrame): Option[Long] =
+    df.queryExecution.analyzed
+      .collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }
+      .flatMap { id =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == id).map(i => i.memSize + i.diskSize)
+      }
+      .filter(_ > 0)
 }
